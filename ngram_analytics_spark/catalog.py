@@ -1,0 +1,43 @@
+"""Table catalog: parquet loaders for the driver-generated test tables.
+
+Replaces the reference's CDAP source/sink framework glue
+(MockSource/MockSink, NGramTransformTest.java:118-125) with plain
+DataSource V2 parquet scans — columnar, predicate-pushdown and
+column-pruning capable out of the box.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register all tables as temp views for spark.sql() queries."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

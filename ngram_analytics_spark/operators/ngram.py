@@ -1,0 +1,130 @@
+"""N-gram transform — reference-parity operator (the reference's sole op).
+
+Reference semantics (cited from /root/reference):
+- ``NGramTransform.java:95-134`` — slide a window of size ``n`` over an
+  ``array<string>`` token column; emit ``array<string>`` of space-joined
+  n-grams (delegates to MLlib ``org.apache.spark.ml.feature.NGram``,
+  import at :33, applied at :116-118).
+- ``NGramTransform.java:86-92`` — configure-time validation: the input
+  field must be of type ARRAY, else ``IllegalArgumentException``
+  (negative test NGramTransformTest.java:221-226).
+- ``NGramTransform.java:101-102`` + ``docs/NGramTransform-sparkcompute.md:45``
+  — output schema is a *single* field ``output_col: array<string>``;
+  every other input column is dropped.
+- ``NGramTransform.java:127-129`` + test ``:200-219`` — a row with fewer
+  than ``n`` tokens produces an empty n-gram array which the reference
+  then fails on (non-nullable field never set => whole pipeline FAILED).
+  Rebuild default is the sane MLlib semantics (empty array); pass
+  ``error_on_short_rows=True`` to reproduce the reference's failure.
+
+Architecture notes (Spark-first, NOT a port):
+- The reference materializes the whole dataset on the driver between
+  transform and sink (``collectAsList``+``parallelize``,
+  NGramTransform.java:119-120) — an O(dataset) driver-memory ceiling.
+  This implementation is one lazy Catalyst expression: no shuffle, no
+  driver round-trip, embarrassingly parallel per-row => scales linearly
+  with input splits at 100 TB.
+- Two interchangeable physical paths, asserted equivalent in tests:
+  1. pure-SQL higher-order functions (default; stays in whole-stage
+     codegen, no Python, no MLlib dependency);
+  2. MLlib ``pyspark.ml.feature.NGram`` (the reference's own kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+
+def ngram_col(tokens: Column | str, n: int) -> Column:
+    """Column expression: n-grams of an array<string> column.
+
+    ``len(result) == max(0, size(tokens) - n + 1)`` (MLlib semantics:
+    short rows yield an empty array, never NULL).
+    """
+    if n < 1:
+        raise ValueError(f"ngram size must be >= 1, got {n}")
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(c, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(tokens_expr: str, n: int) -> str:
+    """DuckDB-SQL equivalent of :func:`ngram_col` (oracle side).
+
+    DuckDB list slicing is 1-based inclusive: ``l[i:i+n-1]`` is the
+    n-element window starting at i; ``range(a, b)`` is empty for b<=a.
+    """
+    return (
+        f"list_transform(range(1, len({tokens_expr}) - {n - 1} + 1), "
+        f"i -> array_to_string(({tokens_expr})[i:i+{n - 1}], ' '))"
+    )
+
+
+def ngram(
+    df: DataFrame,
+    input_col: str,
+    n: int,
+    output_col: str = "ngrams",
+    *,
+    drop_other_columns: bool = True,
+    error_on_short_rows: bool = False,
+    use_mllib: bool = False,
+) -> DataFrame:
+    """Reference-parity n-gram transform over a token-array column.
+
+    Args:
+        df: input DataFrame.
+        input_col: name of an ``array<string>`` column
+            (validated like NGramTransform.java:86-92).
+        n: window size (>= 1).
+        output_col: name of the produced ``array<string>`` column.
+        drop_other_columns: reference semantics — output schema contains
+            ONLY ``output_col`` (docs/NGramTransform-sparkcompute.md:45).
+            Set False for composable, column-preserving behavior.
+        error_on_short_rows: reproduce the reference's runtime failure
+            for rows with fewer than ``n`` tokens
+            (NGramTransform.java:127-129, test :200-219). Raised
+            distributedly via ``raise_error`` — no driver collect.
+        use_mllib: route through ``pyspark.ml.feature.NGram`` (the
+            reference's kernel, NGramTransform.java:116-118) instead of
+            the pure-SQL path.
+    """
+    if input_col not in df.columns:
+        raise ValueError(f"field {input_col!r} not present in schema")
+    dtype = df.schema[input_col].dataType
+    if not isinstance(dtype, ArrayType):
+        # mirrors Preconditions.checkArgument(... Schema.Type.ARRAY ...)
+        raise ValueError(
+            f"field {input_col!r} must be array<string>, got {dtype.simpleString()}"
+        )
+
+    if use_mllib:
+        from pyspark.ml.feature import NGram
+
+        transformer = NGram(n=n, inputCol=input_col, outputCol=output_col)
+        out = transformer.transform(df)
+    else:
+        out = df.withColumn(output_col, ngram_col(input_col, n))
+
+    if error_on_short_rows:
+        out = out.withColumn(
+            output_col,
+            F.when(
+                F.size(F.col(input_col)) < F.lit(n),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"row has fewer than n={n} tokens in {input_col!r}: "),
+                        F.to_json(F.col(input_col)),
+                    )
+                ).cast("array<string>"),
+            ).otherwise(F.col(output_col)),
+        )
+
+    return out.select(output_col) if drop_other_columns else out

@@ -1,0 +1,254 @@
+"""N-gram + text-analysis queries (reference parity + north-star text ops).
+
+Reference parity: q_ngram_bigram / q_ngram_trigram cover the two golden
+tests (NGramTransformTest.java:131-166 n=2, :168-198 n=3);
+q_ngram_fewer_tokens covers the short-row edge (test :200-219, rebuilt
+with MLlib empty-array semantics per SURVEY.md §7 Phase 1 decision).
+q_ngram_topk is the corpus-level "analytics" aggregation.
+
+All token arrays come from whitespace-splitting ``documents.text``
+(FIXTURES.md: text is space-separated synthetic tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import davg, oracle_davg
+from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+TOKENS = "string_split(text, ' ')"  # DuckDB-side tokenizer
+
+
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split(F.col("text"), " ")
+    )
+
+
+def _exploded_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    # scan -> project -> per-row transform -> explode; no shuffle at all.
+    return (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode(ngram_col("tokens", n)).alias("ngram"))
+    )
+
+
+def _exploded_oracle(n: int) -> str:
+    return f"""
+        SELECT doc_id, unnest({ngrams_sql("toks", n)}) AS ngram
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+    """
+
+
+@REG.register("q_ngram_bigram", oracle=_exploded_oracle(2))
+def q_ngram_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1 with n=2, exploded to (doc_id, ngram) rows."""
+    return _exploded_ngrams(spark, sf_dir, 2)
+
+
+@REG.register("q_ngram_trigram", oracle=_exploded_oracle(3))
+def q_ngram_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1 with n=3 (golden fixture NGramTransformTest.java:240-245)."""
+    return _exploded_ngrams(spark, sf_dir, 3)
+
+
+@REG.register(
+    "q_ngram_fewer_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len({ngrams_sql("toks", 12)}) AS n_ngrams
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+        WHERE len(toks) < 15
+    """,
+)
+def q_ngram_fewer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-row edge: rows with < n tokens yield an EMPTY n-gram array.
+
+    (MLlib semantics; the reference instead fails the whole pipeline,
+    NGramTransformTest.java:200-219 — see operators.ngram docstring.)
+    """
+    return (
+        tokenized_docs(spark, sf_dir)
+        .withColumn("n_tokens", F.size("tokens"))
+        .filter(F.col("n_tokens") < 15)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(ngram_col("tokens", 12)).alias("n_ngrams"),
+        )
+    )
+
+
+@REG.register(
+    "q_ngram_topk",
+    oracle=f"""
+        SELECT ngram, count(*) AS cnt
+        FROM (SELECT unnest({ngrams_sql("toks", 2)}) AS ngram
+              FROM (SELECT {TOKENS} AS toks FROM documents))
+        GROUP BY ngram
+        ORDER BY cnt DESC, ngram ASC
+        LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent bigrams corpus-wide (top-20, ties broken by ngram).
+
+    Plan shape: scan -> transform -> explode -> partial agg (map-side
+    combine) -> single shuffle on ngram -> TakeOrderedAndProject. The
+    explode fan-out stays distributed; only (ngram, count) pairs — a
+    vocabulary-sized set, not a corpus-sized one — reach the shuffle.
+    """
+    return (
+        _exploded_ngrams(spark, sf_dir, 2)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+@REG.register(
+    "q_tokenize",
+    oracle=f"""
+        SELECT doc_id,
+               unnest(range(1, len(toks) + 1)) - 1 AS pos,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+    """,
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenizer, exploded with 0-based position."""
+    return tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+
+
+# Deterministic heuristic shared by Spark + oracle: English stopword ratio.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@REG.register(
+    "q_text_stats",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               {oracle_davg(f"len({TOKENS})")} AS avg_tokens,
+               {oracle_davg("length(text)")} AS avg_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char counts)."""
+    return (
+        tokenized_docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg(F.size("tokens").cast("double"), "avg_tokens"),
+            davg(F.length("text").cast("double"), "avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@REG.register(
+    "q_text_langid",
+    oracle=f"""
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter({TOKENS}, t -> t IN ('{_SW_SQL}'))) AS DOUBLE)
+                     / len({TOKENS}), 4) AS stop_ratio,
+               CASE WHEN CAST(len(list_filter({TOKENS}, t -> t IN ('{_SW_SQL}'))) AS DOUBLE)
+                         / len({TOKENS}) >= 0.05
+                    THEN 'en_like' ELSE 'other' END AS pred_lang
+        FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-ratio n-gram-free classifier.
+
+    A deterministic, SQL-expressible stand-in for a real char-n-gram
+    language model (the synthetic corpus has no language signal; the
+    operator contract — per-doc score + argmax label — is what's tested).
+    """
+    df = tokenized_docs(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (
+        F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))).cast(
+            "double"
+        )
+        / F.size("tokens")
+    )
+    return df.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en_like").otherwise("other").alias("pred_lang"),
+    )
+
+
+@REG.register(
+    "q_text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               len({TOKENS}) AS n_tokens,
+               ROUND(CAST(length(text) AS DOUBLE) / len({TOKENS}), 4)
+                   AS avg_token_len,
+               ROUND(CAST(len(list_distinct({TOKENS})) AS DOUBLE)
+                     / len({TOKENS}), 4) AS uniq_ratio,
+               CASE WHEN len({TOKENS}) BETWEEN 20 AND 90
+                         AND CAST(len(list_distinct({TOKENS})) AS DOUBLE)
+                             / len({TOKENS}) >= 0.2
+                    THEN 1 ELSE 0 END AS keep_flag
+        FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, lexical diversity.
+
+    The keep_flag mirrors LLM-pretraining quality filters (length window
+    + repetition screen); thresholds are illustrative constants.
+    """
+    df = tokenized_docs(spark, sf_dir)
+    n_tok = F.size("tokens")
+    uniq_ratio = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.when((n_tok.between(20, 90)) & (uniq_ratio >= 0.2), 1)
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+@REG.register(
+    "q_text_tokens",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_ish,
+               len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs
+        FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs | digit runs)."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "n_bpe_ish"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0)).alias(
+            "n_vowel_runs"
+        ),
+    )
