@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Execution is measured end-to-end per query with a `noop` sink — the
+full plan runs JVM-side (scan -> ... -> materialize every row) without
+collect/driver serialization distorting the numbers.
+
+Usage: python bench.py [--warm] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q_agg_group",        # TPC-H Q1 shape
+    "q_join_multiway",    # 5-table star join
+    "q_join_broadcast",   # broadcast dim join
+    "q_filter_pred",      # pushdown scan
+    "q_win_rank",         # window functions
+    "q_sort_limit",       # top-k global
+    "q_topk_pergroup",    # top-k per group
+    "q_set_union",        # union + agg
+    "q_ngram_bigram",     # reference operator, exploded
+    "q_ngram_topk",       # flagship corpus analytics
+    "q_dedup_exact",      # hash dedup
+    "q_dedup_jaccard",    # n-gram jaccard kernel
+    "q_sim_knn",          # brute-force knn
+    "q_sim_pairs",        # all-pairs similarity
+    "q_join_asof",        # as-of join (union-merge)
+    "q_stream_session",   # session windows (batch mode)
+    "q_stream_tumbling",  # tumbling windows
+    "q_udf_pandas",       # Arrow UDF path
+]
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    warm = "--warm" in sys.argv
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as e
+    from ngram_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="nas-bench")
+    qs = e.queries()
+    names = args or [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warmup so the first measured query isn't penalized.
+    qs["q_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        if warm:
+            df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,17 +1,23 @@
-"""Deterministic float aggregation for cross-engine differential testing.
+"""Deterministic float handling for cross-engine differential testing.
 
-Floating-point summation is order-dependent; Spark's partial aggregation
-order differs run-to-run and engine-to-engine, so ``ROUND(SUM(double),4)``
-can flip at a rounding boundary between Spark and the DuckDB oracle.
-Fix: accumulate in exact DECIMAL (associative, order-independent), cast
-the exact sum to double (correctly rounded, deterministic), then round.
+Two hazards make naive ``ROUND(agg, 4)`` flip between Spark and DuckDB:
 
-The matching DuckDB oracle spelling is produced by :func:`oracle_dsum` /
-:func:`oracle_davg` so both engines perform literally the same sequence
-of exact/deterministic operations.
+1. **Summation order**: float addition is not associative; Spark's
+   partial-agg order differs from DuckDB's. Fix: accumulate in exact
+   DECIMAL (associative), round IN DECIMAL SPACE (exact half-up on both
+   engines), cast the ≤4-decimal-digit result to double (exact).
 
-At 100 TB this costs one widened column in the partial aggregates —
-decimal sums still map-side combine and whole-stage codegen.
+2. **Round-tie semantics on doubles**: for a quotient like
+   ``307.03/8 = 38.37875`` Spark rounds the *shortest decimal
+   representation* (BigDecimal half-up → .3788) while DuckDB rounds the
+   *binary* value (38.374999… → .3787). Fix: never use the engines'
+   ``round`` on computed doubles; use :func:`round4det` /
+   :func:`oracle_round4det` — the same floor-based formula spelled
+   identically on both engines, so every intermediate double is
+   bit-identical by IEEE determinism.
+
+At 100 TB the decimal accumulation costs one widened column in the
+partial aggregates — still map-side combined and codegen'd.
 """
 
 from __future__ import annotations
@@ -24,34 +30,50 @@ from pyspark.sql import functions as F
 DEC = "decimal(25,8)"
 
 
+def round4det(c: Column, alias: str | None = None) -> Column:
+    """Half-away-from-zero round(x, 4) built from floor/abs/sign only —
+    bit-identical across engines (see module docstring)."""
+    out = F.floor(F.abs(c) * 10000 + F.lit(0.5)) * F.signum(c) / F.lit(10000.0)
+    return out.alias(alias) if alias else out
+
+
+def oracle_round4det(expr: str) -> str:
+    """DuckDB SQL matching :func:`round4det` operation-for-operation."""
+    return (
+        f"(CAST(floor(abs({expr}) * 10000 + 0.5) AS DOUBLE)"
+        f" * (CASE WHEN ({expr}) < 0 THEN -1.0 WHEN ({expr}) > 0 THEN 1.0 ELSE 0.0 END)"
+        f" / 10000.0)"
+    )
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent SUM(double) rounded to 4 decimals."""
+    """Order-independent SUM(double) rounded to 4 decimals in exact
+    decimal space."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(DEC)).cast("double"), 4)
+    out = F.round(F.sum(c.cast(DEC)), 4).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent AVG(double) rounded to 4 decimals."""
+    """Order-independent AVG(double): exact decimal sum, deterministic
+    double division, tie-safe rounding."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), 4)
+    out = round4det(F.sum(c.cast(DEC)).cast("double") / F.count(c))
     return out.alias(alias) if alias else out
 
 
 def round4(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(c.cast("double"), 4)
+    out = round4det(c.cast("double"))
     return out.alias(alias) if alias else out
 
 
 def oracle_dsum(expr: str) -> str:
     """DuckDB SQL matching :func:`dsum` exactly."""
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(25,8))) AS DOUBLE), 4)"
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(25,8))), 4) AS DOUBLE)"
 
 
 def oracle_davg(expr: str) -> str:
     """DuckDB SQL matching :func:`davg` exactly."""
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(25,8))) AS DOUBLE)"
-        f" / COUNT({expr}), 4)"
-    )
+    q = f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,8))) AS DOUBLE) / COUNT({expr})"
+    return oracle_round4det(q)

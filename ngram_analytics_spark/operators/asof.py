@@ -1,0 +1,107 @@
+"""As-of join: each left row matched to the latest right row at-or-before
+its timestamp, per key. Spark has no native as-of join for DataFrames.
+
+Implementation — the union-merge trick, NOT a range join:
+tag both sides, union by name, and per key take
+``last(right_cols, ignorenulls=True)`` over a window ordered by
+(time, side) with rows unbounded-preceding..current; keep left rows.
+
+Scale rationale (100 TB): a naive ``left.join(right, key AND r.ts <=
+l.ts)`` is many-to-many (every left row pairs with ALL earlier right
+rows) — quadratic per key. The union-merge is one shuffle per side on
+the key, a per-partition sort, and a running ``last`` — linear, skew
+behaves like any window op (salt hot keys upstream if needed).
+
+An alternative per-group ``applyInPandas`` + ``pd.merge_asof`` path is
+provided for very wide right sides where carrying nulled columns
+through the union is wasteful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join (latest right at-or-before left's time).
+
+    Args:
+        right_values: right columns to carry onto matched left rows
+            (returned with the same names; NULL when no prior right row).
+        strict: if True, match strictly-before (<) instead of (<=).
+    """
+    # side marker: right rows sort before left rows at equal time so
+    # `<=` semantics see a same-timestamp right row. strict => reverse.
+    right_side, left_side = (1, 0) if strict else (0, 1)
+
+    lt = left.withColumn("_k", F.col(left_key)).withColumn(
+        "_t", F.col(left_time)
+    ).withColumn("_side", F.lit(left_side))
+    rt = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(right_side).alias("_side"),
+        *[F.col(c) for c in right_values],
+    )
+    for c in right_values:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in right_values],
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == left_side).drop("_k", "_t", "_side")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Per-key ``pd.merge_asof`` via cogrouped applyInPandas (Arrow
+    batches). Equivalent semantics to :func:`asof_join`; useful when the
+    right side is wide."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"{c} {dict(right.dtypes)[c]}" for c in right_values
+    )
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(left_time)
+        rdf = rdf.sort_values(right_time)[[right_time, *right_values]]
+        return pd.merge_asof(
+            ldf, rdf, left_on=left_time, right_on=right_time, direction="backward"
+        ).drop(columns=[right_time] if right_time != left_time else [])
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(F.col(key)))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star surface (BASELINE.json): exact dedup, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard. All are pure DataFrame plans; nothing collects
+to the driver.
+
+Scale design (100 TB):
+- exact: one hash-groupBy shuffle on a 32-byte key; skew-safe (hashes
+  are uniform by construction).
+- MinHash LSH: banding turns all-pairs O(n^2) into per-bucket joins;
+  MLlib's OR-amplified hash tables do the banding.
+- SimHash: per-doc 64-bit signature from one groupBy (bit votes are
+  map-side combined); candidate pairs via 16-bit band equi-joins —
+  4 shuffles on short keys, never an all-pairs product.
+- n-gram Jaccard: candidate generation joins only on RARE n-grams
+  (document frequency <= max_df) so hot n-grams never explode the
+  postings join; exact Jaccard then re-checks candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.operators.ngram import ngram_col
+
+
+def normalized_text_hash(text: Column | str) -> Column:
+    """SHA-256 over lowercased+trimmed text: the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(F.lower(F.trim(c)), 256)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text hash.
+
+    Returns (hash, keep_id, n_copies); join back on the hash to filter
+    the corpus. One shuffle on the hash key.
+    """
+    return (
+        df.groupBy(normalized_text_hash(text_col).alias("h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, tokens_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from token-level xxhash64 bit votes.
+
+    explode -> per-(doc, bit) vote -> groupBy doc (map-side combined)
+    -> signature assembly. Entirely JVM expressions.
+    """
+    tok_hash = F.xxhash64(F.col("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(tok_hash, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return (
+        df.select(id_col, F.explode(tokens_col).alias("_tok"))
+        .groupBy(id_col)
+        .agg(*votes)
+        .select(id_col, sig.alias("simhash"))
+    )
+
+
+def simhash_candidates(
+    sigs: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: equi-join on any of four 16-bit bands
+    (pigeonhole: hamming<=3 guarantees a shared band; wider radii are
+    best-effort), then exact hamming filter via bit_count(XOR)."""
+    bands = [
+        (F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"band{i}"
+        )
+        for i in range(4)
+    ]
+    banded = sigs.select(id_col, "simhash", *bands)
+    pairs = None
+    for i in range(4):
+        a = banded.alias("a")
+        b = banded.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.band{i}") == F.col(f"b.band{i}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    shingle_n: int = 2,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH over n-gram shingles.
+
+    MLlib pipeline: shingle -> binary HashingTF -> MinHashLSH(seeded)
+    -> approxSimilarityJoin. Returns (id_a, id_b, jaccard_dist).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(ngram_col(tokens_col, shingle_n)).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    shingle_n: int = 2,
+    max_df: int = 50,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup with rare-shingle candidate generation.
+
+    1. distinct shingles per doc;
+    2. postings restricted to shingles with document frequency <= max_df
+       (hot shingles would quadratically explode the self-join and add
+       no discriminative signal);
+    3. candidate pairs = docs sharing any rare shingle;
+    4. exact Jaccard on the candidates only, via full shingle sets.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(ngram_col(tokens_col, shingle_n)).alias("_set"),
+    )
+    postings = sets.select(
+        F.col(id_col), F.explode("_set").alias("_sh")
+    )
+    rare = (
+        postings.groupBy("_sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_sh")
+    )
+    rare_postings = postings.join(F.broadcast(rare), "_sh")
+    cands = (
+        rare_postings.alias("a")
+        .join(
+            rare_postings.alias("b"),
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
+    common = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size("_set_a") + F.size("_set_b") - common
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            common.alias("n_common"),
+            F.round(common.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

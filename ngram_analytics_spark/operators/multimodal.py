@@ -1,0 +1,100 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload travels as a
+``binary`` column next to typed metadata (mime, width, ...); decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
+round-trip row-at-a-time, and partitioning stays payload-size-aware
+(``spark.sql.files.maxPartitionBytes`` bounds task memory).
+
+The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container —
+``decode_image_stub`` is a clearly-marked deterministic fake with the
+real Spark-side plumbing (schema, batch iteration, UDF signature)
+tested end-to-end. Swap ``_fake_decode`` for a real decoder unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len int, first_byte int, fake_w int, fake_h int"
+)
+
+
+def to_blob_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: text bytes as the opaque payload +
+    typed metadata struct (what an image/audio ingest would carry)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/fake").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for an image decode.
+
+    REAL DECODE NOT AVAILABLE IN THIS CONTAINER — replace with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` in production. The fake
+    derives 'dimensions' from the byte length so results are stable
+    and oracle-checkable.
+    """
+    n = len(payload)
+    first = payload[0] if n else -1
+    return n, first, n % 64, n % 48
+
+
+def decode_image_stub(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas``: each task receives an iterator of record batches;
+    per batch we emit one feature row per payload. This is the exact
+    plumbing a real decoder uses (batch in, batch out, bounded memory).
+    """
+    id_name = id_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "byte_len": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "fake_w": [f[2] for f in feats],
+                    "fake_h": [f[3] for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stub(
+    blobs: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 100
+) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled offset —
+    the 1:N exploding shape of video-frame extraction, with the decode
+    faked as the byte at each sampled offset."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, vals = [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                for off in range(0, len(payload), every_n_bytes):
+                    ids.append(i)
+                    offs.append(off)
+                    vals.append(payload[off])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_off": pd.Series(offs, dtype="int32"),
+                 "frame_val": pd.Series(vals, dtype="int32")}
+            )
+
+    return blobs.mapInPandas(sample, schema="doc_id bigint, frame_off int, frame_val int")

@@ -1,5 +1,241 @@
-"""Placeholder — filled in as phases land."""
+"""LLM-data-pipeline queries: dedup, similarity search, multimodal
+(SURVEY.md §2.B north-star ops) over documents/embeddings.
 
+SQL-oracled where DuckDB can express the op exactly; hash-family ops
+(MinHash LSH, SimHash, IVF) are rows-only with seeded determinism and
+recall assertions in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.functions.vectors import oracle_cosine
+from ngram_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ngram_analytics_spark.operators.multimodal import (
+    decode_image_stub,
+    to_blob_table,
+)
+from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_knn,
+    similarity_pairs,
+)
 from ngram_analytics_spark.registry import QueryRegistry
 
 REG = QueryRegistry()
+
+TOKENS = "string_split(text, ' ')"
+_COS_AB = oracle_cosine("a.embedding", "b.embedding")
+
+
+@REG.register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT sha256(lower(trim(text))) AS h,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text hash (keep lowest doc_id)."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_J_COMMON = "len(list_filter(a.st, x -> list_contains(b.st, x)))"
+_J_RATIO = (
+    f"CAST({_J_COMMON} AS DOUBLE) / (len(a.st) + len(b.st) - {_J_COMMON})"
+)
+
+
+@REG.register(
+    "q_dedup_jaccard",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, list_distinct({ngrams_sql(TOKENS, 2)}) AS st
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {_J_COMMON} AS n_common,
+               {oracle_round4det(_J_RATIO)} AS jaccard
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard on adjacent-id candidate pairs.
+
+    (The scalable rare-shingle candidate generator is
+    operators.dedup.ngram_jaccard_pairs — rows-only q_dedup_fuzzy_jaccard;
+    this SQL-oracled variant pins the Jaccard kernel itself.)
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "st", F.array_distinct(ngram_col(F.split("text", " "), 2))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    union = F.size("st_a") + F.size("st_b") - common
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            common.alias("n_common"),
+            round4det(common.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+@REG.register("q_dedup_fuzzy")  # rows-only: MinHash family is impl-specific
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (seeded, deterministic within
+    Spark; hash family not reproducible in SQL => rows-only check)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split("text", " ")
+    )
+    return minhash_lsh_candidates(
+        docs, "doc_id", "tokens", max_jaccard_distance=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@REG.register("q_dedup_simhash")  # rows-only: xxhash64 is Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash signatures (deterministic; pair-mining via
+    banding is covered in tests/test_operators.py)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split("text", " ")
+    )
+    return simhash_signatures(docs, "doc_id", "tokens")
+
+
+@REG.register("q_dedup_fuzzy_jaccard")  # rows-only: plan includes distinct-over-join
+def q_dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable exact-Jaccard dedup: rare-shingle candidate join + exact
+    re-check (operators.dedup.ngram_jaccard_pairs). Deterministic but the
+    candidate set depends on the rare-shingle cutoff — oracled in tests
+    against the brute-force kernel instead of SQL."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split("text", " ")
+    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "tokens", max_df=20, min_jaccard=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@REG.register(
+    "q_dedup_embed",
+    oracle=f"""
+        SELECT b.vec_id AS dropped_id,
+               min(a.vec_id) AS kept_id,
+               count(*) AS n_better
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= 0.4
+        GROUP BY b.vec_id
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: drop any vector with an earlier-id
+    neighbor above 0.4 cosine (keep-first semantics)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, min_cos=0.4)
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").alias("kept_id"), F.count("*").alias("n_better")
+    )
+
+
+@REG.register(
+    "q_sim_knn",
+    oracle=f"""
+        SELECT query_id, neighbor_id, {oracle_round4det("c")} AS cos_sim, rn FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS c,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_COS_AB} DESC, b.vec_id ASC) AS rn
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < 10
+        ) WHERE rn <= 5
+    """,
+)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries = vec_id<10)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@REG.register(
+    "q_sim_pairs",
+    oracle=f"""
+        SELECT id_a, id_b, {oracle_round4det("c")} AS cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE c >= 0.35
+    """,
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs above 0.35 cosine (exact all-pairs kernel)."""
+    return similarity_pairs(load(spark, sf_dir, "embeddings"), min_cos=0.35)
+
+
+@REG.register("q_sim_ann_ivf")  # rows-only: recall vs brute force asserted in tests
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (deterministic coarse centroids, 3 probes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=20, n_probe=3
+    ).orderBy("query_id", "rn")
+
+
+@REG.register(
+    "q_multimodal_join",
+    oracle=f"""
+        SELECT d.doc_id, d.lang, e.label,
+               len(e.embedding) AS dim,
+               {oracle_round4det("CAST(e.embedding[1] AS DOUBLE)")} AS e0
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings: text + vector columns in one frame."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size("embedding").alias("dim"),
+        round4det(F.element_at("embedding", 1).cast("double")).alias("e0"),
+    )
+
+
+@REG.register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+               CAST(ascii(text) AS INTEGER) AS first_byte,
+               CAST(octet_length(encode(text)) % 64 AS INTEGER) AS fake_w,
+               CAST(octet_length(encode(text)) % 48 AS INTEGER) AS fake_h
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (operators.multimodal) with the deterministic fake decode —
+    oracle-checkable because the fake derives features from byte length.
+    """
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    return decode_image_stub(blobs)

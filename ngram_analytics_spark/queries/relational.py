@@ -25,6 +25,8 @@ from ngram_analytics_spark.functions.deterministic import (
     dsum,
     oracle_davg,
     oracle_dsum,
+    oracle_round4det,
+    round4det,
 )
 from ngram_analytics_spark.registry import QueryRegistry
 
@@ -421,7 +423,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(DISTINCT l_partkey) AS uniq_parts,
                count(DISTINCT l_suppkey) AS uniq_supps,
-               ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4)
+               CAST(ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,8))), 4) AS DOUBLE)
                    AS sum_uniq_qty
         FROM lineitem
         GROUP BY l_returnflag
@@ -434,9 +436,9 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("uniq_parts"),
         F.countDistinct("l_suppkey").alias("uniq_supps"),
-        F.round(
-            F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double"), 4
-        ).alias("sum_uniq_qty"),
+        F.round(F.sum_distinct(F.col("l_quantity").cast(DEC)), 4)
+        .cast("double")
+        .alias("sum_uniq_qty"),
     )
 
 
@@ -501,9 +503,9 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup/cube)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
-        f"""
+        """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4)
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,8))), 4) AS DOUBLE)
                    AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -619,15 +621,16 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.register(
     "q_win_frame",
-    oracle="""
+    oracle=f"""
         SELECT o_orderkey, o_custkey,
-               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER
-                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DOUBLE), 4) AS run_spend,
-               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER
-                   (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                   / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-                   4) AS avg3,
+               CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   4) AS DOUBLE) AS run_spend,
+               {oracle_round4det(
+                   "CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER "
+                   "(w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+                   "/ count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+               )} AS avg3,
                count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                               RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
                    AS cnt_range
@@ -650,9 +653,9 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum(dec_price).over(w_run).cast("double"), 4).alias("run_spend"),
-        F.round(
-            F.sum(dec_price).over(w_3).cast("double") / F.count("*").over(w_3), 4
+        F.round(F.sum(dec_price).over(w_run), 4).cast("double").alias("run_spend"),
+        round4det(
+            F.sum(dec_price).over(w_3).cast("double") / F.count("*").over(w_3)
         ).alias("avg3"),
         F.count("*").over(w_range).alias("cnt_range"),
     )

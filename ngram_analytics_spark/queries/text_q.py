@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
-from ngram_analytics_spark.functions.deterministic import davg, oracle_davg
+from ngram_analytics_spark.functions.deterministic import (
+    davg,
+    oracle_davg,
+    oracle_round4det,
+    round4det,
+)
 from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
 from ngram_analytics_spark.registry import QueryRegistry
 
@@ -161,14 +166,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_RATIO = (
+    f"CAST(len(list_filter({TOKENS}, t -> t IN ('{_SW_SQL}'))) AS DOUBLE)"
+    f" / len({TOKENS})"
+)
+
+
 @REG.register(
     "q_text_langid",
     oracle=f"""
         SELECT doc_id,
-               ROUND(CAST(len(list_filter({TOKENS}, t -> t IN ('{_SW_SQL}'))) AS DOUBLE)
-                     / len({TOKENS}), 4) AS stop_ratio,
-               CASE WHEN CAST(len(list_filter({TOKENS}, t -> t IN ('{_SW_SQL}'))) AS DOUBLE)
-                         / len({TOKENS}) >= 0.05
+               {oracle_round4det(_SW_RATIO)} AS stop_ratio,
+               CASE WHEN {_SW_RATIO} >= 0.05
                     THEN 'en_like' ELSE 'other' END AS pred_lang
         FROM documents
     """,
@@ -190,7 +199,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "doc_id",
-        F.round(ratio, 4).alias("stop_ratio"),
+        round4det(ratio).alias("stop_ratio"),
         F.when(ratio >= 0.05, "en_like").otherwise("other").alias("pred_lang"),
     )
 
@@ -200,10 +209,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT doc_id,
                len({TOKENS}) AS n_tokens,
-               ROUND(CAST(length(text) AS DOUBLE) / len({TOKENS}), 4)
+               {oracle_round4det(f"CAST(length(text) AS DOUBLE) / len({TOKENS})")}
                    AS avg_token_len,
-               ROUND(CAST(len(list_distinct({TOKENS})) AS DOUBLE)
-                     / len({TOKENS}), 4) AS uniq_ratio,
+               {oracle_round4det(
+                   f"CAST(len(list_distinct({TOKENS})) AS DOUBLE) / len({TOKENS})"
+               )} AS uniq_ratio,
                CASE WHEN len({TOKENS}) BETWEEN 20 AND 90
                          AND CAST(len(list_distinct({TOKENS})) AS DOUBLE)
                              / len({TOKENS}) >= 0.2
@@ -223,8 +233,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        round4det(F.length("text").cast("double") / n_tok).alias("avg_token_len"),
+        round4det(uniq_ratio).alias("uniq_ratio"),
         F.when((n_tok.between(20, 90)) & (uniq_ratio >= 0.2), 1)
         .otherwise(0)
         .alias("keep_flag"),

@@ -1,5 +1,250 @@
-"""Placeholder — filled in as phases land."""
+"""Time-series queries: tumbling/sliding/session windows (batch-mode
+Structured-Streaming window functions), as-of join, resample, gap-fill.
 
+The same ``F.window``/``F.session_window`` expressions run unchanged
+under ``readStream`` (see ngram_analytics_spark.streaming); batch-mode
+execution here is what makes them DuckDB-oracle-checkable. Timestamps
+are emitted as formatted strings (micros) for engine-neutral hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from ngram_analytics_spark.operators.asof import asof_join
 from ngram_analytics_spark.registry import QueryRegistry
 
 REG = QueryRegistry()
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@REG.register(
+    "q_stream_tumbling",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+               event_type,
+               count(*) AS n,
+               {oracle_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (epoch-aligned => equals
+    date_trunc). Identical expression works under readStream with a
+    watermark."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@REG.register(
+    "q_stream_sliding",
+    oracle=f"""
+        WITH starts AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                   event_type, value
+            FROM events
+        )
+        SELECT strftime(ws, '{TS_FMT_DUCK}') AS win_start,
+               event_type,
+               count(*) AS n,
+               {oracle_dsum("value")} AS sum_value
+        FROM starts
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide): every event lands in two
+    windows; oracle expands the two candidate starts explicitly."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@REG.register(
+    "q_stream_session",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+               count(*) AS n_events,
+               {oracle_dsum("value")} AS sum_value
+        FROM numbered
+        GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (10 min). Spark's native session_window
+    merges adjacent events; the oracle is the classic gaps-and-islands
+    rewrite. Works identically under readStream + watermark."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@REG.register(
+    "q_join_asof",
+    oracle="""
+        WITH o AS (  -- dedupe to one order per (cust, date): max orderkey
+            SELECT o_custkey, o_orderdate,
+                   max_by(o_orderkey, o_orderkey) AS o_orderkey,
+                   max_by(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS last_orderkey,
+               o.o_totalprice AS last_price
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ↔ latest order at-or-before its timestamp
+    per user (union-merge implementation, operators.asof; oracle is
+    DuckDB's native ASOF JOIN). Orders are deduped to one per
+    (cust, date) so the as-of pick is well-defined on both engines."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        )
+    )
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["last_orderkey", "last_price"],
+    ).select("event_id", "user_id", "last_orderkey", "last_price")
+
+
+@REG.register(
+    "q_ts_resample",
+    oracle=f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*) AS n,
+               {oracle_dsum("value")} AS sum_value,
+               {oracle_davg("value")} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per event type (downsampling aggregation)."""
+    from ngram_analytics_spark.functions.deterministic import davg
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+        )
+    )
+
+
+@REG.register(
+    "q_ts_gapfill",
+    oracle="""
+        SELECT t.event_type,
+               strftime(g.day, '%Y-%m-%d') AS day,
+               coalesce(d.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN generate_series(TIMESTAMP '2024-01-01',
+                                   TIMESTAMP '2024-01-30',
+                                   INTERVAL 1 DAY) g(day)
+        LEFT JOIN (
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ) d ON d.event_type = t.event_type AND d.day = g.day
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily counts: dense (type x day) grid left-joined to
+    observed counts, zeros filled. Grid built with sequence+explode —
+    no driver-side loop."""
+    e = load(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    return (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )

@@ -1,5 +1,119 @@
-"""Placeholder — filled in as phases land."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B).
 
+Python is the slow path — these queries exist to prove the full UDF
+plumbing (Arrow-vectorized scalar pandas UDF, Python UDTF with lateral
+join, grouped applyInPandas), each against the same SQL oracle as its
+built-in equivalent. The engine's default paths stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.registry import QueryRegistry
 
 REG = QueryRegistry()
+
+TOKENS = "string_split(text, ' ')"
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _bigrams_pandas(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched bigram kernel (vectorized over row batches)."""
+    return tokens.map(
+        lambda toks: [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        if toks is not None
+        else []
+    )
+
+
+@REG.register(
+    "q_udf_pandas",
+    oracle=f"""
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF re-implementing the bigram transform; must
+    agree with the pure-SQL q_ngram_bigram oracle."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split("text", " ")
+    )
+    return d.select(
+        "doc_id", F.explode(_bigrams_pandas(F.col("tokens"))).alias("ngram")
+    )
+
+
+@REG.register(
+    "q_udtf",
+    oracle=f"""
+        SELECT doc_id,
+               unnest(range(0, len(toks) - 1)) AS pos,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) exploding bigrams with positions via
+    LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class BigramUDTF:
+        def eval(self, tokens):
+            if tokens is not None:
+                for i in range(len(tokens) - 1):
+                    yield i, f"{tokens[i]} {tokens[i + 1]}"
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM documents d,
+             LATERAL bigram_udtf(split(d.text, ' ')) t
+        """
+    )
+
+
+@REG.register(
+    "q_udaf_grouped",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len({TOKENS})) AS BIGINT) AS total_tokens,
+               CAST(max(len({TOKENS})) AS BIGINT) AS max_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped applyInPandas: per-language corpus stats
+    computed in pandas (one group per batch), oracle-checked against the
+    SQL equivalent."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        tok_counts = pdf["text"].str.split(" ").str.len()
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_tokens": [int(tok_counts.sum())],
+                "max_tokens": [int(tok_counts.max())],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInPandas(
+        stats, schema="lang string, n_docs bigint, total_tokens bigint, max_tokens bigint"
+    )

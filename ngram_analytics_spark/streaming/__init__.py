@@ -1,0 +1,121 @@
+"""Structured Streaming surface: file-source streams over the events
+table, watermarked windowed aggregation, streaming dedup, and a custom
+stateful operator via applyInPandasWithState.
+
+Correctness definition = batch-stream parity: the same window
+expressions run in ngram_analytics_spark.queries.timeseries_q in batch
+mode (DuckDB-oracled); here they run under ``readStream`` with an
+``availableNow`` trigger and must converge to the batch answer
+(tests/test_streaming.py). DuckDB has no streaming — these are
+smoke/parity checked, not SQL-oracled, by design (SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same ns->us timestamp
+    normalization as catalog.load).
+
+    Spark's file stream source requires a *directory*; the testdata dir
+    mixes all tables, so stage a scratch dir holding a symlink to the
+    single events file (read-only testdata is never touched).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nas-stream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    queries.timeseries_q.q_stream_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup on event_id bounded by the watermark (state is
+    GC'd past the watermark — required for unbounded streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState (GroupState keeps one long per user)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    # NoTimeout: ProcessingTimeTimeout deadlocks under availableNow
+    # (no further trigger ever fires to expire timers).
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming query to completion on the available data
+    (availableNow trigger) into an in-memory sink table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

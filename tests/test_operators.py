@@ -1,0 +1,179 @@
+"""Operator-level tests: the scale paths (LSH/IVF/SimHash/as-of) are
+checked against their exact/brute-force counterparts, plus invariants
+that the SQL oracles can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    li = load(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.1 * row.exact
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    from ngram_analytics_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=["a", "b", "c", "d"]),
+            Row(doc_id=2, tokens=["a", "b", "c", "d"]),  # identical
+            Row(doc_id=3, tokens=["a", "b", "c", "e"]),  # near
+            Row(doc_id=4, tokens=["x", "y", "z", "w"]),  # far
+        ]
+    )
+    sigs = simhash_signatures(df, "doc_id", "tokens")
+    got = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert got[1] == got[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidates(sigs, "doc_id", max_hamming=64).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs -> hamming 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    from ngram_analytics_spark.operators.dedup import minhash_lsh_candidates
+
+    base = ["tok%d" % i for i in range(30)]
+    near = base[:28] + ["other", "tokens"]
+    far = ["z%d" % i for i in range(30)]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, tokens=base), Row(doc_id=2, tokens=near), Row(doc_id=3, tokens=far)]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "tokens", max_jaccard_distance=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_rare_shingle_matches_bruteforce(spark):
+    from ngram_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    from ngram_analytics_spark.operators.ngram import ngram_col
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .limit(100)
+        .withColumn("tokens", F.split("text", " "))
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "tokens", max_df=100, min_jaccard=0.3
+        ).collect()
+    }
+    # brute force: all pairs, exact jaccard (max_df=100 == no rare filter
+    # on a 100-doc corpus => candidates are complete)
+    sets = docs.select(
+        "doc_id", F.array_distinct(ngram_col("tokens", 2)).alias("st")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - common
+    want = {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (common / union).alias("j"))
+        .filter(F.col("j") >= 0.3)
+        .collect()
+    }
+    assert set(got) == set(want)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from ngram_analytics_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_knn(emb, queries, k=5).collect()
+    approx = ivf_knn(emb, queries, k=5, n_cells=20, n_probe=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # random vectors: IVF prune
+    # is aggressive; recall floor documents the tradeoff deterministically
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=5, ev="a"), Row(k=1, t=10, ev="b"), Row(k=2, t=3, ev="c"),
+         Row(k=1, t=2, ev="d")]
+    )
+    right = spark.createDataFrame(
+        [Row(rk=1, rt=4, px=100), Row(rk=1, rt=9, px=200), Row(rk=2, rt=9, px=300)]
+    )
+    got = {
+        (r.k, r.t): r.px
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["px"]
+        ).collect()
+    }
+    assert got == {(1, 5): 100, (1, 10): 200, (2, 3): None, (1, 2): None}
+
+
+def test_asof_join_same_timestamp_inclusive(spark):
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=1, t=5, ev="a")])
+    right = spark.createDataFrame([Row(rk=1, rt=5, px=42)])
+    [row] = asof_join(left, right, "k", "rk", "t", "rt", ["px"]).collect()
+    assert row.px == 42  # <= semantics
+    [row] = asof_join(
+        left, right, "k", "rk", "t", "rt", ["px"], strict=True
+    ).collect()
+    assert row.px is None  # < semantics
+
+
+def test_multimodal_frame_sample_shape(spark):
+    from ngram_analytics_spark.operators.multimodal import (
+        frame_sample_stub,
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(load(spark, SF_SMOKE, "documents").limit(20))
+    frames = frame_sample_stub(blobs, every_n_bytes=100).collect()
+    assert len(frames) > 20  # 1:N explode happened
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_off)
+    for offs in by_doc.values():
+        assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_exact_dedup_planted_duplicate(spark):
+    from ngram_analytics_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello World"), Row(doc_id=2, text="  hello world "),
+         Row(doc_id=3, text="unique")]
+    )
+    rows = {r.keep_id: r.n_copies for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert rows == {1: 2, 3: 1}

@@ -1,0 +1,72 @@
+"""Structured Streaming smoke + batch-stream parity tests.
+
+Parity is the correctness definition: the streaming answer on a finite
+file source (availableNow) must equal the batch answer (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark import streaming as S
+from ngram_analytics_spark.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+def test_tumbling_batch_stream_parity(spark):
+    stream = S.tumbling_counts(S.read_events_stream(spark, SF_SMOKE))
+    S.run_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    want = {(r.win_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_dedup_within_watermark_stream(spark):
+    stream = S.dedup_within_watermark(S.read_events_stream(spark, SF_SMOKE))
+    S.run_to_memory(stream, "t_dedup", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+    n_batch = load(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert n == n_batch
+
+
+def test_stateful_running_counts(spark):
+    stream = S.running_user_counts(S.read_events_stream(spark, SF_SMOKE))
+    S.run_to_memory(stream, "t_state", output_mode="update")
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM t_state GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.n for r in rows}
+    want = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_nothing_on_ordered_replay(spark):
+    """availableNow over a single file: watermark present, no late data
+    => row counts match the raw source."""
+    stream = S.read_events_stream(spark, SF_SMOKE).withWatermark("ts", "10 minutes")
+    S.run_to_memory(
+        stream.select("event_id", "ts"), "t_passthru", output_mode="append"
+    )
+    n = spark.sql("SELECT count(*) AS n FROM t_passthru").collect()[0].n
+    assert n == load(spark, SF_SMOKE, "events").count()
