@@ -1,0 +1,70 @@
+"""Plan inspection helpers: assert the physical plan is the one you'd
+want at 100 TB, not just one that returns correct rows.
+
+Used by tests/test_plans.py to pin scale-critical plan shapes:
+broadcast joins actually broadcast, filters reach the parquet scan,
+global sort+limit is TakeOrderedAndProject, aggregates have map-side
+partials. Regressions here are performance bugs that no correctness
+test catches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in physical_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters clause of the first FileScan (empty if none;
+    plan lines may be truncated, so capture up to ']' or line end)."""
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]\n]*)", full_plan(df))
+    return m.group(1) if m else ""
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the first parquet FileScan
+    (column-pruning check)."""
+    plan = full_plan(df)
+    marker = "ReadSchema: struct<"
+    if marker not in plan:
+        return []
+    seg = plan[plan.index(marker) + len(marker):]
+    seg = seg[: seg.index(">")]
+    return [f.split(":")[0] for f in seg.split(",") if f]
+
+
+def is_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Two-phase hash aggregation (map-side combine before the shuffle)."""
+    plan = physical_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the plan (each Exchange is a full network/disk
+    round of the data — the dominant cost at scale)."""
+    plan = physical_plan(df)
+    return sum(
+        line.strip().lstrip("+-: ").startswith("Exchange")
+        for line in plan.splitlines()
+    )

@@ -770,6 +770,63 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.subtract(li)
 
 
+@REG.register(
+    "q_pivot",
+    oracle=f"""
+        SELECT l_returnflag,
+               {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+               {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS n_O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one column pair per l_linestatus value.
+    Expressed as conditional aggregation — identical plan to .pivot()
+    with explicit values, and oracle-expressible."""
+    li = load(spark, sf_dir, "lineitem")
+    agg_cols = []
+    for v in ("F", "O"):
+        cond = F.when(F.col("l_linestatus") == v, F.col("l_quantity"))
+        agg_cols.append(dsum(cond, f"qty_{v}"))
+        agg_cols.append(
+            F.count(F.when(F.col("l_linestatus") == v, 1)).alias(f"n_{v}")
+        )
+    return li.groupBy("l_returnflag").agg(*agg_cols)
+
+
+@REG.register(
+    "q_unpivot",
+    oracle="""
+        SELECT c_custkey, metric, val FROM (
+            SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns to (key, metric, value) rows via the
+    native unpivot operator (Expand-based, single scan)."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "nationkey_d", F.col("c_nationkey").cast("double")
+    )
+    return (
+        c.unpivot(
+            "c_custkey",
+            ["c_acctbal", "nationkey_d"],
+            "metric",
+            "val",
+        )
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "c_acctbal", "acctbal").otherwise("nationkey"),
+        )
+    )
+
+
 # ------------------------------------------------------ scalar functions
 
 @REG.register(

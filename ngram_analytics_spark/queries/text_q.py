@@ -241,6 +241,53 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.register("q_text_tfidf")  # rows-only: HashingTF buckets are impl-specific
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over tokens via MLlib HashingTF + IDF (the reference's own
+    MLlib-transformer idiom, one step past its NGram kernel).
+
+    Hash-bucketed features aren't SQL-reproducible => rows-only; the
+    l2-norm invariants are asserted in tests. Output: (doc_id, n_terms,
+    tfidf_norm) — scalar projections of the sparse vector, stable.
+    """
+    from pyspark.ml.feature import IDF, HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    docs = tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    tf = HashingTF(inputCol="tokens", outputCol="_tf", numFeatures=1 << 16)
+    tfd = tf.transform(docs)
+    idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    arr = vector_to_array(F.col("_tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).alias("n_terms"),
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("tfidf_norm"),
+    ).orderBy("doc_id")
+
+
+@REG.register("q_text_fingerprint")  # rows-only: xxhash64 is Spark-specific
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max xxhash64 over
+    character 8-gram shingles of the normalized text — the classic
+    rolling-hash near-dup fingerprint (deterministic within Spark)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "_fp_hashes",
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> xxhash64(substring(lower(text), i, 8)))"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min("_fp_hashes").alias("fp_min"),
+        F.array_max("_fp_hashes").alias("fp_max"),
+        F.size("_fp_hashes").alias("n_shingles"),
+    )
+
+
 @REG.register(
     "q_text_tokens",
     oracle="""

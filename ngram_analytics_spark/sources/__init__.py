@@ -1,0 +1,98 @@
+"""Sources & sinks beyond the parquet catalog.
+
+The reference's source/sink surface is CDAP framework glue (MockSource /
+MockSink, NGramTransformTest.java:118-125) — here the equivalent surface
+is Spark DataSource V2: parquet (the default, via catalog.py), CSV, JSON,
+ORC, and partitioned/bucketed writers. Format-lakehouse connectors
+(Delta/Iceberg/Hudi) need jars not present in this container; they're
+gated behind import-tries and raise a clear error.
+
+Scale notes: every reader takes an explicit schema (schema inference is
+a full extra pass at 100 TB); writers default to snappy parquet with
+partitionBy for pruning-friendly layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Schema-explicit reader for any supported format."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Writer with optional hive-style partitioning (directory layout =
+    partition pruning for every later reader)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    writer = df.write.mode(mode).format(fmt).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on the bucket key later skip
+    the shuffle entirely (co-located partitioning persisted on disk)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake connector (jar not in this container)."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - jar absent by design
+        raise NotImplementedError(
+            "Delta Lake requires the delta-spark jar on the classpath; "
+            "not available in this environment"
+        ) from exc
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Apache Iceberg connector (jar not in this container)."""
+    try:
+        return spark.read.format("iceberg").load(table)
+    except Exception as exc:  # pragma: no cover - jar absent by design
+        raise NotImplementedError(
+            "Iceberg requires the iceberg-spark-runtime jar; "
+            "not available in this environment"
+        ) from exc

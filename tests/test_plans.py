@@ -1,0 +1,54 @@
+"""Plan-shape tests: pin the physical plans that matter at scale.
+
+A correctness regression shows up in the oracle diff; a *plan*
+regression (broadcast silently becoming sort-merge, a filter failing to
+push down) only shows up here — as a 100x slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+from ngram_analytics_spark import plans as P
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from ngram_analytics_spark.queries import build_registry
+
+    return build_registry().queries[name]
+
+
+def test_broadcast_join_broadcasts(spark):
+    df = _q("q_join_broadcast")(spark, SF_SMOKE)
+    assert P.uses_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q("q_filter_pred")(spark, SF_SMOKE)
+    pushed = P.pushed_filters(df)
+    assert "l_returnflag" in pushed or "l_shipdate" in pushed, pushed
+
+
+def test_projection_prunes_read_schema(spark):
+    df = _q("q_scan_project")(spark, SF_SMOKE)
+    cols = P.read_schema_columns(df)
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"}
+
+
+def test_sort_limit_is_take_ordered(spark):
+    assert P.is_take_ordered(_q("q_sort_limit")(spark, SF_SMOKE))
+
+
+def test_group_agg_has_partial_phase(spark):
+    assert P.has_partial_aggregate(_q("q_agg_group")(spark, SF_SMOKE))
+
+
+def test_ngram_pipeline_single_shuffle(spark):
+    """scan -> transform -> explode -> agg -> topk: exactly one exchange
+    (the aggregation); the per-row transform must not shuffle."""
+    df = _q("q_ngram_topk")(spark, SF_SMOKE)
+    assert P.num_exchanges(df) <= 1, P.physical_plan(df)
+
+
+def test_ngram_transform_no_shuffle(spark):
+    df = _q("q_ngram_bigram")(spark, SF_SMOKE)
+    assert P.num_exchanges(df) == 0, P.physical_plan(df)

@@ -1,0 +1,84 @@
+"""Source/sink round-trips + skew operator equivalence."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark import sources as S
+from ngram_analytics_spark.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, fmt):
+    df = load(spark, SF_SMOKE, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/out"
+        S.write(df, path, fmt=fmt)
+        schema = "n_nationkey int, n_name string, n_regionkey int"
+        back = S.read(spark, path, fmt=fmt, schema=schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+
+
+def test_partitioned_write_prunes(spark):
+    df = load(spark, SF_SMOKE, "orders").withColumn(
+        "oyear", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_by_year"
+        S.write(df, path, partition_by=["oyear"])
+        back = spark.read.parquet(path).filter(F.col("oyear") == 1996)
+        want = df.filter(F.col("oyear") == 1996).count()
+        assert back.count() == want
+        # partition pruning: the 1996 filter must not scan other years'
+        # files — visible as PartitionFilters in the plan
+        plan = back._jdf.queryExecution().toString()
+        assert "PartitionFilters" in plan and "oyear" in plan
+
+
+def test_lakehouse_connectors_gated(spark):
+    with pytest.raises(NotImplementedError, match="[Dd]elta"):
+        S.read_delta(spark, "/tmp/nope")
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        S.read_iceberg(spark, "nope.tbl")
+
+
+def test_unsupported_format_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        S.read(spark, "/tmp/x", fmt="avro")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from ngram_analytics_spark.operators.skew import salted_join
+
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    salted = salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_group_count_equals_plain(spark):
+    from ngram_analytics_spark.operators.skew import salted_group_count
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    got = {
+        r.l_returnflag: r.n
+        for r in salted_group_count(li, "l_returnflag", n_salts=8).collect()
+    }
+    want = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
