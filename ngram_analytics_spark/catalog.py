@@ -40,6 +40,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # date_format/year/date_trunc results depend on the session TZ; the
+    # harness may hand us a session without it pinned — every query goes
+    # through here, so pin it defensively (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

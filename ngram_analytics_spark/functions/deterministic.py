@@ -30,20 +30,30 @@ from pyspark.sql import functions as F
 DEC = "decimal(25,8)"
 
 
-def round4det(c: Column, alias: str | None = None) -> Column:
-    """Half-away-from-zero round(x, 4) built from floor/abs/sign only —
-    bit-identical across engines (see module docstring)."""
-    out = F.floor(F.abs(c) * 10000 + F.lit(0.5)) * F.signum(c) / F.lit(10000.0)
+def round_det(c: Column, digits: int = 4, alias: str | None = None) -> Column:
+    """Half-away-from-zero round(x, digits) built from floor/abs/sign
+    only — bit-identical across engines (see module docstring)."""
+    scale = float(10 ** digits)
+    out = F.floor(F.abs(c) * scale + F.lit(0.5)) * F.signum(c) / F.lit(scale)
     return out.alias(alias) if alias else out
 
 
-def oracle_round4det(expr: str) -> str:
-    """DuckDB SQL matching :func:`round4det` operation-for-operation."""
+def round4det(c: Column, alias: str | None = None) -> Column:
+    return round_det(c, 4, alias)
+
+
+def oracle_round_det(expr: str, digits: int = 4) -> str:
+    """DuckDB SQL matching :func:`round_det` operation-for-operation."""
+    scale = float(10 ** digits)
     return (
-        f"(CAST(floor(abs({expr}) * 10000 + 0.5) AS DOUBLE)"
+        f"(CAST(floor(abs({expr}) * {scale} + 0.5) AS DOUBLE)"
         f" * (CASE WHEN ({expr}) < 0 THEN -1.0 WHEN ({expr}) > 0 THEN 1.0 ELSE 0.0 END)"
-        f" / 10000.0)"
+        f" / {scale})"
     )
+
+
+def oracle_round4det(expr: str) -> str:
+    return oracle_round_det(expr, 4)
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:

@@ -14,12 +14,13 @@ def build_registry() -> QueryRegistry:
     from ngram_analytics_spark.queries import (
         llm_q,
         relational,
+        relational2,
         text_q,
         timeseries_q,
         udf_q,
     )
 
     merged = QueryRegistry()
-    for mod in (text_q, relational, llm_q, timeseries_q, udf_q):
+    for mod in (text_q, relational, relational2, llm_q, timeseries_q, udf_q):
         merged.merge(mod.REG)
     return merged
