@@ -52,6 +52,17 @@ def main() -> int:
     qs = e.queries()
     names = args or [n for n in HEADLINE if n in qs]
 
+    # OS page-cache warmup: q_scan_count prunes to a single column, so on a
+    # cold boot the wide columns (documents.text, embeddings.embedding)
+    # would otherwise be charged to the first query that touches them —
+    # measuring disk, not the engine.
+    import glob
+
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
     # JVM/codegen warmup so the first measured query isn't penalized.
     qs["q_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

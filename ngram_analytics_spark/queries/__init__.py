@@ -15,12 +15,21 @@ def build_registry() -> QueryRegistry:
         llm_q,
         relational,
         relational2,
+        relational3,
         text_q,
         timeseries_q,
         udf_q,
     )
 
     merged = QueryRegistry()
-    for mod in (text_q, relational, relational2, llm_q, timeseries_q, udf_q):
+    for mod in (
+        text_q,
+        relational,
+        relational2,
+        relational3,
+        llm_q,
+        timeseries_q,
+        udf_q,
+    ):
         merged.merge(mod.REG)
     return merged

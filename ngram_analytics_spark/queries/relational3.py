@@ -1,0 +1,332 @@
+"""Batch-3 relational surface: subqueries, CTEs (incl. recursive),
+struct/map/bitwise scalar families, deterministic hash sampling,
+boolean aggregates, and the binned range join (SURVEY.md §2.B extended).
+
+Subqueries are expressed both ways deliberately: the DataFrame API
+queries show the decorrelated plan a user would hand-write (semi join /
+broadcast scalar), the spark.sql queries (lateral, CTE, recursive)
+exercise the SQL front-end on identical text for both engines — Spark's
+analyzer decorrelates them to the same physical shapes.
+
+Determinism conventions as everywhere (FIXTURES.md): decimal-accumulated
+float aggs, unique-key tie breaks, identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load, register_views
+from ngram_analytics_spark.functions.deterministic import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from ngram_analytics_spark.operators.rangejoin import binned_range_join
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+# ----------------------------------------------------------- subqueries
+
+@REG.register(
+    "q_subquery_scalar",
+    oracle=f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (SELECT {oracle_davg("o_totalprice")}
+                                  FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 2x the global average.
+
+    Plan shape: the 1-row aggregate is broadcast under the filter — at
+    100 TB the fact table is scanned once and never shuffled."""
+    o = load(spark, sf_dir, "orders")
+    thr = o.agg(davg("o_totalprice", "avg_tp"))
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_tp"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@REG.register(
+    "q_subquery_in",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery, decorrelated to a left-semi join (right side only
+    probed, never duplicated into the output)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        urgent, c.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@REG.register(
+    "q_subquery_exists_corr",
+    oracle="""
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 50 * c.c_acctbal)
+    """,
+)
+def q_subquery_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi correlation term — decorrelates
+    to a semi join whose condition carries both the equi key (shuffle
+    key) and the inequality (residual filter)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (
+        o.o_totalprice > 50 * c.c_acctbal
+    )
+    return c.join(o, cond, "left_semi").select("c_custkey", "c_acctbal")
+
+
+_LATERAL_SQL = """
+    SELECT n_name, t.n_cust, t.max_bal
+    FROM nation, LATERAL (
+        SELECT count(*) AS n_cust, max(c_acctbal) AS max_bal
+        FROM customer WHERE c_nationkey = n_nationkey
+    ) t
+"""
+
+
+@REG.register("q_subquery_lateral", oracle=_LATERAL_SQL)
+def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — identical SQL text on both engines;
+    Spark decorrelates it to an outer-joined aggregate."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+# ----------------------------------------------------------------- CTEs
+
+_CTE_SQL = f"""
+    WITH cust_orders AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               {oracle_dsum("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment, c_custkey, n_orders, spend
+        FROM customer JOIN cust_orders ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment, count(*) AS n_cust,
+           sum(n_orders) AS n_orders, {oracle_dsum("spend")} AS spend
+    FROM seg GROUP BY c_mktsegment
+"""
+
+
+@REG.register("q_cte", oracle=_CTE_SQL)
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE query — same text both engines (the decimal-accumulate
+    idiom is spelled identically in Spark SQL and DuckDB SQL)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_CTE_SQL)
+
+
+_RECURSIVE_SQL = f"""
+    WITH RECURSIVE hours(h) AS (
+        SELECT 0
+        UNION ALL
+        SELECT h + 1 FROM hours WHERE h < 23
+    )
+    SELECT h, count(event_id) AS n_events,
+           {oracle_dsum("value")} AS val_sum
+    FROM hours LEFT JOIN events ON hour(ts) = h
+    GROUP BY h
+"""
+
+
+@REG.register("q_cte_recursive", oracle=_RECURSIVE_SQL)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a generated hour spine
+    left-joined to event counts — zero-filled hours survive."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ------------------------------------------- struct / map / bitwise fns
+
+@REG.register(
+    "q_fn_struct",
+    oracle="""
+        SELECT o_orderkey,
+               ({'status': o_orderstatus, 'price': o_totalprice}).price
+                   AS s_price,
+               ({'status': o_orderstatus, 'price': o_totalprice}).status
+                   AS s_status,
+               ({'nest': {'k': o_custkey}}).nest.k AS nested_key
+        FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (incl. nested) projected back
+    to flat scalars — pure Catalyst expressions, codegen'd."""
+    o = load(spark, sf_dir, "orders")
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    nested = F.struct(F.struct(F.col("o_custkey").alias("k")).alias("nest"))
+    return o.select(
+        "o_orderkey",
+        st.getField("price").alias("s_price"),
+        st.getField("status").alias("s_status"),
+        nested.getField("nest").getField("k").alias("nested_key"),
+    )
+
+
+@REG.register(
+    "q_fn_map",
+    oracle="""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+        FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface over the JSON props column: parse -> map_keys /
+    cardinality / lookup / membership (events.props is a JSON string,
+    FIXTURES.md)."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@REG.register(
+    "q_fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS b_and,
+               o_orderkey | 4096 AS b_or,
+               xor(o_orderkey, 170) AS b_xor,
+               ~o_orderkey AS b_not,
+               o_orderkey << 2 AS b_shl,
+               o_orderkey >> 3 AS b_shr,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+        FROM orders
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family over a bigint key."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(170)).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+    )
+
+
+# -------------------------------------------- sampling / boolean aggs
+
+@REG.register(
+    "q_sample_hash",
+    oracle=f"""
+        SELECT l_returnflag, count(*) AS n_sampled,
+               {oracle_dsum("l_quantity")} AS qty
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+                     1, 1) < '4'
+        GROUP BY l_returnflag
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% Bernoulli sample via md5-prefix on the row key
+    — unlike ``df.sample(seed=...)`` (partition-layout dependent) this
+    is reproducible across engines, partitionings, and cluster sizes,
+    which is what a 100 TB pipeline needs for auditable subsampling."""
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    return (
+        li.filter(F.substring(F.md5(key), 1, 1) < "4")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"), dsum("l_quantity", "qty"))
+    )
+
+
+@REG.register(
+    "q_agg_bool",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_tax > 0.07) AS any_hi_tax
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if / bool_and / bool_or."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_hi_tax"),
+    )
+
+
+# ------------------------------------------------------ binned range join
+
+@REG.register(
+    "q_join_range_binned",
+    oracle=f"""
+        SELECT a.event_id AS anchor_id, count(*) AS n_follow,
+               {oracle_dsum("b.value")} AS val_follow
+        FROM events a JOIN events b
+          ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_id % 100 = 0
+        GROUP BY a.event_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (no equi key) via the binned-join scale
+    path (operators.rangejoin): follow-up event count/value within 30
+    minutes of each anchor event.
+
+    The oracle states the naive range-predicate semantics; the Spark
+    plan is the bin equi-join + residual filter — same rows, shuffle
+    hash join instead of BroadcastNestedLoop."""
+    e = load(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts")
+    )
+    points = e.select(F.col("ts").alias("b_ts"), F.col("value"))
+    joined = binned_range_join(
+        points,
+        anchors,
+        point_ts="b_ts",
+        interval_start=F.col("a_ts"),
+        interval_end=F.col("a_ts") + F.expr("interval 30 minutes"),
+        bin_width="30 minutes",
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count("*").alias("n_follow"), dsum("value", "val_follow")
+    )

@@ -309,3 +309,105 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vowel_runs"
         ),
     )
+
+
+@REG.register(
+    "q_ngram_chars",
+    oracle="""
+        SELECT doc_id,
+               CAST(greatest(len(text) - 4, 0) AS INTEGER) AS n_shingles,
+               CAST(len(list_distinct(
+                   list_transform(range(1, greatest(len(text) - 3, 1)),
+                                  i -> text[i:i+4])
+               )) AS INTEGER) AS n_distinct
+        FROM documents
+    """,
+)
+def q_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram shingles (the n-gram operator at character
+    granularity — the shingling primitive behind MinHash/winnowing):
+    per-doc total and distinct shingle counts. Per-row transform only —
+    no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    shingles = F.when(
+        F.length("text") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 4),
+            lambda i: F.col("text").substr(i, F.lit(5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.greatest(F.length("text") - 4, F.lit(0)).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct"),
+    )
+
+
+@REG.register(
+    "q_text_collocation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({ngrams_sql(TOKENS, 1)}) AS w
+        FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, unnest({ngrams_sql(TOKENS, 2)}) AS bigram
+            FROM documents
+        ),
+        uni_counts AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+        bi_counts AS (
+            SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram
+        ),
+        totals AS (
+            SELECT (SELECT count(*) FROM toks) AS n_uni,
+                   (SELECT count(*) FROM bi) AS n_bi
+        )
+        SELECT bigram, c_ab,
+               {oracle_round4det(
+                   "CAST(c_ab * n_uni * n_uni AS DOUBLE)"
+                   " / CAST(a.c_w * b.c_w * n_bi AS DOUBLE)"
+               )} AS lift
+        FROM bi_counts
+        JOIN uni_counts a ON a.w = string_split(bigram, ' ')[1]
+        JOIN uni_counts b ON b.w = string_split(bigram, ' ')[2]
+        CROSS JOIN totals
+        WHERE c_ab >= 5
+        ORDER BY lift DESC, bigram ASC
+        LIMIT 20
+    """,
+)
+def q_text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by lift
+    p(ab)/(p(a)p(b)) — the PMI argument without the log, so the score
+    is a pure ratio of exact integer counts (deterministic across
+    engines; log()'s last-ulp variance would risk the 4dp rounding).
+
+    Plan: two exploded aggregations (map-side combined), the unigram
+    count table joined twice — broadcast at any scale because the
+    vocabulary, not the corpus, bounds it."""
+    toks = tokenized_docs(spark, sf_dir)
+    uni = toks.select(F.explode("tokens").alias("w"))
+    bi = toks.select(F.explode(ngram_col("tokens", 2)).alias("bigram"))
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    bi_counts = bi.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    n_uni = uni.count()
+    n_bi = bi.count()
+    a = uni_counts.select(F.col("w").alias("_wa"), F.col("c_w").alias("_ca"))
+    b = uni_counts.select(F.col("w").alias("_wb"), F.col("c_w").alias("_cb"))
+    split = F.split("bigram", " ")
+    scored = (
+        bi_counts.filter(F.col("c_ab") >= 5)
+        .withColumn("_w1", split.getItem(0))
+        .withColumn("_w2", split.getItem(1))
+        .join(F.broadcast(a), F.col("_w1") == F.col("_wa"))
+        .join(F.broadcast(b), F.col("_w2") == F.col("_wb"))
+        .select(
+            "bigram",
+            "c_ab",
+            round4det(
+                (F.col("c_ab") * n_uni * n_uni).cast("double")
+                / (F.col("_ca") * F.col("_cb") * F.lit(n_bi)).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(20)

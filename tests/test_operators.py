@@ -177,3 +177,42 @@ def test_exact_dedup_planted_duplicate(spark):
     )
     rows = {r.keep_id: r.n_copies for r in exact_dedup(df, "doc_id", "text").collect()}
     assert rows == {1: 2, 3: 1}
+
+
+def test_binned_range_join_matches_naive_theta(spark):
+    """Bin equi-join + residual filter must produce exactly the rows of
+    the naive range-predicate join, including intervals that straddle a
+    bin boundary and points exactly on interval endpoints."""
+    from datetime import datetime
+
+    from ngram_analytics_spark.operators.rangejoin import binned_range_join
+
+    ts = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+    points = spark.createDataFrame(
+        [Row(pid=i, b_ts=ts(i)) for i in range(0, 60, 3)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=1, a_ts=ts(4)),    # straddles the 0/10-minute bins
+            Row(iid=2, a_ts=ts(10)),   # aligned exactly on a bin edge
+            Row(iid=3, a_ts=ts(58)),   # runs past the last point
+        ]
+    )
+    start, end = F.col("a_ts"), F.col("a_ts") + F.expr("interval 10 minutes")
+    got = binned_range_join(
+        points, intervals, "b_ts", start, end, bin_width="10 minutes"
+    )
+    naive = points.crossJoin(intervals).filter(
+        (F.col("b_ts") >= start) & (F.col("b_ts") < end)
+    )
+    key = lambda df: sorted((r.pid, r.iid) for r in df.collect())
+    assert key(got) == key(naive)
+    assert len(key(got)) > 0
+
+
+def test_binned_range_join_rejects_bad_unit():
+    from ngram_analytics_spark.operators.rangejoin import _bin_seconds
+
+    with pytest.raises(ValueError):
+        _bin_seconds("1 month")
+    assert _bin_seconds("2 hours") == 7200
