@@ -96,3 +96,34 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
             "Iceberg requires the iceberg-spark-runtime jar; "
             "not available in this environment"
         ) from exc
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes_per_partition: str = "128m",
+) -> DataFrame:
+    """Opaque-blob reader for multimodal payloads (image/audio/video
+    files) via Spark's built-in ``binaryFile`` source.
+
+    Yields (path, modificationTime, length, content: binary) — the
+    typed-metadata + binary-column shape operators.multimodal consumes.
+    ``maxPartitionBytes`` bounds per-task memory: at 100 TB of blobs the
+    decode UDF sees Arrow batches of whole files, so partition size —
+    not row count — is the OOM lever.
+    """
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes_per_partition)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text source: one row per line (or per file) with a single
+    ``value: string`` column — the entry point for unstructured corpus
+    ingestion ahead of tokenize/language-ID/quality scoring."""
+    return spark.read.text(path, wholetext=whole_file)

@@ -119,3 +119,39 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "30 minutes",
+    join_window: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: same-user events within a bounded time
+    window. Both sides are watermarked and the join condition bounds
+    the event-time gap — the two requirements that let Spark GC join
+    state on an unbounded stream (without them state grows forever).
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_id") < F.col("r_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(f"interval {join_window}"))
+    )
+    return l.join(r, cond, "inner")

@@ -52,3 +52,25 @@ def test_ngram_pipeline_single_shuffle(spark):
 def test_ngram_transform_no_shuffle(spark):
     df = _q("q_ngram_bigram")(spark, SF_SMOKE)
     assert P.num_exchanges(df) == 0, P.physical_plan(df)
+
+
+def test_range_binned_join_avoids_nested_loop(spark):
+    """The whole point of the binned range join: the plan must be an
+    equi-join on the bin, not BroadcastNestedLoopJoin."""
+    df = _q("q_join_range_binned")(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scalar_subquery_broadcasts_threshold(spark):
+    """The 1-row aggregate must reach the filter via broadcast — the
+    fact table is never shuffled."""
+    df = _q("q_subquery_scalar")(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_collocation_vocab_joins_broadcast(spark):
+    df = _q("q_text_collocation")(spark, SF_SMOKE)
+    assert P.uses_broadcast_join(df)

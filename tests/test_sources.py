@@ -82,3 +82,37 @@ def test_salted_group_count_equals_plain(spark):
         for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_binary_file_source_reads_blobs(spark):
+    """binaryFile source: write a few blobs, read back path/length/content."""
+    import os
+
+    from ngram_analytics_spark.sources import read_binary_files
+
+    with tempfile.TemporaryDirectory() as d:
+        payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+        for name, data in payloads.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(data)
+        df = read_binary_files(spark, d, glob="*.bin")
+        rows = {os.path.basename(r.path): r for r in df.collect()}
+        assert set(rows) == set(payloads)
+        for name, data in payloads.items():
+            assert rows[name].length == len(data)
+            assert bytes(rows[name].content) == data
+
+
+def test_text_source_lines_and_wholefile(spark):
+    import os
+
+    from ngram_analytics_spark.sources import read_text_lines
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "corpus.txt")
+        with open(p, "w") as f:
+            f.write("alpha beta\ngamma\n")
+        lines = read_text_lines(spark, d)
+        assert sorted(r.value for r in lines.collect()) == ["alpha beta", "gamma"]
+        whole = read_text_lines(spark, d, whole_file=True)
+        assert [r.value for r in whole.collect()] == ["alpha beta\ngamma\n"]

@@ -70,3 +70,22 @@ def test_watermark_drops_nothing_on_ordered_replay(spark):
     )
     n = spark.sql("SELECT count(*) AS n FROM t_passthru").collect()[0].n
     assert n == load(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_stream_join_batch_parity(spark):
+    """Stream-stream join (watermarked, time-bounded) must converge to
+    the identical batch join on a finite source."""
+    l_stream = S.read_events_stream(spark, SF_SMOKE)
+    r_stream = S.read_events_stream(spark, SF_SMOKE)
+    joined = S.stream_stream_join(l_stream, r_stream)
+    S.run_to_memory(joined, "t_ss_join", output_mode="append")
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in spark.sql("SELECT l_id, r_id FROM t_ss_join").collect()
+    )
+
+    e = load(spark, SF_SMOKE, "events")
+    batch = S.stream_stream_join(e, e)  # same helper works on batch frames
+    want = sorted((r.l_id, r.r_id) for r in batch.collect())
+    assert got == want
+    assert len(got) > 0
