@@ -330,3 +330,61 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("anchor_id").agg(
         F.count("*").alias("n_follow"), dsum("value", "val_follow")
     )
+
+
+@REG.register(
+    "q_agg_mode",
+    oracle="""
+        SELECT l_returnflag, q AS mode_qty, n AS mode_n FROM (
+            SELECT l_returnflag, l_quantity AS q, count(*) AS n,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY count(*) DESC, l_quantity ASC)
+                       AS rn
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent value per group, ties broken by
+    the smallest value (the engines' built-in ``mode()`` leaves ties
+    unspecified — unusable under a hash gate, so the rebuild derives it
+    from count + rank)."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("q").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"),
+                F.col("n").alias("mode_n"))
+    )
+
+
+@REG.register(
+    "q_agg_histogram",
+    oracle=f"""
+        SELECT least(CAST(floor(o_totalprice / 50000.0) AS INTEGER), 11)
+                   AS bucket,
+               count(*) AS n,
+               {oracle_dsum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY least(CAST(floor(o_totalprice / 50000.0) AS INTEGER), 11)
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over order values (arithmetic bucketing —
+    a single map-side-combined aggregation; the 100 TB shape for value
+    distributions, vs. sorting or exact percentiles)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("int"), F.lit(11)
+    ).alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "total")
+    )
