@@ -155,3 +155,22 @@ def stream_stream_join(
         & (F.col("r_ts") < F.col("l_ts") + F.expr(f"interval {join_window}"))
     )
     return l.join(r, cond, "inner")
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session-window aggregate (gap-based session close) —
+    the streaming twin of queries.timeseries_q.q_stream_session. State
+    for a session is emitted and dropped once the watermark passes its
+    close — bounded state on unbounded streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "n",
+        )
+    )

@@ -1,0 +1,164 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 3, hypothesis).
+
+Each property batches all generated rows into ONE DataFrame per
+example so Spark job count stays bounded; max_examples is kept small
+because every example is a full Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+    min_size=1,
+    max_size=6,
+)
+token_lists = st.lists(st.lists(token, max_size=12), min_size=1, max_size=30)
+
+
+@given(rows=token_lists, n=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_ngram_count_invariant(spark, rows, n):
+    """len(ngrams) == max(0, len(tokens) - n + 1) for every row."""
+    from ngram_analytics_spark.operators.ngram import ngram_col
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(i=i, tokens=t) for i, t in enumerate(rows)], schema
+    )
+    got = {
+        r.i: r.m
+        for r in df.select("i", F.size(ngram_col("tokens", n)).alias("m")).collect()
+    }
+    assert got == {i: max(0, len(t) - n + 1) for i, t in enumerate(rows)}
+
+
+@given(rows=token_lists, n=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_ngram_sql_path_matches_mllib_path(spark, rows, n):
+    """The pure-Catalyst n-gram expression and MLlib's NGram transformer
+    must agree on every input (SURVEY.md §7 Phase 1 dual-path assert)."""
+    from ngram_analytics_spark.operators.ngram import ngram
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(i=i, tokens=t) for i, t in enumerate(rows)], schema
+    )
+    sql_path = {
+        r.i: r.ngrams
+        for r in ngram(df, "tokens", n, drop_other_columns=False).collect()
+    }
+    mllib_path = {
+        r.i: r.ngrams
+        for r in ngram(
+            df, "tokens", n, drop_other_columns=False, use_mllib=True
+        ).collect()
+    }
+    assert sql_path == mllib_path
+
+
+@given(texts=st.lists(st.text(max_size=20), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    """dedup(dedup(X)) == dedup(X): one row per normalized hash, stable
+    keep_id."""
+    from ngram_analytics_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    once = exact_dedup(df, "doc_id", "text")
+    kept = df.join(
+        once.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    twice = exact_dedup(kept, "doc_id", "text")
+    got_once = sorted(r.keep_id for r in once.collect())
+    got_twice = sorted((r.keep_id, r.n_copies) for r in twice.collect())
+    assert [k for k, _ in got_twice] == got_once
+    assert all(n == 1 for _, n in got_twice)
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-100,
+            max_value=100,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda v: any(abs(x) > 1e-6 for x in v))
+)
+@settings(**SETTINGS)
+def test_cosine_self_similarity_and_symmetry(spark, vec):
+    from ngram_analytics_spark.functions.vectors import cosine_sim
+
+    df = spark.createDataFrame(
+        [Row(a=vec, b=list(reversed(vec)))],
+        "a array<double>, b array<double>",
+    )
+    row = df.select(
+        cosine_sim(F.col("a"), F.col("a")).alias("self_sim"),
+        cosine_sim(F.col("a"), F.col("b")).alias("ab"),
+        cosine_sim(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()[0]
+    assert math.isclose(row.self_sim, 1.0, rel_tol=1e-9)
+    assert row.ab == row.ba  # identical op order both directions
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_round_det_matches_duckdb_formula(spark, duck, xs):
+    """round_det (Spark) and oracle_round_det (DuckDB) are the same
+    function — the core cross-engine determinism assumption behind
+    every float-emitting oracle."""
+    from ngram_analytics_spark.functions.deterministic import (
+        oracle_round_det,
+        round_det,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=x) for i, x in enumerate(xs)], "i int, x double"
+    )
+    got = {r.i: r.y for r in df.select("i", round_det(F.col("x")).alias("y")).collect()}
+    placeholders = ", ".join(f"({i}, {x!r}::DOUBLE)" for i, x in enumerate(xs))
+    want = dict(
+        duck.execute(
+            f"SELECT i, {oracle_round_det('x')} AS y"
+            f" FROM (VALUES {placeholders}) AS t(i, x)"
+        ).fetchall()
+    )
+    assert got == want

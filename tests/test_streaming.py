@@ -89,3 +89,16 @@ def test_stream_stream_join_batch_parity(spark):
     want = sorted((r.l_id, r.r_id) for r in batch.collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_session_window_batch_stream_parity(spark):
+    stream = S.session_counts(S.read_events_stream(spark, SF_SMOKE))
+    S.run_to_memory(stream, "t_session", output_mode="complete")
+    got = {
+        (r.user_id, r.s_start): r.n
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    batch = S.session_counts(load(spark, SF_SMOKE, "events"))
+    want = {(r.user_id, r.s_start): r.n for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
