@@ -388,3 +388,49 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(bucket).agg(
         F.count("*").alias("n"), dsum("o_totalprice", "total")
     )
+
+
+@REG.register(
+    "q_fn_date2",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(make_date(2020, month(o_orderdate), 15), '%Y-%m-%d')
+                   AS mid_month,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/time family: construction (make_date), ISO week,
+    quarter, month boundaries, epoch conversion."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.make_date(F.lit(2020), F.month("o_orderdate"), F.lit(15)),
+            "yyyy-MM-dd",
+        ).alias("mid_month"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@REG.register("q_agg_approx_percentile")  # rows-only: sketch is impl-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's percentile_approx sketch
+    (mergeable, single-pass — the 100 TB shape; exact percentile_cont
+    needs a sort). Error bound vs the exact answer is asserted in
+    tests/test_operators.py; the sketch itself is engine-specific, so
+    no SQL oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )

@@ -216,3 +216,18 @@ def test_binned_range_join_rejects_bad_unit():
     with pytest.raises(ValueError):
         _bin_seconds("1 month")
     assert _bin_seconds("2 hours") == 7200
+
+
+def test_approx_percentile_within_bound(spark):
+    """percentile_approx(accuracy=10000) must land within 1% rank error
+    of the exact percentile on the bench column."""
+    li = load(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    # rank-error bound: value at approx must sit within +-1% of the
+    # median rank; translate by counting rows below each value.
+    below_approx = li.filter(F.col("l_extendedprice") <= row.approx).count()
+    assert abs(below_approx - 0.5 * row.n) <= 0.01 * row.n + 1
