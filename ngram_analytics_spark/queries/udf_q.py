@@ -117,3 +117,29 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs bigint, total_tokens bigint, max_tokens bigint"
     )
+
+
+@REG.register(
+    "q_udf_arrow",
+    oracle=f"""
+        SELECT doc_id, CAST(len({TOKENS}) AS INTEGER) AS n_tokens
+        FROM documents
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy RecordBatch-level Python path (one rung
+    below pandas UDFs — no pandas conversion at all). The kernel counts
+    tokens with Arrow compute; the oracle is the built-in split+len."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            n = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int32())],
+                ["doc_id", "n_tokens"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(count_tokens, "doc_id long, n_tokens int")
