@@ -74,3 +74,40 @@ def test_scalar_subquery_broadcasts_threshold(spark):
 def test_collocation_vocab_joins_broadcast(spark):
     df = _q("q_text_collocation")(spark, SF_SMOKE)
     assert P.uses_broadcast_join(df)
+
+
+# Queries whose nested-loop/cartesian plans are INTENTIONAL: exact
+# quadratic kernels (the correctness oracles for the LSH/IVF scale
+# paths), theta joins at test scale, and 1-row broadcast thresholds.
+NESTED_LOOP_OK = {
+    "q_join_theta",          # non-equi self-join, documented BNL
+    "q_sim_knn",             # broadcast query side, scored corpus scan
+    "q_sim_pairs",           # exact all-pairs kernel (oracle for LSH)
+    "q_dedup_embed",         # exact pair kernel (oracle for ANN dedup)
+    "q_sim_ann_ivf",         # centroid cross join is n_cells-bounded
+    "q_subquery_scalar",     # 1-row threshold broadcast under filter
+    "q_text_collocation",    # 1-row totals broadcast
+    "q_ts_gapfill",          # date-spine cross join (bounded spine)
+}
+
+
+def test_no_unexpected_nested_loop_plans(spark):
+    """Global plan lint: no declared query may silently plan a
+    BroadcastNestedLoopJoin or CartesianProduct — at 100 TB those are
+    O(n*m) cliffs. Quadratic-by-design kernels are whitelisted above;
+    adding a query to the whitelist is a deliberate scale decision."""
+    from ngram_analytics_spark.queries import build_registry
+
+    offenders = {}
+    for name, fn in build_registry().queries.items():
+        if name in NESTED_LOOP_OK:
+            continue
+        plan = P.physical_plan(fn(spark, SF_SMOKE))
+        hits = [
+            op
+            for op in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if op in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
