@@ -248,3 +248,44 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@REG.register(
+    "q_stream_live_tumbling",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+               event_type,
+               count(*) AS n,
+               {oracle_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed under REAL Structured
+    Streaming: readStream file source -> watermark -> windowed agg ->
+    availableNow trigger -> memory sink, returned as the sink table.
+
+    Same DuckDB oracle as the batch twin (q_stream_tumbling) — the
+    hash gate certifies batch-stream parity, not just batch SQL. On an
+    unbounded stream the identical plan runs continuously; the
+    watermark bounds window state."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "t_live_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
