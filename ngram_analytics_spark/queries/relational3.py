@@ -434,3 +434,44 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@REG.register(
+    "q_join_salted",
+    oracle=f"""
+        SELECT n_name, count(*) AS n_cust,
+               {oracle_dsum("c_acctbal")} AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators.skew) oracled against the PLAIN join SQL:
+    the hash gate certifies that salting is semantics-preserving — the
+    explicit skew fallback for hot keys AQE can't split."""
+    from ngram_analytics_spark.operators.skew import salted_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = salted_join(c, n, key="c_nationkey", small_key="n_nationkey")
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_cust"), dsum("c_acctbal", "bal")
+    )
+
+
+@REG.register(
+    "q_agg_salted",
+    oracle="""
+        SELECT o_orderpriority AS grp, count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation oracled against the plain GROUP BY
+    (hot grouping keys spread over n_salts reducers, then combined)."""
+    from ngram_analytics_spark.operators.skew import salted_group_count
+
+    o = load(spark, sf_dir, "orders")
+    return salted_group_count(o, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("grp"), "n"
+    )
