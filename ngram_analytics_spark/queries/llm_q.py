@@ -239,3 +239,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     blobs = to_blob_table(load(spark, sf_dir, "documents"))
     return decode_image_stub(blobs)
+
+
+@REG.register(
+    "q_multimodal_frames",
+    oracle="""
+        SELECT doc_id, CAST(off AS INTEGER) AS frame_off,
+               CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1))
+                    AS INTEGER) AS frame_val
+        FROM documents, UNNEST(range(0, octet_length(encode(text)), 100))
+             AS t(off)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators.multimodal.frame_sample_stub):
+    the 1:N exploding shape of video-frame extraction through real
+    Arrow mapInPandas batches — oracle-checkable because the payload is
+    ASCII text bytes, so the sampled 'frame' at each offset equals the
+    character code there."""
+    from ngram_analytics_spark.operators.multimodal import (
+        frame_sample_stub,
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    return frame_sample_stub(blobs, every_n_bytes=100)
