@@ -68,3 +68,16 @@ def num_exchanges(df: DataFrame) -> int:
         line.strip().lstrip("+-: ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def observed(df: DataFrame, name: str, *metrics):
+    """Attach named observation metrics to a plan (``df.observe``) —
+    zero-cost pipeline instrumentation: metrics are computed inside the
+    existing job (no second scan) and surface on the QueryExecution
+    listener / ``collect`` result. The 100 TB habit: every production
+    pipeline stage observes row counts + null counts so data-quality
+    regressions page before downstream jobs fail."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return obs, df.observe(obs, *metrics)

@@ -127,3 +127,33 @@ def read_text_lines(
     ``value: string`` column — the entry point for unstructured corpus
     ingestion ahead of tokenize/language-ID/quality scoring."""
     return spark.read.text(path, wholetext=whole_file)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ``target_files`` files and atomically swap it in.
+
+    The classic 100 TB maintenance op — streaming sinks and
+    fine-grained partition writes accumulate kilobyte files whose
+    per-file open/footer cost dominates scans. Returns the file count
+    after compaction. Uses a temp dir + rename so readers never see a
+    half-written table.
+    """
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(target_files).write.mode("overwrite").format(fmt).save(tmp)
+    backup = path.rstrip("/") + "._compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(f".{fmt}") or f.startswith("part-")]
+    )

@@ -116,3 +116,35 @@ def test_text_source_lines_and_wholefile(spark):
         assert sorted(r.value for r in lines.collect()) == ["alpha beta", "gamma"]
         whole = read_text_lines(spark, d, whole_file=True)
         assert [r.value for r in whole.collect()] == ["alpha beta\ngamma\n"]
+
+
+def test_compact_reduces_files_preserves_rows(spark):
+    import os
+
+    from ngram_analytics_spark.sources import compact
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tbl"
+        df = load(spark, SF_SMOKE, "orders")
+        df.repartition(16).write.parquet(path)
+        n_before = len([f for f in os.listdir(path) if f.startswith("part-")])
+        assert n_before >= 16
+        compact(spark, path, target_files=2)
+        n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
+        assert n_after == 2
+        back = spark.read.parquet(path)
+        assert back.count() == df.count()
+        assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_observe_metrics_no_extra_scan(spark):
+    from ngram_analytics_spark.plans import observed
+
+    df = load(spark, SF_SMOKE, "orders")
+    obs, instrumented = observed(
+        df, "checks", F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).alias("null_prices"),
+    )
+    got = instrumented.count()
+    assert obs.get["n"] == got
+    assert obs.get["null_prices"] == 0
