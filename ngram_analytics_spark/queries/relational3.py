@@ -475,3 +475,46 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_group_count(o, "o_orderpriority").select(
         F.col("o_orderpriority").alias("grp"), "n"
     )
+
+
+@REG.register(
+    "q_join_nullsafe",
+    oracle="""
+        WITH a AS (
+            SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL
+                                  ELSE user_id END AS k
+            FROM events
+        ),
+        b AS (
+            SELECT CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id END AS k,
+                   count(*) AS n_b
+            FROM events GROUP BY 1
+        )
+        SELECT a.event_id, a.k, b.n_b
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` / SQL IS NOT DISTINCT
+    FROM): NULL keys match each other instead of vanishing — still a
+    hash-partitionable equi-join (NULL hashes to one bucket; salt it if
+    the null fraction is hot at scale)."""
+    e = load(spark, sf_dir, "events")
+    a = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    b = (
+        e.groupBy(
+            F.when(F.col("user_id") % 3 == 0, None)
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        .agg(F.count("*").alias("n_b"))
+        .withColumnRenamed("k", "kb")
+    )
+    return a.join(b, a.k.eqNullSafe(F.col("kb"))).select(
+        "event_id", "k", "n_b"
+    )

@@ -289,3 +289,43 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "t_live_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     S.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@REG.register(
+    "q_ts_ffill",
+    oracle=f"""
+        WITH gappy AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT event_id, user_id,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled
+        FROM gappy
+    """,
+)
+def q_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): the standard
+    time-series imputation op, as a running last-non-null window —
+    one shuffle on the partition key, no state beyond the frame.
+    Nulls are synthesized deterministically (every 5th event)."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    gappy = e.withColumn(
+        "v",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
