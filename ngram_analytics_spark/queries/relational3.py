@@ -518,3 +518,47 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.k.eqNullSafe(F.col("kb"))).select(
         "event_id", "k", "n_b"
     )
+
+
+@REG.register(
+    "q_join_bucketed",
+    oracle=f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {oracle_dsum("l_quantity")} AS qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides persisted bucketed+sorted
+    on the join key, so the join itself needs NO shuffle exchange —
+    the 100 TB pattern for repeated fact-fact joins (pay one bucketed
+    write, every later join skips both sides' shuffles). Oracle is the
+    plain join SQL; the plan property is pinned in tests/test_plans.py.
+    """
+    import hashlib
+
+    from ngram_analytics_spark.sources import write_bucketed
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            lt,
+            ["l_orderkey"],
+            n_buckets=8,
+        )
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ot,
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+    li, o = spark.table(lt), spark.table(ot)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
+    )

@@ -111,3 +111,11 @@ def test_no_unexpected_nested_loop_plans(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Bucketed+sorted tables on the join key: the only Exchange in the
+    plan is the final aggregation's — the join reads co-located buckets
+    directly."""
+    df = _q("q_join_bucketed")(spark, SF_SMOKE)
+    assert P.num_exchanges(df) <= 1, P.physical_plan(df)
