@@ -537,25 +537,35 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join SQL; the plan property is pinned in tests/test_plans.py.
     """
     import hashlib
+    import os
+    import shutil
 
     from ngram_analytics_spark.sources import write_bucketed
 
+    def ensure_bucketed(name: str, df: DataFrame, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # A table dir left by a PREVIOUS session isn't in this session's
+        # in-memory catalog; saveAsTable refuses the orphaned location —
+        # clear it so the bucketed write is idempotent across sessions.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+        if loc and os.path.exists(loc):
+            shutil.rmtree(loc)
+        write_bucketed(df, name, [key], n_buckets=8)
+
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
-    if not spark.catalog.tableExists(lt):
-        write_bucketed(
-            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
-            lt,
-            ["l_orderkey"],
-            n_buckets=8,
-        )
-    if not spark.catalog.tableExists(ot):
-        write_bucketed(
-            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-            ot,
-            ["o_orderkey"],
-            n_buckets=8,
-        )
+    ensure_bucketed(
+        lt,
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "l_orderkey",
+    )
+    ensure_bucketed(
+        ot,
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+    )
     li, o = spark.table(lt), spark.table(ot)
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
