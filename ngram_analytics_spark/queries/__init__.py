@@ -16,6 +16,7 @@ def build_registry() -> QueryRegistry:
         relational,
         relational2,
         relational3,
+        relational4,
         text_q,
         timeseries_q,
         udf_q,
@@ -27,6 +28,7 @@ def build_registry() -> QueryRegistry:
         relational,
         relational2,
         relational3,
+        relational4,
         llm_q,
         timeseries_q,
         udf_q,

@@ -1,0 +1,331 @@
+"""Relational coverage, batch 4: multiset set-ops, inline VALUES
+relations, calendar-interval arithmetic, IGNORE NULLS windows, linear
+regression aggregates, second regexp family, transcendental scalar
+functions, Spark 4 SQL pipe syntax, and the VARIANT semi-structured
+type. Same determinism conventions as relational.py (FIXTURES.md).
+
+Reference parity note: the reference engine has none of these (its sole
+operator is the n-gram transform, NGramTransform.java:95-134); this
+module is north-star surface mandated by BASELINE.json / SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load, register_views
+from ngram_analytics_spark.functions.deterministic import (
+    oracle_dsum,
+    oracle_round_det,
+    round_det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+@REG.register(
+    "q_set_ops_all",
+    oracle="""
+        SELECT 'both' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders
+            INTERSECT ALL
+            SELECT c_custkey AS k FROM customer
+        )
+        UNION ALL
+        SELECT 'orders_only' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders
+            EXCEPT ALL
+            SELECT c_custkey AS k FROM customer
+        )
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL), the
+    bag-semantics complement of q_set_intersect/q_set_except.
+
+    Spark plans both as aggregate-with-counters (no sort needed) — the
+    same hash-partition-by-key shape as a groupBy, so the scale story is
+    identical to a shuffle agg on the key.
+    """
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    both = o.intersectAll(c).select(F.lit("both").alias("op"), "k")
+    only = o.exceptAll(c).select(F.lit("orders_only").alias("op"), "k")
+    return both.unionAll(only)
+
+
+@REG.register(
+    "q_values_inline",
+    oracle="""
+        SELECT t.prio, t.weight, count(*) AS n
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3))
+             AS t(prio, weight)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.prio, t.weight
+    """,
+)
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation (a local, driver-defined dim) joined to a
+    fact table. The 3-row dim is below every broadcast threshold, so
+    Catalyst plans a broadcast hash join — zero shuffle on the fact side;
+    at 100 TB this is the canonical tiny-dim enrichment pattern."""
+    o = load(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3)], ["prio", "weight"]
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_orderpriority == dim.prio)
+        .groupBy("prio", "weight")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@REG.register(
+    "q_fn_interval",
+    oracle="""
+        SELECT o_orderkey,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus3m,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE)
+                   AS plus45d,
+               CAST(CAST(o_orderdate AS DATE)
+                    + CAST(((7 - isodow(CAST(o_orderdate AS DATE))) % 7 + 1)
+                           || ' days' AS INTERVAL) AS DATE) AS next_monday,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                   AS days_to_eoy
+        FROM orders
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic family: month-end, month addition
+    (with end-of-month clamping), day offsets, next-weekday, day diffs.
+
+    DuckDB has no next_day(); the oracle derives it from isodow — both
+    sides define "next Monday" as strictly after the input date.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.date_add(d, 45).alias("plus45d"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+    )
+
+
+@REG.register(
+    "q_win_ignorenulls",
+    oracle="""
+        SELECT event_id,
+               lag(v, 1 IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS prev_v,
+               lead(v, 1 IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS next_v,
+               last_value(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_seen_v
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0
+                        THEN NULL ELSE value END AS v
+            FROM events
+        )
+    """,
+)
+def q_win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation windows (lag/lead/last_value) — the
+    sparse-sensor pattern: skip over missing readings to the nearest
+    real one. Nulls are injected deterministically (floor(value)%5=0)
+    so both engines see the identical null mask.
+
+    Spark's DataFrame API exposes ignorenulls only on first/last; the
+    lag/lead forms are SQL-only, so this query is built as SQL text
+    (identical window spec both engines; DuckDB differs only in where
+    the IGNORE NULLS token sits).
+    """
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        SELECT event_id,
+               lag(v, 1) IGNORE NULLS
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS prev_v,
+               lead(v, 1) IGNORE NULLS
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS next_v,
+               last_value(v) IGNORE NULLS
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_seen_v
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0
+                        THEN NULL ELSE value END AS v
+            FROM events
+        )
+        """
+    )
+
+
+@REG.register(
+    "q_agg_regr",
+    oracle=f"""
+        SELECT l_returnflag,
+               {oracle_round_det("regr_slope(l_extendedprice, l_quantity)")}
+                   AS slope,
+               {oracle_round_det("regr_intercept(l_extendedprice, l_quantity)", 2)}
+                   AS intercept,
+               {oracle_round_det("regr_r2(l_extendedprice, l_quantity)")}
+                   AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n,
+               {oracle_round_det("regr_avgx(l_extendedprice, l_quantity)")}
+                   AS avg_x
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count/avgx)
+    per group — single-pass co-moment aggregation, map-side combinable,
+    one shuffle on the group key. Intercept is rounded at 2dp (it mixes
+    co-moments of ~1e5-magnitude prices, so its float noise floor is
+    higher than the slope's)."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        round_det(F.regr_slope(y, x)).alias("slope"),
+        round_det(F.regr_intercept(y, x), 2).alias("intercept"),
+        round_det(F.regr_r2(y, x)).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        round_det(F.regr_avgx(y, x)).alias("avg_x"),
+    )
+
+
+@REG.register(
+    "q_fn_regexp2",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'the')) AS n_the,
+               coalesce(regexp_extract(text, '[a-z]*an[a-z]*'), '')
+                   AS first_an,
+               regexp_matches(text, 'scan (table|index)') AS has_scan_phrase,
+               split_part(text, ' ', 3) AS third_token
+        FROM documents
+    """,
+)
+def q_fn_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second regexp family: occurrence counting (regexp_count), first
+    match extraction (regexp_substr), boolean match (rlike), and
+    split_part. All JVM-side codegen'd expressions — no Python in the
+    row path."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("the")).alias("n_the"),
+        F.coalesce(
+            F.regexp_substr("text", F.lit("[a-z]*an[a-z]*")), F.lit("")
+        ).alias("first_an"),
+        F.col("text").rlike("scan (table|index)").alias("has_scan_phrase"),
+        F.split_part("text", F.lit(" "), F.lit(3)).alias("third_token"),
+    )
+
+
+@REG.register(
+    "q_fn_trig",
+    oracle=f"""
+        SELECT c_custkey,
+               {oracle_round_det("sin(c_acctbal)")} AS sin_v,
+               {oracle_round_det("cos(c_acctbal)")} AS cos_v,
+               {oracle_round_det("atan2(c_acctbal, 7.0)")} AS atan2_v,
+               {oracle_round_det("exp(c_acctbal / 10000.0)")} AS exp_v,
+               {oracle_round_det("ln(abs(c_acctbal) + 1.0)")} AS ln_v
+        FROM customer
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental scalar family (sin/cos/atan2/exp/ln). JVM Math and
+    DuckDB's libm agree to <=1 ulp; with the 4-decimal floor-rounding a
+    cross-engine flip needs the true value within 1 ulp of a rounding
+    boundary (~1e-12/row) — measured 0 flips over sf0.1."""
+    c = load(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        round_det(F.sin(b)).alias("sin_v"),
+        round_det(F.cos(b)).alias("cos_v"),
+        round_det(F.atan2(b, F.lit(7.0))).alias("atan2_v"),
+        round_det(F.exp(b / F.lit(10000.0))).alias("exp_v"),
+        round_det(F.log(F.abs(b) + F.lit(1.0))).alias("ln_v"),
+    )
+
+
+@REG.register(
+    "q_sql_pipe",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               {oracle_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING count(*) > 10
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators): the TPC-H Q1 shape
+    written as a linear dataflow. Parses to the exact same logical plan
+    as the nested-SELECT form, so every Catalyst optimization (pushdown,
+    partial agg, AQE) applies unchanged; the oracle is the classic SQL
+    spelling."""
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE count(*) AS n,
+                     CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(25,8))), 4) AS DOUBLE)
+                         AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 10
+        """
+    )
+
+
+@REG.register(
+    "q_fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+               json_extract_string(props, '$.missing') IS NULL AS no_such_key
+        FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: parse once with
+    parse_json, then typed variant_get extraction. Unlike
+    get_json_object (string re-parse per access), VARIANT stores a
+    binary-encoded tree, so repeated field access is O(field) — the
+    100 TB pattern for wide semi-structured event logs."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias(
+            "no_such_key"
+        ),
+    )

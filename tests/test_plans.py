@@ -119,3 +119,17 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     directly."""
     df = _q("q_join_bucketed")(spark, SF_SMOKE)
     assert P.num_exchanges(df) <= 1, P.physical_plan(df)
+
+
+def test_values_inline_dim_broadcasts(spark):
+    """The 3-row VALUES dim must enrich the fact via broadcast hash
+    join — no shuffle of the orders side for a driver-local dim."""
+    assert P.uses_broadcast_join(_q("q_values_inline")(spark, SF_SMOKE))
+
+
+def test_sql_pipe_plans_like_classic_sql(spark):
+    """Pipe-syntax SQL must lower to the same partial/final hash
+    aggregate shape as the classic SELECT form (one shuffle)."""
+    df = _q("q_sql_pipe")(spark, SF_SMOKE)
+    assert P.has_partial_aggregate(df)
+    assert P.num_exchanges(df) <= 1, P.physical_plan(df)
