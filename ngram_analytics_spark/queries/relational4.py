@@ -303,6 +303,102 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a hive-partitioned copy of orders (dir-per-priority)
+    under the warehouse, once per sf_dir. The directory layout IS the
+    index: any later reader that filters on o_orderpriority prunes whole
+    directories before reading a byte of data."""
+    import hashlib
+    import os
+
+    from ngram_analytics_spark.sources import write
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(
+        warehouse.removeprefix("file:"), f"orders_by_prio_{tag}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write(
+            load(spark, sf_dir, "orders"),
+            path,
+            partition_by=["o_orderpriority"],
+        )
+    return path
+
+
+@REG.register(
+    "q_scan_partitioned",
+    oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               {oracle_dsum("o_totalprice")} AS total
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: scan a hive-partitioned dataset with a
+    literal predicate on the partition column. The scan's
+    PartitionFilters (pinned in tests/test_plans.py) prove only the
+    1-URGENT directory is read — at 100 TB this turns a full-table scan
+    into a 1/5th-table scan with zero compute."""
+    from ngram_analytics_spark.functions.deterministic import dsum
+
+    path = _partitioned_orders_path(spark, sf_dir)
+    po = spark.read.parquet(path)
+    return (
+        po.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@REG.register(
+    "q_join_dpp",
+    oracle=f"""
+        SELECT d.prio, count(*) AS n, {oracle_dsum("o_totalprice")} AS total
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+             AS d(prio, urgency)
+          ON o.o_orderpriority = d.prio
+        WHERE d.urgency <= 2
+        GROUP BY d.prio
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is partitioned on the join
+    key, the dim filter (urgency <= 2) is only known at runtime, and
+    Spark injects the dim's key set into the fact scan's
+    PartitionFilters (dynamicpruning subquery, reusing the broadcast).
+    The fact never reads the 3 pruned directories — the 100 TB pattern
+    for star-schema queries with selective dims."""
+    from ngram_analytics_spark.functions.deterministic import dsum
+
+    path = _partitioned_orders_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 2),
+            ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 4),
+            ("5-LOW", 5),
+        ],
+        ["prio", "urgency"],
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("urgency") <= 2)),
+            fact.o_orderpriority == dim.prio,
+        )
+        .groupBy("prio")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
 @REG.register(
     "q_fn_variant",
     oracle="""

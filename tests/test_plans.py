@@ -133,3 +133,25 @@ def test_sql_pipe_plans_like_classic_sql(spark):
     df = _q("q_sql_pipe")(spark, SF_SMOKE)
     assert P.has_partial_aggregate(df)
     assert P.num_exchanges(df) <= 1, P.physical_plan(df)
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The literal priority predicate must land in PartitionFilters
+    (directory pruning), not just DataFilters (row filtering)."""
+    plan = P.full_plan(_q("q_scan_partitioned")(spark, SF_SMOKE))
+    scan_lines = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "orders_by_prio" in line
+    ]
+    assert scan_lines, plan
+    assert any(
+        "PartitionFilters" in line and "1-URGENT" in line
+        for line in scan_lines
+    ), scan_lines
+
+
+def test_dpp_join_injects_dynamic_pruning(spark):
+    """The runtime-filtered dim must inject a dynamicpruning subquery
+    into the fact scan's partition filters."""
+    plan = P.full_plan(_q("q_join_dpp")(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan, plan
