@@ -264,3 +264,40 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = to_blob_table(load(spark, sf_dir, "documents"))
     return frame_sample_stub(blobs, every_n_bytes=100)
+
+
+@REG.register(
+    "q_dedup_cluster",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS_AB} >= 0.4
+        ), edges AS (
+            SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ), reach(node, lbl) AS (
+            SELECT DISTINCT u AS node, u AS lbl FROM edges
+            UNION
+            SELECT e.v AS node, r.lbl
+            FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS vec_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: near-dup PAIRS (embedding cosine >=
+    0.4, same edge set as q_dedup_embed) expanded to full duplicate
+    GROUPS via iterative connected components — the A~B, B~C => {A,B,C}
+    step every dedup pipeline needs before choosing one canonical doc
+    per group. Oracle is a DuckDB recursive CTE computing min reachable
+    id; Spark side is operators.graph.connected_components (hash-min
+    propagation, one co-partitioned join + min-agg per round)."""
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, min_cos=0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(pairs, "src", "dst")
+    return cc.select(F.col("node").alias("vec_id"), "cluster_id")

@@ -231,3 +231,30 @@ def test_approx_percentile_within_bound(spark):
     # median rank; translate by counting rows below each value.
     below_approx = li.filter(F.col("l_extendedprice") <= row.approx).count()
     assert abs(below_approx - 0.5 * row.n) <= 0.01 * row.n + 1
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-chain (diameter 3 — forces multi-round propagation) plus a
+    separate triangle must resolve to two min-id-labeled components."""
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """max_iter below the diameter must fail loudly, not return a
+    half-propagated labeling."""
+    import pytest
+
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
