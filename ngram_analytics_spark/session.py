@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local[N] runs executors inside the driver JVM: the "driver"
+        # heap is really N executor threads' working memory. At 16g a
+        # long session degrades 2x from GC pressure (measured: the 18-
+        # query bench 31.9s@16g -> 19.8s@48g on a 128 GiB box); size it
+        # like an executor, not like a cluster driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

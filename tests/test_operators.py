@@ -258,3 +258,25 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_similarity_pairs_blas_matches_fold_kernel(spark):
+    """The Arrow+BLAS all-pairs kernel must produce the identical
+    rounded pair set as the fold kernel it replaces on the hot path."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.similarity import (
+        similarity_pairs,
+        similarity_pairs_blas,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    fold = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity_pairs(emb, min_cos=0.35).collect()
+    }
+    blas = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity_pairs_blas(emb, min_cos=0.35).collect()
+    }
+    assert fold == blas and len(fold) > 0
