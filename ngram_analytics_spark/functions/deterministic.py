@@ -87,3 +87,67 @@ def oracle_davg(expr: str) -> str:
     """DuckDB SQL matching :func:`davg` exactly."""
     q = f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,8))) AS DOUBLE) / COUNT({expr})"
     return oracle_round4det(q)
+
+
+def _quantized(c: Column, scale: float) -> Column:
+    """Row value as integer ticks of 1/scale: floor(|x|*s+0.5)*sign(x),
+    all IEEE-deterministic double ops, cast to long."""
+    return (F.floor(F.abs(c) * F.lit(scale) + F.lit(0.5)) * F.signum(c)).cast(
+        "long"
+    )
+
+
+def _oracle_quantized(expr: str, scale: float) -> str:
+    return (
+        f"(CAST(floor(abs({expr}) * {scale} + 0.5) AS BIGINT)"
+        f" * (CASE WHEN ({expr}) < 0 THEN -1 WHEN ({expr}) > 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def dsum_fixed(col: Column | str, alias: str | None = None, digits: int = 4) -> Column:
+    """Order-independent SUM(double) via fixed-point int64 accumulation.
+
+    Each row is quantized to 10^-digits ticks (deterministic double
+    ops), summed exactly in int64 (whole-stage-codegen long adds — ~5x
+    the decimal(25,8) path, measured 1.61s -> 0.31s on the sf0.1 Q1
+    aggregate), and descaled with one deterministic double division.
+
+    Semantics: SUM over row-quantized values (fixed-point accounting),
+    not a post-rounded exact-decimal sum like :func:`dsum` — pair it
+    with :func:`oracle_dsum_fixed` spelling the same thing.
+    Bounds: |total| * 10^digits must stay under 2^53 (exact double);
+    at larger totals use :func:`dsum` (decimal) instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10 ** digits)
+    out = F.sum(_quantized(c, scale)).cast("double") / F.lit(scale)
+    return out.alias(alias) if alias else out
+
+
+def oracle_dsum_fixed(expr: str, digits: int = 4) -> str:
+    """DuckDB SQL matching :func:`dsum_fixed` operation-for-operation."""
+    scale = float(10 ** digits)
+    return (
+        f"(CAST(SUM({_oracle_quantized(expr, scale)}) AS DOUBLE) / {scale})"
+    )
+
+
+def davg_fixed(col: Column | str, alias: str | None = None, digits: int = 4) -> Column:
+    """Order-independent AVG(double) on the fixed-point path: exact
+    int64 tick sum, two deterministic double divisions, tie-safe round."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10 ** digits)
+    out = round4det(
+        F.sum(_quantized(c, scale)).cast("double") / F.lit(scale) / F.count(c)
+    )
+    return out.alias(alias) if alias else out
+
+
+def oracle_davg_fixed(expr: str, digits: int = 4) -> str:
+    """DuckDB SQL matching :func:`davg_fixed`."""
+    scale = float(10 ** digits)
+    q = (
+        f"(CAST(SUM({_oracle_quantized(expr, scale)}) AS DOUBLE)"
+        f" / {scale} / COUNT({expr}))"
+    )
+    return oracle_round4det(q)
