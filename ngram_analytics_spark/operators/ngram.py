@@ -128,3 +128,34 @@ def ngram(
         )
 
     return out.select(output_col) if drop_other_columns else out
+
+
+def skipgram_col(tokens: Column | str, skip: int = 1) -> Column:
+    """Column expression: k-skip bigrams of an array<string> column —
+    pairs (t[i], t[i+1+skip]) joined by a space. Skip-grams widen the
+    n-gram context window without the combinatorial blowup of larger n
+    (Guthrie et al., "A Closer Look at Skip-gram Modelling", LREC'06);
+    like :func:`ngram_col` this is a pure per-row expression: no
+    shuffle, whole-stage codegen, linear in input splits."""
+    if skip < 0:
+        raise ValueError(f"skip must be >= 0, got {skip}")
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    gap = skip + 1
+    return F.when(
+        F.size(c) >= gap + 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - gap),
+            lambda i: F.concat_ws(
+                " ", F.element_at(c, i), F.element_at(c, i + gap)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def skipgrams_sql(tokens_expr: str, skip: int = 1) -> str:
+    """DuckDB-SQL equivalent of :func:`skipgram_col` (oracle side)."""
+    gap = skip + 1
+    return (
+        f"list_transform(range(1, len({tokens_expr}) - {gap} + 1), "
+        f"i -> ({tokens_expr})[i] || ' ' || ({tokens_expr})[i + {gap}])"
+    )

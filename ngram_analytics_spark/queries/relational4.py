@@ -21,6 +21,7 @@ from ngram_analytics_spark.functions.deterministic import (
     round_det,
 )
 from ngram_analytics_spark.registry import QueryRegistry
+from ngram_analytics_spark.sources.pyds import synthetic_docs_oracle_sql
 
 REG = QueryRegistry()
 
@@ -425,3 +426,19 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_such_key"
         ),
     )
+
+
+@REG.register(
+    "q_source_pyds",
+    oracle=synthetic_docs_oracle_sql(1000),
+)
+def q_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API (Spark 4): read a programmatic source
+    ('synthetic_docs', sources/pyds.py) whose partitions() plan fans
+    generation across n_partitions parallel read() tasks. The corpus is
+    a pure function of doc_id, so the DuckDB oracle regenerates it with
+    the same arithmetic — certifying the source end-to-end, not just
+    smoke-reading it. sf_dir is unused: the source IS the data."""
+    from ngram_analytics_spark.sources.pyds import read_synthetic_docs
+
+    return read_synthetic_docs(spark, n_docs=1000, n_partitions=8)

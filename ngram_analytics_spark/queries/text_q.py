@@ -22,7 +22,11 @@ from ngram_analytics_spark.functions.deterministic import (
     oracle_round4det,
     round4det,
 )
-from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.operators.ngram import (
+    ngram_col,
+    ngrams_sql,
+    skipgrams_sql,
+)
 from ngram_analytics_spark.registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -411,3 +415,36 @@ def q_text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(20)
+
+
+@REG.register(
+    "q_ngram_skipgram",
+    oracle=f"""
+        WITH sg AS (
+            SELECT doc_id, unnest({skipgrams_sql(TOKENS, 1)}) AS skipgram
+            FROM documents
+        )
+        SELECT skipgram, count(*) AS n, min(doc_id) AS first_doc
+        FROM sg GROUP BY skipgram
+        HAVING count(*) >= 5
+    """,
+)
+def q_ngram_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-skip bigrams ((t[i], t[i+2]) pairs) — the context-window
+    widening of the reference's n-gram operator — aggregated corpus-
+    wide. Same shape as q_ngram_topk: per-row transform, explode, one
+    map-side-combined aggregation."""
+    from ngram_analytics_spark.operators.ngram import skipgram_col
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(skipgram_col(F.split("text", " "), 1)).alias(
+                "skipgram"
+            ),
+        )
+        .groupBy("skipgram")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") >= 5)
+    )

@@ -148,3 +148,16 @@ def test_observe_metrics_no_extra_scan(spark):
     got = instrumented.count()
     assert obs.get["n"] == got
     assert obs.get["null_prices"] == 0
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The synthetic_docs Python data source must fan out across the
+    requested partition count and produce the identical corpus for any
+    partitioning (rows are pure functions of doc_id)."""
+    from ngram_analytics_spark.sources.pyds import read_synthetic_docs
+
+    a = read_synthetic_docs(spark, n_docs=100, n_partitions=4)
+    assert a.rdd.getNumPartitions() == 4
+    b = read_synthetic_docs(spark, n_docs=100, n_partitions=7)
+    assert a.count() == 100
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
