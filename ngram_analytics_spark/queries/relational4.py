@@ -442,3 +442,107 @@ def q_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ngram_analytics_spark.sources.pyds import read_synthetic_docs
 
     return read_synthetic_docs(spark, n_docs=1000, n_partitions=8)
+
+
+@REG.register(
+    "q_fn_explode_pos",
+    oracle="""
+        SELECT doc_id,
+               unnest(range(0, len(string_split(text, ' ')))) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def q_fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode): array -> (ordinal, element)
+    rows. The generator runs inside the scan stage (no shuffle); the
+    DuckDB oracle zips two parallel unnests."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+
+
+# Windowed deterministic sum: fixed-point int64 ticks summed over the
+# frame, descaled once — the same SQL text runs on BOTH engines, so
+# every arithmetic step is spelled (and rounded) identically.
+_WIN_DSUM_VALUE = (
+    "(CAST(SUM(CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT)"
+    " * (CASE WHEN value < 0 THEN -1 WHEN value > 0 THEN 1 ELSE 0 END))"
+    " OVER w AS DOUBLE) / 10000.0)"
+)
+
+_WIN_RANGE_INTERVAL_SQL = f"""
+    SELECT event_id,
+           count(*) OVER w AS n_last_hour,
+           {_WIN_DSUM_VALUE} AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+@REG.register("q_win_range_interval", oracle=_WIN_RANGE_INTERVAL_SQL)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: per user, count/sum of events in
+    the trailing 1-hour window of each event — the time-decayed-metrics
+    shape. RANGE frames bound by value (not row count), so ties and
+    gaps in ts are handled identically on both engines; the query text
+    itself is identical SQL on both."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_WIN_RANGE_INTERVAL_SQL)
+
+
+@REG.register(
+    "q_fn_url",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg_param
+        FROM (
+            SELECT c_custkey,
+                   'https://shop.example.com/c/' || c_custkey
+                       || '?seg=' || lower(c_mktsegment) || '&v=1' AS url
+            FROM customer
+        )
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (parse_url HOST/PATH/QUERY-param) over
+    deterministically constructed URLs; DuckDB has no URL parser, so
+    the oracle extracts the same components by regex."""
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example.com/c/"),
+        F.col("c_custkey"),
+        F.lit("?seg="),
+        F.lower("c_mktsegment"),
+        F.lit("&v=1"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("seg")).alias("seg_param"),
+    )
+
+
+@REG.register("q_agg_hll_merge")  # rows-only: sketch bytes are
+# implementation-specific; estimate accuracy asserted in tests
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
+    one sketch per l_returnflag partition, union them, estimate global
+    NDV — the 100 TB rollup pattern (partial sketches are tiny,
+    shuffle-light, and re-aggregable across any grouping without
+    rescanning the fact table)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_est")
+    )

@@ -280,3 +280,26 @@ def test_similarity_pairs_blas_matches_fold_kernel(spark):
         for r in similarity_pairs_blas(emb, min_cos=0.35).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_hll_merge_estimate_close_to_exact(spark):
+    """Merged per-group HLL sketches must estimate global NDV within
+    the sketch's error bound (lgConfigK=12 default => ~1.6% rse; allow
+    5%)."""
+    from pyspark.sql import functions as F
+
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.queries import build_registry
+    from tests.conftest import SF_SMOKE
+
+    est = (
+        build_registry()
+        .queries["q_agg_hll_merge"](spark, SF_SMOKE)
+        .collect()[0]["ndv_est"]
+    )
+    exact = (
+        load(spark, SF_SMOKE, "lineitem")
+        .agg(F.countDistinct("l_partkey"))
+        .collect()[0][0]
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
