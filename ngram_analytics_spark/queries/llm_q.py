@@ -316,3 +316,51 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs, "src", "dst")
     return cc.select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+@REG.register(
+    "q_dedup_canonical",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS_AB} >= 0.4
+        ), edges AS (
+            SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ), reach(node, lbl) AS (
+            SELECT DISTINCT u AS node, u AS lbl FROM edges
+            UNION
+            SELECT e.v AS node, r.lbl
+            FROM reach r JOIN edges e ON e.u = r.node
+        ), clusters AS (
+            SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT d.lang,
+               count(*) FILTER (WHERE c.node IS NULL
+                                   OR c.cluster_id = d.doc_id) AS n_kept,
+               count(*) FILTER (WHERE c.node IS NOT NULL
+                                  AND c.cluster_id != d.doc_id) AS n_dropped
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+        GROUP BY d.lang
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composite: near-dup pairs -> connected
+    components -> keep one canonical doc per duplicate group (the min
+    member id) -> per-language kept/dropped corpus stats. This is the
+    full shape a training-data pipeline runs before tokenization; every
+    stage is the graded operator it composes (q_sim_pairs edges,
+    q_dedup_cluster closure)."""
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, min_cos=0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(pairs, "src", "dst")
+    d = load(spark, sf_dir, "documents")
+    kept = F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    return d.join(cc, d.doc_id == cc.node, "left").groupBy("lang").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+    )

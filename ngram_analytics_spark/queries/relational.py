@@ -157,7 +157,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     oracle=f"""
         SELECT p_brand, count(*) AS n_items,
-               {oracle_dsum("l_quantity")} AS sum_qty
+               {oracle_dsum_fixed("l_quantity")} AS sum_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
@@ -170,7 +170,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum_fixed("l_quantity", "sum_qty"),
+        )
     )
 
 
@@ -294,7 +297,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle=f"""
         SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS oyear,
-               {oracle_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               {oracle_dsum_fixed("l_extendedprice * (1 - l_discount)")} AS revenue,
                count(*) AS n_rows
         FROM region
         JOIN nation   ON r_regionkey = n_regionkey
@@ -322,7 +325,9 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "r_name", F.year("o_orderdate").alias("oyear")
     ).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        dsum_fixed(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
         F.count("*").alias("n_rows"),
     )
 

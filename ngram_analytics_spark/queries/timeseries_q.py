@@ -329,3 +329,47 @@ def q_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@REG.register(
+    "q_stream_live_session",
+    # identical oracle to the batch twin: the hash gate certifies
+    # batch-stream parity for SESSION windows too
+    oracle=None,
+)
+def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows executed under REAL Structured
+    Streaming: readStream -> watermark -> session_window(10 min) ->
+    availableNow -> memory sink. Session state merges adjacent events
+    per key and the watermark closes sessions, bounding state — the
+    unbounded-stream sessionization pattern."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "sess_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "t_live_sess_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+# the live session query shares the batch twin's oracle (hash gate
+# certifies batch-stream parity); registered after both exist.
+REG.oracles["q_stream_live_session"] = REG.oracles["q_stream_session"]
