@@ -448,3 +448,56 @@ def q_ngram_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n") >= 5)
     )
+
+
+@REG.register(
+    "q_text_filter_pipeline",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (WHERE keep = 1) AS n_kept,
+               sum(n_tokens) FILTER (WHERE keep = 1) AS kept_tokens
+        FROM (
+            SELECT source,
+                   len({TOKENS}) AS n_tokens,
+                   CASE WHEN len({TOKENS}) BETWEEN 20 AND 90
+                             AND CAST(len(list_distinct({TOKENS})) AS DOUBLE)
+                                 / len({TOKENS}) >= 0.2
+                             AND {_SW_RATIO} >= 0.05
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        GROUP BY source
+    """,
+)
+def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter composite: the quality screen (length window +
+    lexical diversity, q_text_quality), the language screen (stopword
+    ratio, q_text_langid) and token accounting (q_text_stats) fused
+    into the single keep/drop + yield-per-source report a pretraining
+    data pipeline emits. One scan, one map-side-combined aggregation —
+    the per-doc screens are all scan-stage expressions."""
+    df = tokenized_docs(spark, sf_dir)
+    n_tok = F.size("tokens")
+    uniq_ratio = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sw_ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / n_tok
+    )
+    keep = F.when(
+        n_tok.between(20, 90) & (uniq_ratio >= 0.2) & (sw_ratio >= 0.05), 1
+    ).otherwise(0)
+    return (
+        df.select("source", n_tok.alias("n_tokens"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("keep") == 1, 1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_tokens"))).alias(
+                "kept_tokens"
+            ),
+        )
+    )

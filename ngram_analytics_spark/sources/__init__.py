@@ -157,3 +157,14 @@ def compact(
     return len(
         [f for f in os.listdir(path) if f.endswith(f".{fmt}") or f.startswith("part-")]
     )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro connector (spark-avro module jar not in this container)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - jar absent by design
+        raise NotImplementedError(
+            "Avro requires the spark-avro module jar (external since "
+            "Spark 2.4); not available in this environment"
+        ) from exc

@@ -161,3 +161,29 @@ def test_python_datasource_partitions_and_determinism(spark):
     b = read_synthetic_docs(spark, n_docs=100, n_partitions=7)
     assert a.count() == 100
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_parquet_compression_codecs_roundtrip(spark, tmp_path):
+    """Every bundled parquet codec (zstd/snappy/gzip/lz4) must write
+    and read back losslessly — codec choice is a first-class knob for
+    the 100 TB storage/CPU tradeoff."""
+    from ngram_analytics_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    src = load(spark, SF_SMOKE, "nation")
+    want = sorted(map(tuple, src.collect()))
+    for codec in ("zstd", "snappy", "gzip", "lz4"):
+        p = str(tmp_path / f"nation_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(p)
+        assert sorted(map(tuple, spark.read.parquet(p).collect())) == want
+
+
+def test_avro_reader_is_gated(spark):
+    """spark-avro isn't on the classpath here; the connector must fail
+    with a clear NotImplementedError, not a raw classpath error."""
+    import pytest
+
+    from ngram_analytics_spark.sources import read_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, "/tmp/nonexistent.avro")
