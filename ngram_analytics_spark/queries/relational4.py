@@ -546,3 +546,49 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_est")
     )
+
+
+@REG.register(
+    "q_fn_higher_order",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(range(1, len(toks) + 1),
+                                  i -> CAST(length(toks[i]) * i AS BIGINT)),
+                   (a, b) -> a + b) AS pos_weighted_len,
+               len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+               list_bool_and(
+                   list_transform(toks, t -> length(t) >= 2)) AS all_len2,
+               CAST(len(list_filter(toks, t -> length(t) > 4))
+                    AS INTEGER) AS n_long
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    """,
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family: zip_with + aggregate (fold),
+    exists, forall, filter — all JVM lambda expressions evaluated
+    per-row in the scan stage (integer arithmetic only, so no float
+    determinism caveats). The fold computes a position-weighted token
+    length, the classic pattern for order-sensitive array reductions
+    without exploding."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    toks = F.col("toks")
+    weighted = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.length(t).cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        weighted.alias("pos_weighted_len"),
+        F.exists(toks, lambda t: t == "the").alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) >= 2).alias("all_len2"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+    )

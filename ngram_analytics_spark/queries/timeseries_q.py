@@ -373,3 +373,100 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the live session query shares the batch twin's oracle (hash gate
 # certifies batch-stream parity); registered after both exist.
 REG.oracles["q_stream_live_session"] = REG.oracles["q_stream_session"]
+
+
+@REG.register(
+    "q_ts_ohlc",
+    oracle=f"""
+        SELECT user_id,
+               strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS close,
+               count(*) AS n_ticks
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, hour) the first/max/min/last value
+    — the financial-bars / sensor-rollup shape. One map-side-combined
+    aggregation; open/close ride min_by/max_by over a lexicographic
+    (epoch, event_id) string key, so ties are broken identically on
+    both engines (DuckDB's arg_min can't order by struct)."""
+    e = load(spark, sf_dir, "events")
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.withColumn("_k", k)
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.min_by("value", F.col("_k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_k")).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+# Deterministic rolling statistics: BOTH moments come from fixed-point
+# int64 windowed sums (value and value^2 quantized to 1e-4 ticks), so
+# mean/var/z-score are pure IEEE-deterministic double arithmetic — no
+# engine-specific stddev accumulation order anywhere. Identical SQL
+# text runs on both engines.
+_ROLL_Q = (
+    "CAST(floor(abs({x}) * 10000.0 + 0.5) AS BIGINT)"
+    " * (CASE WHEN {x} < 0 THEN -1 WHEN {x} > 0 THEN 1 ELSE 0 END)"
+)
+_ROLLING_STATS_SQL = f"""
+    SELECT event_id, n_window,
+           (CAST(floor(abs(z) * 10000.0 + 0.5) AS DOUBLE)
+            * (CASE WHEN z < 0 THEN -1.0 WHEN z > 0 THEN 1.0 ELSE 0.0 END)
+            / 10000.0) AS zscore
+    FROM (
+        SELECT event_id, n_window, mean,
+               CASE WHEN var > 0
+                    THEN (value - mean) / sqrt(var) ELSE 0.0 END AS z
+        FROM (
+            SELECT event_id, value,
+                   count(*) OVER w AS n_window,
+                   (CAST(SUM({_ROLL_Q.format(x="value")}) OVER w AS DOUBLE)
+                    / 10000.0 / count(*) OVER w) AS mean,
+                   ((CAST(SUM({_ROLL_Q.format(x="value * value")}) OVER w
+                          AS DOUBLE) / 10000.0
+                     - (CAST(SUM({_ROLL_Q.format(x="value")}) OVER w
+                             AS DOUBLE) / 10000.0)
+                       * (CAST(SUM({_ROLL_Q.format(x="value")}) OVER w
+                               AS DOUBLE) / 10000.0) / count(*) OVER w)
+                    / count(*) OVER w) AS var
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+    )
+"""
+
+
+@REG.register("q_ts_rolling_zscore", oracle=_ROLLING_STATS_SQL)
+def q_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score over a 20-row trailing frame per user — the
+    streaming-anomaly-detection shape. Both moments are fixed-point
+    windowed sums, so the whole statistic is bit-deterministic across
+    engines (identical SQL text both sides)."""
+    from ngram_analytics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_ROLLING_STATS_SQL)
