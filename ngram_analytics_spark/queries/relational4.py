@@ -592,3 +592,125 @@ def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(toks, lambda t: F.length(t) >= 2).alias("all_len2"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
     )
+
+
+@REG.register(
+    "q_merge_upsert",
+    oracle=f"""
+        WITH src AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   {oracle_round_det('o_totalprice * 0.5', 2)} AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_orderstatus ELSE t.o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_totalprice ELSE t.o_totalprice END
+                   AS o_totalprice
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders) t
+        FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse format
+    (operators/upsert.py): a deterministic source batch updates every
+    key % 10 == 0 (status -> 'X') and inserts shifted new keys; the
+    result is the post-merge snapshot. One full-outer join on the key —
+    with a bucketed target the 100 TB nightly-merge runs shuffle-free
+    on the target side."""
+    from ngram_analytics_spark.operators.upsert import merge_into
+
+    t = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        t.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    inserts = t.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        round_det(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+    )
+    return merge_into(t, inserts.unionByName(updates), key="o_orderkey")
+
+
+@REG.register(
+    "q_fn_try",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               (10.0 / nullif(l_discount - l_discount, 0.0)) AS div_zero,
+               TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+               CAST(NULL AS BIGINT) AS add_overflow,
+               {oracle_round_det("l_extendedprice / l_quantity")}
+                   AS unit_price
+        FROM lineitem
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe family: try_divide/try_cast/try_add return
+    NULL instead of failing the job — the difference between one bad
+    row poisoning a 100 TB batch and a null you can quarantine. The
+    overflow case always overflows by construction, so the oracle pins
+    the NULL literal."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.lit(10.0), F.col("l_discount") - F.col("l_discount"))
+            .alias("div_zero"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_orderkey") + F.lit(1)
+        ).alias("add_overflow"),
+        round_det(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )
+
+
+@REG.register(
+    "q_sort_nulls",
+    oracle="""
+        SELECT c_custkey, v,
+               row_number() OVER (ORDER BY v ASC NULLS FIRST,
+                                  c_custkey ASC) AS pos_nf,
+               row_number() OVER (ORDER BY v DESC NULLS LAST,
+                                  c_custkey ASC) AS pos_nl
+        FROM (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_acctbal END AS v
+            FROM customer
+        )
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering semantics: the same nulls-injected column
+    ranked under NULLS FIRST ascending and NULLS LAST descending (Spark
+    and DuckDB have opposite defaults, so both orders are spelled).
+    Emitting row_number makes the ORDER itself hash-checkable — the
+    multiset compare would otherwise ignore sort direction."""
+    register_views(spark, sf_dir, tables=("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, v,
+               row_number() OVER (ORDER BY v ASC NULLS FIRST,
+                                  c_custkey ASC) AS pos_nf,
+               row_number() OVER (ORDER BY v DESC NULLS LAST,
+                                  c_custkey ASC) AS pos_nl
+        FROM (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_acctbal END AS v
+            FROM customer
+        )
+        """
+    )

@@ -303,3 +303,27 @@ def test_hll_merge_estimate_close_to_exact(spark):
         .collect()[0][0]
     )
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_merge_into_upsert_semantics(spark):
+    """MERGE semantics: matched keys take source values, source-only
+    keys insert, target-only keys survive unchanged."""
+    from ngram_analytics_spark.operators.upsert import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "status", "amount"],
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["k", "status", "amount"]
+    )
+    got = {
+        r.k: (r.status, r.amount)
+        for r in merge_into(target, source, key="k").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("B", 99.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
