@@ -364,3 +364,51 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_kept"),
         F.count(F.when(~kept, 1)).alias("n_dropped"),
     )
+
+
+@REG.register(
+    "q_ml_scaler",
+    oracle=f"""
+        WITH dims AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS e1,
+                   CAST(embedding[2] AS DOUBLE) AS e2,
+                   CAST(embedding[3] AS DOUBLE) AS e3
+            FROM embeddings
+        )
+        SELECT vec_id,
+               {oracle_round4det("(e1 - avg(e1) OVER ()) / stddev_samp(e1) OVER ()")} AS z1,
+               {oracle_round4det("(e2 - avg(e2) OVER ()) / stddev_samp(e2) OVER ()")} AS z2,
+               {oracle_round4det("(e3 - avg(e3) OVER ()) / stddev_samp(e3) OVER ()")} AS z3
+        FROM dims
+    """,
+)
+def q_ml_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib feature scaling (the reference's own MLlib-transformer
+    idiom, like its NGram kernel — NGramTransform.java:116-118):
+    VectorAssembler -> StandardScaler(withMean, withStd) over the first
+    3 embedding dims, certified against the closed-form (x - mean)/std
+    oracle. fit() is one tree-aggregated pass; transform() is a per-row
+    projection — no shuffle at any scale."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at("embedding", 2).cast("double").alias("e2"),
+        F.element_at("embedding", 3).cast("double").alias("e3"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["e1", "e2", "e3"], outputCol="_v"
+    ).transform(emb)
+    model = StandardScaler(
+        inputCol="_v", outputCol="_z", withMean=True, withStd=True
+    ).fit(assembled)
+    z = vector_to_array(F.col("_z"))
+    return model.transform(assembled).select(
+        "vec_id",
+        round4det(F.element_at(z, 1)).alias("z1"),
+        round4det(F.element_at(z, 2)).alias("z2"),
+        round4det(F.element_at(z, 3)).alias("z3"),
+    )

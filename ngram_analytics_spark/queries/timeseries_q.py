@@ -470,3 +470,35 @@ def q_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_ROLLING_STATS_SQL)
+
+
+@REG.register("q_stream_live_sliding", oracle=None)
+def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h / 30min) under REAL Structured Streaming —
+    every event feeds two overlapping window states; the watermark
+    expires both. Hash-matches the batch twin's expanded-starts oracle
+    (batch-stream parity for overlapping windows)."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "t_live_slide_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+REG.oracles["q_stream_live_sliding"] = REG.oracles["q_stream_sliding"]

@@ -155,3 +155,15 @@ def test_dpp_join_injects_dynamic_pruning(spark):
     into the fact scan's partition filters."""
     plan = P.full_plan(_q("q_join_dpp")(spark, SF_SMOKE))
     assert "dynamicpruning" in plan, plan
+
+
+def test_auto_broadcast_without_hint(spark):
+    """Catalyst must pick a broadcast join for a tiny dim from size
+    statistics alone — no hint. If this regresses to sort-merge, every
+    unhinted dim join at scale pays two shuffles."""
+    from ngram_analytics_spark.catalog import load
+
+    o = load(spark, SF_SMOKE, "orders")
+    n = load(spark, SF_SMOKE, "nation")
+    df = o.join(n, o.o_orderkey % 25 == n.n_nationkey)
+    assert P.uses_broadcast_join(df), P.physical_plan(df)
