@@ -550,17 +550,21 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
         SELECT c_nationkey, count(*) AS n_cust,
-               list_sort(list(DISTINCT c_mktsegment)) AS segs
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segs
         FROM customer
         GROUP BY c_nationkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array_agg: collect_set sorted for determinism."""
+    """array_agg: collect_set sorted for determinism, flattened to a
+    '|'-joined string so the output schema stays scalar-only (the
+    driver's pandas canonicalizer cannot hash list cells)."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
         F.count("*").alias("n_cust"),
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segs"),
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), "|"
+        ).alias("segs"),
     )
 
 

@@ -456,7 +456,7 @@ def q_ngram_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*) AS n_docs,
                count(*) FILTER (WHERE keep = 1) AS n_kept,
-               sum(n_tokens) FILTER (WHERE keep = 1) AS kept_tokens
+               CAST(sum(n_tokens) FILTER (WHERE keep = 1) AS BIGINT) AS kept_tokens
         FROM (
             SELECT source,
                    len({TOKENS}) AS n_tokens,
