@@ -66,23 +66,45 @@ def main() -> int:
     # JVM/codegen warmup so the first measured query isn't penalized.
     qs["q_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Each query is timed twice and the MIN is reported: single-run
-    # numbers mix plan quality with JIT-compile timing, GC phase and
-    # host noise (measured spread on an otherwise-idle box: up to 2x
-    # on identical plans). The min approximates steady-state engine
-    # throughput — what a long-running cluster actually sustains.
-    n_runs = 1 if warm else 2
-    timings: dict[str, float] = {}
-    for name in names:
-        df = qs[name](spark, sf_dir)
-        if warm:
+    # Each query is timed across INTERLEAVED passes (A,B,...,A,B,...)
+    # and the MIN is reported: single-run numbers mix plan quality with
+    # JIT-compile timing, GC phase and host noise (measured spread on
+    # an otherwise-idle box: up to 2x on identical plans; this host has
+    # invisible multi-second load spikes). Interleaving means a spike
+    # spans ONE pass, not both runs of one query; any query whose
+    # max/min spread still exceeds 2x gets extra runs until the spread
+    # closes or a retry cap is hit. The min approximates steady-state
+    # engine throughput — what a long-running cluster actually sustains.
+    n_passes = 1 if warm else 2
+    dfs = {name: qs[name](spark, sf_dir) for name in names}
+    if warm:
+        for df in dfs.values():
             df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        dfs[name].write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_passes):
+        for name in names:
+            runs[name].append(timed_run(name))
+    # A recorded min is only trustworthy if a second run lands near it:
+    # retry until the two best runs agree within 1.5x (or a cap), so a
+    # spike that inflated every pass of one query can't publish a 6x
+    # number the way round-1's q_sim_knn artifact did.
+    retried: list[str] = []
+    if not warm:
+        for name in names:
+            for _ in range(3):
+                best2 = sorted(runs[name])[:2]
+                if best2[1] <= 1.5 * best2[0]:
+                    break
+                runs[name].append(timed_run(name))
+                if name not in retried:
+                    retried.append(name)
+    timings = {name: round(min(runs[name]), 3) for name in names}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -92,7 +114,9 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": n_runs,
+                "runs_per_query": n_passes,
+                "interleaved_passes": True,
+                "retried": retried,
                 "aggregation": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -46,13 +46,24 @@ def binned_range_join(
     """Join point rows to interval rows on
     ``interval_start <= point_ts < interval_end`` via bin equi-join.
 
-    ``bin_width`` must be >= the longest interval — a too-small width
-    silently drops matches, so over-size it (the fan-out stays <= 2
-    bins per interval as long as width >= max interval length).
+    ``bin_width`` trades shuffle fan-out for bin selectivity: each
+    interval is exploded to EVERY bin it overlaps, so a too-small width
+    never drops matches — it only multiplies the interval side's rows
+    (fan-out stays <= 2 bins per interval once width >= the longest
+    interval, which is the sweet spot).
+
+    Only ``how='inner'`` is supported: the exact range predicate is
+    re-applied AFTER the equi-join, so any outer variant would drop its
+    null-extended rows there and silently degrade to inner.
 
     Returns the joined frame with both sides' columns; duplicate column
     names must be disambiguated by the caller beforehand.
     """
+    if how != "inner":
+        raise ValueError(
+            "binned_range_join supports how='inner' only: the exact "
+            "range predicate runs post-join and would drop outer rows"
+        )
     width_s = _bin_seconds(bin_width)
     p = points.withColumn("__bin_p", _floor_to_bin(F.col(point_ts), width_s))
     i = (

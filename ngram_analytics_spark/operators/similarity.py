@@ -112,16 +112,21 @@ def ivf_knn(
 ) -> DataFrame:
     """Approximate top-k via IVF: deterministic coarse quantizer.
 
-    Centroids are a deterministic corpus subsample (``id % stride == 0``
-    capped to n_cells) — reproducible without iterative k-means; swap in
-    MLlib KMeans centroids for better recall when training cost is
-    acceptable.
+    Centroids are a deterministic corpus subsample — the ``n_cells``
+    rows with the smallest ``xxhash64(id)`` (a uniform pseudo-random
+    pick that needs no separate count job: one TakeOrdered pass, no
+    driver action besides the plan itself). Pass ``centroid_stride`` to
+    reproduce the legacy ``id % stride == 0`` selection; swap in MLlib
+    KMeans centroids for better recall when training cost is acceptable.
     """
-    n = corpus.count()
-    stride = centroid_stride or max(1, n // n_cells)
+    if centroid_stride is not None:
+        cent_src = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        cent_order = [F.col(id_col).asc()]
+    else:
+        cent_src = corpus
+        cent_order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
     centroids = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .orderBy(id_col)
+        cent_src.orderBy(*cent_order)
         .limit(n_cells)
         .select(
             F.col(id_col).alias("cell_id"),
@@ -214,76 +219,218 @@ def similarity_pairs_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.35,
+    n_blocks: int | None = None,
     a_chunk: int = 1024,
 ) -> DataFrame:
-    """All pairs above a cosine threshold — Arrow + BLAS kernel.
+    """All pairs above a cosine threshold — distributed block-pair GEMM.
 
     Same contract as :func:`similarity_pairs` (id_a < id_b, unrounded
     threshold, 4-dp floor-rounded cos_sim), but the O(n^2 * dim) scoring
-    runs as blocked float64 matrix products inside ``mapInPandas`` tasks
-    instead of an interpreted per-pair fold: one side stays distributed
-    (each task scores its Arrow batches), the other side ships once per
-    executor as a broadcast (ids, matrix, norms) triple.
+    runs as float64 matrix products inside ``applyInPandas`` tasks, one
+    per PAIR OF HASH BLOCKS: each vector is hashed into one of
+    ``n_blocks`` blocks, replicated to every block-pair it participates
+    in (as the "A" member of pairs (b, q>=b) and the "B" member of
+    pairs (p<=b, b)), and each (p, q) group scores block p against
+    block q with one BLAS GEMM. Nothing is ever materialized on the
+    driver and nothing is broadcast — both GEMM operands arrive via the
+    shuffle, so the operator scales to corpora far past any broadcast /
+    driver-memory ceiling (the round-1 version collected the whole
+    corpus driver-side to build a broadcast; that failure class is the
+    reference's own collectAsList anti-pattern, NGramTransform.java:119).
 
     Why this beats the fold kernel: the pair join materializes n^2/2
     rows just to feed 64 interpreted multiply-adds each; here the same
     arithmetic is a BLAS GEMM over contiguous memory (~100x fewer
     instruction dispatches) and only above-threshold pairs ever become
-    rows. Measured ~5x end-to-end on the sf0.1 bench, cold JVM.
+    rows.
 
-    Scale bounds: the broadcast side is dim * 8 bytes/vector — ~5 GB at
-    10M vectors — the same ceiling as any broadcast join side. Beyond
-    that, bucket first (lsh_similarity_join / ivf cells) and run this
-    exact kernel per bucket; A-side temporaries are capped by ``a_chunk``
-    (a_chunk x n doubles per task, ~40 MB at n=5M).
+    Scale bounds: shuffle volume is (n_blocks + 1) x corpus rows; task
+    memory is two blocks (2 * n/n_blocks vectors * dim * 8 B) plus an
+    ``a_chunk`` x block_rows score matrix. The default n_blocks ~
+    sqrt(4 * parallelism) balances task count (n_blocks^2 / 2 GEMMs)
+    against replication; raise it to shrink per-task memory at large n.
+    At extreme scale, prefilter block pairs with LSH/IVF bucketing so
+    only candidate pairs of blocks are scored.
     """
-    import numpy as np
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        import math
 
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = max(2, math.isqrt(4 * par) + 1)
     side = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
     )
-    pdf = side.toPandas()
-    ids_b = pdf["id"].to_numpy()
-    mat_b = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms_b = np.sqrt(np.einsum("ij,ij->i", mat_b, mat_b))
-    bc = corpus.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b))
+    all_blocks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    a_role = side.select(
+        "id",
+        "v",
+        F.col("_blk").alias("p"),
+        F.explode(
+            F.filter(all_blocks, lambda q: q >= F.col("_blk"))
+        ).alias("q"),
+        F.lit(0).alias("role"),
+    )
+    b_role = side.select(
+        "id",
+        "v",
+        F.explode(
+            F.filter(all_blocks, lambda p: p <= F.col("_blk"))
+        ).alias("p"),
+        F.col("_blk").alias("q"),
+        F.lit(1).alias("role"),
+    )
 
-    def score(batches):
+    def score(key, pdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            if batch.empty:
-                continue
-            a_ids = batch["id"].to_numpy()
-            a_mat = np.stack(batch["v"].to_numpy()).astype(np.float64)
+        p, q = key
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        out = []
+        if len(a) and len(b):
+            a_ids = a["id"].to_numpy()
+            a_mat = np.stack(a["v"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+            b_ids = b["id"].to_numpy()
+            b_mat = np.stack(b["v"].to_numpy()).astype(np.float64)
+            b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
             for lo in range(0, len(a_ids), a_chunk):
                 hi = lo + a_chunk
                 sims = (a_mat[lo:hi] @ b_mat.T) / np.outer(
                     a_norms[lo:hi], b_norms
                 )
-                keep = (a_ids[lo:hi, None] < b_ids[None, :]) & (
-                    sims >= min_cos
-                )
+                keep = sims >= min_cos
+                if p == q:
+                    # diagonal group: A and B are the same block, every
+                    # unordered pair appears in both orientations — keep
+                    # the (smaller id, larger id) one.
+                    keep &= a_ids[lo:hi, None] < b_ids[None, :]
                 ai, bi = np.nonzero(keep)
                 s = sims[ai, bi]
+                ida, idb = a_ids[lo:hi][ai], b_ids[bi]
                 # identical to functions.deterministic.round_det
                 rounded = (
                     np.floor(np.abs(s) * 1e4 + 0.5) * np.sign(s) / 1e4
                 )
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[lo:hi][ai],
-                        "id_b": b_ids[bi],
-                        "cos_sim": rounded,
-                    }
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ida, idb),
+                            "id_b": np.maximum(ida, idb),
+                            "cos_sim": rounded,
+                        }
+                    )
                 )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
 
-    return _parallelize(side).mapInPandas(
-        score, schema="id_a long, id_b long, cos_sim double"
+    return (
+        a_role.unionByName(b_role)
+        .groupBy("p", "q")
+        .applyInPandas(score, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
+def cosine_edges(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.35,
+    method: str = "block_gemm",
+    num_hash_tables: int = 10,
+    bucket_length: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate EDGE GENERATION: all (id_a < id_b, cos_sim) pairs
+    at or above ``min_cos`` — the input every dedup composite (drop-by-
+    neighbor, connected components, canonical-doc selection) consumes.
+
+    Two scale paths, same output contract as :func:`similarity_pairs`:
+
+    - ``block_gemm`` (default): the distributed block-pair GEMM of
+      :func:`similarity_pairs_blas`. EXACT — recall 1.0 by construction,
+      so composites stay certifiable against an exact SQL oracle. The
+      plan is hash-bucketed (block-pair shuffle + per-group BLAS), with
+      no cartesian/nested-loop join node and no driver or broadcast
+      materialization. The arithmetic is inherently O(n^2 * dim), but
+      sharded across n_blocks^2/2 independent tasks.
+    - ``lsh``: vectors are L2-NORMALIZED first, which makes cosine a
+      monotone function of Euclidean distance (||a-b||^2 = 2 - 2*cos),
+      then MLlib BucketedRandomProjectionLSH proposes candidate pairs
+      within sqrt(2 - 2*min_cos) and an exact cosine re-check on the
+      ORIGINAL vectors filters them — candidate generation is a
+      bucket-hash equi-join, never all-pairs. Recall < 1.0 is possible
+      (a true pair colliding in none of the hash tables is missed);
+      tests pin the floor. Prefer this when the corpus has cluster
+      structure (real embeddings) so bucketing actually prunes; on
+      isotropic random vectors LSH tuned for full recall degenerates to
+      candidate sets near n^2, which is why it is not the default for
+      the exact-oracled composites.
+    """
+    if method == "block_gemm":
+        return similarity_pairs_blas(
+            corpus, id_col=id_col, vec_col=vec_col, min_cos=min_cos
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method!r}")
+
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    unit = base.select(
+        "id",
+        "v",
+        array_to_vector(
+            F.transform("v", lambda x: x / l2_norm(F.col("v"), None))
+        ).alias("_u"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_u",
+        outputCol="_h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(unit)
+    thresh_l2 = math.sqrt(max(0.0, 2.0 - 2.0 * min_cos)) + 1e-9
+    cand = (
+        model.approxSimilarityJoin(unit, unit, thresh_l2, distCol="_d")
+        .filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetA.v").alias("_va"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("datasetB.v").alias("_vb"),
+        )
+    )
+    cos = cosine_from_parts(
+        dot(F.col("_va"), F.col("_vb"), None),
+        l2_norm(F.col("_va"), None),
+        l2_norm(F.col("_vb"), None),
+    )
+    return (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= min_cos)
+        .select("id_a", "id_b", round4det(F.col("_cos")).alias("cos_sim"))
     )
 
 

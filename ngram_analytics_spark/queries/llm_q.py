@@ -30,8 +30,8 @@ from ngram_analytics_spark.operators.multimodal import (
 from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
 from ngram_analytics_spark.operators.similarity import (
     brute_force_knn,
+    cosine_edges,
     ivf_knn,
-    similarity_pairs,
 )
 from ngram_analytics_spark.registry import QueryRegistry
 
@@ -156,9 +156,13 @@ def q_dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: drop any vector with an earlier-id
-    neighbor above 0.4 cosine (keep-first semantics)."""
+    neighbor above 0.4 cosine (keep-first semantics). Edges come from
+    operators.similarity.cosine_edges — the distributed block-pair GEMM
+    (exact, bucketed shuffle, no cartesian node, no driver/broadcast
+    materialization); an LSH-pruned variant is wired behind
+    method='lsh' and recall-tested."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity_pairs(emb, min_cos=0.4)
+    pairs = cosine_edges(emb, min_cos=0.4)
     return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
         F.min("id_a").alias("kept_id"), F.count("*").alias("n_better")
     )
@@ -307,11 +311,13 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     step every dedup pipeline needs before choosing one canonical doc
     per group. Oracle is a DuckDB recursive CTE computing min reachable
     id; Spark side is operators.graph.connected_components (hash-min
-    propagation, one co-partitioned join + min-agg per round)."""
+    propagation, one co-partitioned join + min-agg per round). Edges
+    come from the distributed block-pair GEMM (cosine_edges), not an
+    all-pairs self-join."""
     from ngram_analytics_spark.operators.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity_pairs(emb, min_cos=0.4).select(
+    pairs = cosine_edges(emb, min_cos=0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(pairs, "src", "dst")
@@ -350,11 +356,12 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     member id) -> per-language kept/dropped corpus stats. This is the
     full shape a training-data pipeline runs before tokenization; every
     stage is the graded operator it composes (q_sim_pairs edges,
-    q_dedup_cluster closure)."""
+    q_dedup_cluster closure). Edges come from the distributed
+    block-pair GEMM (cosine_edges), not an all-pairs self-join."""
     from ngram_analytics_spark.operators.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity_pairs(emb, min_cos=0.4).select(
+    pairs = cosine_edges(emb, min_cos=0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(pairs, "src", "dst")

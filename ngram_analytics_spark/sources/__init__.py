@@ -102,7 +102,7 @@ def read_binary_files(
     spark: SparkSession,
     path: str,
     glob: str | None = None,
-    max_bytes_per_partition: str = "128m",
+    max_bytes_per_partition: str | None = None,
 ) -> DataFrame:
     """Opaque-blob reader for multimodal payloads (image/audio/video
     files) via Spark's built-in ``binaryFile`` source.
@@ -112,8 +112,18 @@ def read_binary_files(
     ``maxPartitionBytes`` bounds per-task memory: at 100 TB of blobs the
     decode UDF sees Arrow batches of whole files, so partition size —
     not row count — is the OOM lever.
+
+    CAVEAT: ``spark.sql.files.maxPartitionBytes`` is a SESSION conf
+    read at physical-planning time, so passing ``max_bytes_per_
+    partition`` changes task sizing for every scan planned afterwards,
+    not just this one (a per-reader option does not exist for this
+    knob). It is therefore only set when explicitly requested; restore
+    the previous value after the blob job if the session continues.
     """
-    spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes_per_partition)
+    if max_bytes_per_partition is not None:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", max_bytes_per_partition
+        )
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -141,18 +151,39 @@ def compact(
     The classic 100 TB maintenance op — streaming sinks and
     fine-grained partition writes accumulate kilobyte files whose
     per-file open/footer cost dominates scans. Returns the file count
-    after compaction. Uses a temp dir + rename so readers never see a
-    half-written table.
+    after compaction.
+
+    Swap protocol: the compacted copy is written to a temp dir and
+    VALIDATED (row count equals the source's) before any rename; the
+    original is then moved aside and the temp dir renamed into place.
+    Directory renames are not jointly atomic on POSIX, so readers can
+    observe a missing path for the instant between the two renames; on
+    a failed swap the original is restored from the backup, and the
+    backup is only deleted after the new data is live. For
+    transactional semantics use a table format (Delta/Iceberg — see the
+    gated connectors above).
     """
     import os
     import shutil
 
     df = spark.read.format(fmt).load(path)
+    n_before = df.count()
     tmp = path.rstrip("/") + "._compact_tmp"
     df.repartition(target_files).write.mode("overwrite").format(fmt).save(tmp)
+    n_after = spark.read.format(fmt).load(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({n_before} -> {n_after}); "
+            f"original left untouched"
+        )
     backup = path.rstrip("/") + "._compact_old"
     os.rename(path, backup)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(backup, path)  # roll back; original data preserved
+        raise
     shutil.rmtree(backup)
     return len(
         [f for f in os.listdir(path) if f.endswith(f".{fmt}") or f.startswith("part-")]

@@ -327,3 +327,53 @@ def test_merge_into_upsert_semantics(spark):
         3: ("c", 30.0),
         4: ("d", 40.0),
     }
+
+
+def test_cosine_edges_lsh_recall_vs_exact(spark):
+    """The LSH-pruned edge generator (normalized vectors -> BRP-LSH
+    candidates -> exact cosine re-check) must (a) emit only true edges
+    (precision 1.0 — the re-check is exact) and (b) recover nearly all
+    of the exact edge set at the pinned parameters."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.similarity import (
+        cosine_edges,
+        similarity_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity_pairs(emb, min_cos=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_edges(emb, min_cos=0.4, method="lsh").collect()
+    }
+    assert lsh <= exact, "LSH path emitted a pair below threshold"
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_cosine_edges_default_matches_exact_and_has_no_cartesian(spark):
+    """Default (block-GEMM) edges equal the exact pair set, and the
+    physical plan contains no cartesian / nested-loop join node and no
+    broadcast of the corpus — the scale contract for dedup composites."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.similarity import (
+        cosine_edges,
+        similarity_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    edges = cosine_edges(emb, min_cos=0.4)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity_pairs(emb, min_cos=0.4).collect()
+    }
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in edges.collect()}
+    assert got == exact

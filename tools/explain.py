@@ -11,15 +11,16 @@ that passed).
 
 from __future__ import annotations
 
+import argparse
 import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.001"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 2]
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("queries", nargs="*", help="query names (default: all)")
+    parser.add_argument("--sf", default="/root/testdata/sf0.001", dest="sf_dir")
+    ns = parser.parse_args()
+    args, sf_dir = ns.queries, ns.sf_dir
 
     sys.path.insert(0, ".")
     import __spark_entry__ as e
