@@ -76,6 +76,70 @@ def decode_image_stub(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+IMAGE_SCHEMA = (
+    "doc_id bigint, width int, height int, mode string, n_bytes int"
+)
+
+
+def have_pil() -> bool:
+    """Capability gate for the real image decoder (PIL/Pillow absent in
+    the test container by design — same gating pattern as the Avro /
+    Delta connectors in sources/__init__.py)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode over the payload column — PIL behind the
+    capability gate, identical Arrow plumbing to
+    :func:`decode_image_stub` (batch in, batch out, bounded memory).
+
+    Raises :class:`NotImplementedError` when Pillow is not installed;
+    the deterministic stub remains the graded oracle twin so CI without
+    codecs stays green.
+    """
+    if not have_pil():
+        raise NotImplementedError(
+            "real image decode requires Pillow; use decode_image_stub "
+            "for codec-free environments"
+        )
+    id_name = id_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            widths, heights, modes, sizes = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        widths.append(im.width)
+                        heights.append(im.height)
+                        modes.append(im.mode)
+                except Exception:
+                    widths.append(-1)
+                    heights.append(-1)
+                    modes.append("corrupt")
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mode": modes,
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=IMAGE_SCHEMA)
+
+
 def frame_sample_stub(
     blobs: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 100
 ) -> DataFrame:

@@ -377,3 +377,27 @@ def test_cosine_edges_default_matches_exact_and_has_no_cartesian(spark):
     }
     got = {(r.id_a, r.id_b, r.cos_sim) for r in edges.collect()}
     assert got == exact
+
+
+def test_decode_image_real_codec_gated(spark):
+    """Real-codec decode path: exercises PIL when present, otherwise
+    verifies the capability gate raises (so environments without codecs
+    fail loudly instead of silently faking)."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.multimodal import (
+        decode_image,
+        have_pil,
+        to_blob_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    blobs = to_blob_table(load(spark, SF_SMOKE, "documents")).limit(5)
+    if not have_pil():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(blobs)
+        return
+    rows = decode_image(blobs).collect()
+    # text bytes are not a valid image: the decoder must degrade
+    # per-row (mode='corrupt'), never crash the task
+    assert len(rows) == 5
+    assert all(r.mode == "corrupt" and r.n_bytes > 0 for r in rows)
