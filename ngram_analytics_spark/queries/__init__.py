@@ -15,68 +15,70 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first: every
-# previously-uncertified north-star operator, plus the flagship and the
-# two keys whose round-1 canonicalizer divergences were fixed
-# (q_text_filter_pipeline, q_agg_collect).
+# The 50 keys the differential driver should grade first.  Round-3
+# rotation: the 35 keys that had never sat inside a driver graded window
+# (the scalar-function / subquery / CTE long tail — judge-verified green
+# in the full sf0.01 oracle diff but without a driver-green row) lead the
+# window so that after this round every one of the 132 registry keys has
+# cumulative driver certification (r1 ∪ r2 ∪ r3).  The remaining 15
+# slots re-certify the flagship + LLM-pipeline + live-streaming queries.
 GRADED_FIRST: tuple[str, ...] = (
-    # flagship + round-1 fixes
+    # scalar-function families (never driver-graded before round 3)
+    "q_fn_array",
+    "q_fn_map_json",
+    "q_fn_string2",
+    "q_fn_cond",
+    "q_fn_hash",
+    "q_fn_cast",
+    # subqueries / CTEs
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_exists_corr",
+    "q_subquery_lateral",
+    "q_cte",
+    "q_cte_recursive",
+    # nested types / bit ops / sampling
+    "q_fn_struct",
+    "q_fn_map",
+    "q_fn_bitwise",
+    "q_sample_hash",
+    "q_agg_bool",
+    "q_fn_date2",
+    # set ops / inline values / intervals
+    "q_set_ops_all",
+    "q_values_inline",
+    "q_fn_interval",
+    "q_win_ignorenulls",
+    "q_fn_regexp2",
+    "q_fn_trig",
+    # SQL pipe syntax, variant, python datasource, explode
+    "q_sql_pipe",
+    "q_fn_variant",
+    "q_source_pyds",
+    "q_fn_explode_pos",
+    "q_win_range_interval",
+    "q_fn_url",
+    "q_agg_hll_merge",
+    "q_fn_higher_order",
+    "q_merge_upsert",
+    "q_fn_try",
+    "q_sort_nulls",
+    # flagship + LLM-pipeline + live-streaming re-certs (15 slots)
     "q_ngram_topk",
     "q_text_filter_pipeline",
     "q_agg_collect",
-    # LLM-data-pipeline: dedup
     "q_dedup_exact",
-    "q_dedup_jaccard",
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_dedup_fuzzy_jaccard",
     "q_dedup_embed",
     "q_dedup_cluster",
     "q_dedup_canonical",
-    # LLM-data-pipeline: similarity + multimodal + ML
     "q_sim_knn",
     "q_sim_pairs",
-    "q_sim_ann_ivf",
-    "q_multimodal_join",
-    "q_multimodal_meta",
     "q_multimodal_frames",
     "q_ml_scaler",
-    # streaming & time-series
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
     "q_stream_live_tumbling",
     "q_stream_live_sliding",
     "q_stream_live_session",
     "q_join_asof",
-    "q_ts_resample",
-    "q_ts_gapfill",
-    "q_ts_ffill",
-    "q_ts_ohlc",
-    "q_ts_rolling_zscore",
-    # vectorized Python surface
-    "q_udf_pandas",
-    "q_udtf",
-    "q_udaf_grouped",
-    "q_udf_arrow",
-    # scale-technique joins / scans
-    "q_join_salted",
-    "q_agg_salted",
-    "q_join_nullsafe",
-    "q_join_bucketed",
-    "q_join_dpp",
-    "q_join_range_binned",
-    "q_scan_partitioned",
-    # heavy aggregate / window families
-    "q_win_distribution",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_agg_minmaxby",
-    "q_agg_stringagg",
-    "q_agg_mode",
-    "q_agg_histogram",
-    "q_agg_regr",
-    "q_agg_approx_percentile",
 )
 
 
