@@ -388,14 +388,19 @@ def q_text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two exploded aggregations (map-side combined), the unigram
     count table joined twice — broadcast at any scale because the
-    vocabulary, not the corpus, bounds it."""
+    vocabulary, not the corpus, bounds it.  The corpus totals are part
+    of the SAME plan (1-row aggs over the already-aggregated count
+    tables, broadcast-crossJoined in, mirroring the oracle's `totals`
+    CTE) — no driver-side .count() action at plan-build time, so the
+    whole query is one Spark job and the totals can never go stale."""
     toks = tokenized_docs(spark, sf_dir)
     uni = toks.select(F.explode("tokens").alias("w"))
     bi = toks.select(F.explode(ngram_col("tokens", 2)).alias("bigram"))
     uni_counts = uni.groupBy("w").agg(F.count("*").alias("c_w"))
     bi_counts = bi.groupBy("bigram").agg(F.count("*").alias("c_ab"))
-    n_uni = uni.count()
-    n_bi = bi.count()
+    totals = uni_counts.agg(F.sum("c_w").alias("_n_uni")).crossJoin(
+        bi_counts.agg(F.sum("c_ab").alias("_n_bi"))
+    )
     a = uni_counts.select(F.col("w").alias("_wa"), F.col("c_w").alias("_ca"))
     b = uni_counts.select(F.col("w").alias("_wb"), F.col("c_w").alias("_cb"))
     split = F.split("bigram", " ")
@@ -405,12 +410,17 @@ def q_text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_w2", split.getItem(1))
         .join(F.broadcast(a), F.col("_w1") == F.col("_wa"))
         .join(F.broadcast(b), F.col("_w2") == F.col("_wb"))
+        .crossJoin(F.broadcast(totals))
         .select(
             "bigram",
             "c_ab",
             round4det(
-                (F.col("c_ab") * n_uni * n_uni).cast("double")
-                / (F.col("_ca") * F.col("_cb") * F.lit(n_bi)).cast("double")
+                (F.col("c_ab") * F.col("_n_uni") * F.col("_n_uni")).cast(
+                    "double"
+                )
+                / (
+                    F.col("_ca") * F.col("_cb") * F.col("_n_bi")
+                ).cast("double")
             ).alias("lift"),
         )
     )
