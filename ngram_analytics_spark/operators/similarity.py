@@ -119,6 +119,12 @@ def ivf_knn(
     reproduce the legacy ``id % stride == 0`` selection; swap in MLlib
     KMeans centroids for better recall when training cost is acceptable.
     """
+    if centroid_stride is not None and centroid_stride <= 0:
+        # id % 0 is NULL in Spark SQL — the filter would silently drop
+        # every row and return an empty result; fail loudly instead.
+        raise ValueError(
+            f"centroid_stride must be positive, got {centroid_stride}"
+        )
     if centroid_stride is not None:
         cent_src = corpus.filter((F.col(id_col) % centroid_stride) == 0)
         cent_order = [F.col(id_col).asc()]
@@ -198,19 +204,28 @@ def similarity_pairs(
 
     At scale, prefilter with LSH bucketing (see ivf_knn/minhash) before
     the exact kernel; the exact form is the correctness oracle.
+
+    The threshold applies to the 4-dp-ROUNDED cosine (same contract as
+    :func:`similarity_pairs_blas`) so the kept pair set is identical
+    across the fold kernel, the BLAS kernel and the SQL oracle even
+    when their summation orders differ in the last ulp.
     """
     a = _parallelize(_side(corpus, id_col, vec_col, "id_a", "_va", "_na", dim))
     b = _side(corpus, id_col, vec_col, "id_b", "_vb", "_nb", dim)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "_cos",
-            cosine_from_parts(
-                dot(F.col("_va"), F.col("_vb"), dim), F.col("_na"), F.col("_nb")
+            "cos_sim",
+            round4det(
+                cosine_from_parts(
+                    dot(F.col("_va"), F.col("_vb"), dim),
+                    F.col("_na"),
+                    F.col("_nb"),
+                )
             ),
         )
-        .filter(F.col("_cos") >= min_cos)
-        .select("id_a", "id_b", round4det(F.col("_cos")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 
@@ -305,25 +320,30 @@ def similarity_pairs_blas(
                 sims = (a_mat[lo:hi] @ b_mat.T) / np.outer(
                     a_norms[lo:hi], b_norms
                 )
-                keep = sims >= min_cos
+                # Round BEFORE thresholding (identical to
+                # functions.deterministic.round_det): BLAS summation
+                # order can differ from the fold kernel / SQL oracle in
+                # the last ulp, so thresholding the raw value could flip
+                # a boundary pair between engines. At 4 dp both sides
+                # agree bit-for-bit, so the kept set is engine-stable
+                # (the oracle twins threshold the rounded value too).
+                rounded = (
+                    np.floor(np.abs(sims) * 1e4 + 0.5) * np.sign(sims) / 1e4
+                )
+                keep = rounded >= min_cos
                 if p == q:
                     # diagonal group: A and B are the same block, every
                     # unordered pair appears in both orientations — keep
                     # the (smaller id, larger id) one.
                     keep &= a_ids[lo:hi, None] < b_ids[None, :]
                 ai, bi = np.nonzero(keep)
-                s = sims[ai, bi]
                 ida, idb = a_ids[lo:hi][ai], b_ids[bi]
-                # identical to functions.deterministic.round_det
-                rounded = (
-                    np.floor(np.abs(s) * 1e4 + 0.5) * np.sign(s) / 1e4
-                )
                 out.append(
                     pd.DataFrame(
                         {
                             "id_a": np.minimum(ida, idb),
                             "id_b": np.maximum(ida, idb),
-                            "cos_sim": rounded,
+                            "cos_sim": rounded[ai, bi],
                         }
                     )
                 )
@@ -344,23 +364,75 @@ def similarity_pairs_blas(
     )
 
 
+#: Above this (estimated) corpus row count, ``cosine_edges(method=
+#: "auto")`` switches from the exact block-pair GEMM to LSH-pruned
+#: candidate generation.  Rationale: exact all-pairs is n^2/2 * dim
+#: multiply-adds — at 2M rows x dim 64 that is ~1.3e14 flops, roughly
+#: an hour of BLAS on a 32-core node and the practical edge of
+#: "exact is still affordable"; past it the O(n^2) term dominates any
+#: cluster you throw at it, while LSH candidate generation stays
+#: near-linear in rows for clustered (real-embedding) corpora.
+EXACT_EDGE_MAX_ROWS = 2_000_000
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    """Plan-statistics row estimate — NO Spark job is launched.
+
+    Uses Catalyst's optimized-plan statistics: exact-ish ``rowCount``
+    when available (CBO/ANALYZE), else ``sizeInBytes`` (file size for
+    scans) divided by the schema's default row width. File bytes are
+    compressed, so the fallback can under-estimate rows by the codec
+    ratio (~1-4x for float arrays) — fine for an order-of-magnitude
+    dispatch threshold, and the conservative direction (under-estimating
+    keeps the exact path longer, never degrades recall).
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    if row_count.isDefined():
+        return int(str(row_count.get()))
+    width = max(1, int(df._jdf.schema().defaultSize()))
+    return int(str(stats.sizeInBytes())) // width
+
+
+def resolve_edge_method(
+    corpus: DataFrame,
+    method: str = "auto",
+    exact_max_rows: int = EXACT_EDGE_MAX_ROWS,
+) -> str:
+    """Dispatch ``cosine_edges``: 'auto' -> 'block_gemm' (exact) below
+    ``exact_max_rows`` estimated corpus rows, 'lsh' above. Explicit
+    'block_gemm' / 'lsh' pass through unchanged."""
+    if method in ("block_gemm", "lsh"):
+        return method
+    if method != "auto":
+        raise ValueError(f"unknown method: {method!r}")
+    return (
+        "block_gemm" if _estimate_rows(corpus) <= exact_max_rows else "lsh"
+    )
+
+
 def cosine_edges(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.35,
-    method: str = "block_gemm",
+    method: str = "auto",
     num_hash_tables: int = 10,
     bucket_length: float = 1.0,
     seed: int = 42,
+    exact_max_rows: int = EXACT_EDGE_MAX_ROWS,
 ) -> DataFrame:
     """Near-duplicate EDGE GENERATION: all (id_a < id_b, cos_sim) pairs
     at or above ``min_cos`` — the input every dedup composite (drop-by-
     neighbor, connected components, canonical-doc selection) consumes.
 
-    Two scale paths, same output contract as :func:`similarity_pairs`:
+    Two scale paths, same output contract as :func:`similarity_pairs`;
+    ``method="auto"`` (default) picks per corpus via
+    :func:`resolve_edge_method` — exact below ``exact_max_rows``
+    (plan-statistics estimate, no job launched), LSH above, so the
+    100 TB-safe path engages automatically instead of by manual flag:
 
-    - ``block_gemm`` (default): the distributed block-pair GEMM of
+    - ``block_gemm``: the distributed block-pair GEMM of
       :func:`similarity_pairs_blas`. EXACT — recall 1.0 by construction,
       so composites stay certifiable against an exact SQL oracle. The
       plan is hash-bucketed (block-pair shuffle + per-group BLAS), with
@@ -374,18 +446,17 @@ def cosine_edges(
       ORIGINAL vectors filters them — candidate generation is a
       bucket-hash equi-join, never all-pairs. Recall < 1.0 is possible
       (a true pair colliding in none of the hash tables is missed);
-      tests pin the floor. Prefer this when the corpus has cluster
-      structure (real embeddings) so bucketing actually prunes; on
-      isotropic random vectors LSH tuned for full recall degenerates to
-      candidate sets near n^2, which is why it is not the default for
-      the exact-oracled composites.
+      tests pin the floor. Best when the corpus has cluster structure
+      (real embeddings) so bucketing actually prunes; on isotropic
+      random vectors LSH tuned for full recall degenerates to candidate
+      sets near n^2, which is why the exact path is kept below the
+      dispatch bound (where the oracle-certified composites live).
     """
+    method = resolve_edge_method(corpus, method, exact_max_rows)
     if method == "block_gemm":
         return similarity_pairs_blas(
             corpus, id_col=id_col, vec_col=vec_col, min_cos=min_cos
         )
-    if method != "lsh":
-        raise ValueError(f"unknown method: {method!r}")
 
     import math
 
@@ -396,12 +467,30 @@ def cosine_edges(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    unit = base.select(
-        "id",
-        "v",
-        array_to_vector(
-            F.transform("v", lambda x: x / l2_norm(F.col("v"), None))
-        ).alias("_u"),
+    # Norm projected ONCE per row (an inner l2_norm(F.col("v")) inside
+    # the lambda would re-run the O(dim) aggregate per element =
+    # O(dim^2)/row); zero-norm vectors have no defined direction — drop
+    # them before the LSH fit. The element expression must stay TOTAL
+    # (try_divide + coalesce, not /): Catalyst may inline this
+    # projection into a predicate evaluated before the norm filter, so
+    # for a zero-norm row ANSI divide would trap and a NULL element
+    # would break array_to_vector; the all-zero stand-in never reaches
+    # the fit because the filter drops the row wherever it runs.
+    unit = (
+        base.withColumn("_nrm", l2_norm(F.col("v"), None))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "id",
+            "v",
+            array_to_vector(
+                F.transform(
+                    "v",
+                    lambda x: F.coalesce(
+                        F.try_divide(x, F.col("_nrm")), F.lit(0.0)
+                    ),
+                )
+            ).alias("_u"),
+        )
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_u",
@@ -428,9 +517,9 @@ def cosine_edges(
         l2_norm(F.col("_vb"), None),
     )
     return (
-        cand.withColumn("_cos", cos)
-        .filter(F.col("_cos") >= min_cos)
-        .select("id_a", "id_b", round4det(F.col("_cos")).alias("cos_sim"))
+        cand.withColumn("cos_sim", round4det(cos))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

@@ -150,7 +150,7 @@ def q_dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(a.vec_id) AS kept_id,
                count(*) AS n_better
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS_AB} >= 0.4
+        WHERE {oracle_round4det(_COS_AB)} >= 0.4
         GROUP BY b.vec_id
     """,
 )
@@ -193,7 +193,7 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b, {oracle_round4det("c")} AS cos_sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS c
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        ) WHERE c >= 0.35
+        ) WHERE {oracle_round4det("c")} >= 0.35
     """,
 )
 def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +291,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_COS_AB} >= 0.4
+            WHERE {oracle_round4det(_COS_AB)} >= 0.4
         ), edges AS (
             SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
         ), reach(node, lbl) AS (
@@ -330,7 +330,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_COS_AB} >= 0.4
+            WHERE {oracle_round4det(_COS_AB)} >= 0.4
         ), edges AS (
             SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
         ), reach(node, lbl) AS (

@@ -379,6 +379,70 @@ def test_cosine_edges_default_matches_exact_and_has_no_cartesian(spark):
     assert got == exact
 
 
+def test_cosine_edges_auto_dispatch(spark):
+    """method='auto' must pick the exact block-GEMM below the row bound
+    (where oracle-certified composites live) and the LSH scale path
+    above it — from plan statistics only, no job launched."""
+    import pytest
+
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.similarity import (
+        _estimate_rows,
+        resolve_edge_method,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    assert _estimate_rows(emb) > 0
+    # sf0.001 corpus is far below the 2M default bound -> exact path
+    assert resolve_edge_method(emb, "auto") == "block_gemm"
+    # same corpus above an artificially tiny bound -> LSH path
+    assert resolve_edge_method(emb, "auto", exact_max_rows=0) == "lsh"
+    # explicit methods pass through regardless of the bound
+    assert (
+        resolve_edge_method(emb, "block_gemm", exact_max_rows=0)
+        == "block_gemm"
+    )
+    assert resolve_edge_method(emb, "lsh") == "lsh"
+    with pytest.raises(ValueError, match="unknown method"):
+        resolve_edge_method(emb, "bogus")
+
+
+def test_ivf_rejects_nonpositive_stride(spark):
+    """centroid_stride=0 would make `id % stride` NULL in Spark SQL and
+    silently return an empty result — must raise instead."""
+    import pytest
+
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.similarity import ivf_knn
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="centroid_stride"):
+        ivf_knn(emb, emb.limit(2), centroid_stride=0)
+
+
+def test_cosine_edges_lsh_skips_zero_norm_vectors(spark):
+    """A zero vector has no direction: the LSH path must drop it before
+    normalization (divide-by-zero would NULL the unit vector and crash
+    the LSH fit) and still score all non-zero pairs."""
+    from ngram_analytics_spark.operators.similarity import cosine_edges
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 1e-6, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: must be skipped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_edges(
+            df, min_cos=0.9, method="lsh", bucket_length=4.0
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
 def test_decode_image_real_codec_gated(spark):
     """Real-codec decode path: exercises PIL when present, otherwise
     verifies the capability gate raises (so environments without codecs
