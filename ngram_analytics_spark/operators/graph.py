@@ -49,8 +49,19 @@ def connected_components(
     labeled; callers wanting singleton clusters for isolated items can
     union them in with cluster_id = own id.
 
-    Raises RuntimeError if the fixpoint is not reached in ``max_iter``
-    rounds (diameter larger than max_iter — switch to star-contraction).
+    Two phases behind one API:
+
+    1. Hash-min label propagation for the first ``max_iter // 2``
+       rounds — one co-partitioned join + min-agg per round, converges
+       in diameter rounds, which is a few hops for the dense clumps
+       near-dup graphs are made of.
+    2. If the diameter defeats phase 1 (adversarial duplicate CHAINS —
+       e.g. each doc near-dups only its neighbor), fall back to
+       large-star/small-star contraction (Kiveris et al., SOCC'14) for
+       the remaining rounds: chains collapse in O(log^2 n) rounds
+       instead of O(n), each round the same join + min-agg shape.
+
+    Raises RuntimeError only if BOTH phases exhaust ``max_iter``.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
@@ -64,7 +75,8 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    hashmin_rounds = max(1, max_iter // 2)
+    for _ in range(hashmin_rounds):
         neighbor_min = sym.join(
             labels, sym["u"] == labels["node"]
         ).select(F.col("v").alias("node"), "lbl")
@@ -83,6 +95,94 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
+    return _star_contraction(sym, max_iter - hashmin_rounds)
+
+
+def _star_contraction(sym: DataFrame, max_rounds: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14) until the edge set is
+    a fixpoint — a forest of stars, each centered at its component's
+    minimum node id.
+
+    Edge list is kept canonical larger-first (u > v). Per round:
+
+    - large-star: for every node n, emit (v, m) for each STRICTLY
+      LARGER neighbor v, where m = min(neighborhood of n, n) — larger
+      neighbors re-attach to the local minimum (chains fold toward
+      minima from every node at once, which is what beats hash-min's
+      one-hop-per-round on long chains).
+    - small-star: on the larger-first list grouped by the larger
+      endpoint u with m = min(smaller neighbors), emit (v, m) for every
+      smaller neighbor v plus (u, m) — u and its smaller neighbors
+      collapse onto their minimum.
+
+    Both operators preserve connectivity and never raise the minimum,
+    so the fixpoint stars are centered at true component minima. Each
+    round is two join + min-agg + distinct passes and ONE driver action
+    (a (count, hash-sum) signature for the convergence test).
+    """
+    edges = (
+        sym.filter(F.col("u") > F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # -- large-star ------------------------------------------------
+        s = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        large = (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star (input is larger-first by construction) --------
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("_su"), F.col("m").alias("_sv"))
+            .union(
+                mins2.select(
+                    F.col("u").alias("_su"), F.col("m").alias("_sv")
+                )
+            )
+            .filter(F.col("_su") != F.col("_sv"))
+            .select(F.col("_su").alias("u"), F.col("_sv").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # (count, xor-of-hashes) set signature: order-insensitive and,
+        # unlike a sum, cannot overflow under ANSI arithmetic.
+        sig = small.agg(
+            F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
+        ).collect()[0]
+        edges = small
+        if prev_sig is not None and tuple(sig) == prev_sig:
+            centers = edges.select(F.col("v").alias("node"), F.col("v").alias("lbl"))
+            members = edges.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+            labels = centers.union(members).groupBy("node").agg(
+                F.min("lbl").alias("lbl")
+            )
+            # re-attach any node whose component collapsed entirely
+            # (it is its own center and lost all edges)
+            return (
+                nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("lbl", F.col("node")).alias("cluster_id"),
+                )
+            )
+        prev_sig = tuple(sig)
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+        f"star contraction did not converge in {max_rounds} rounds"
     )

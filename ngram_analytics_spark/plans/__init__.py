@@ -70,6 +70,27 @@ def num_exchanges(df: DataFrame) -> int:
     )
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Count logical Window nodes with an EMPTY partition spec — each
+    one moves the window's entire input to a single task at execution
+    (WindowExec's "Moving all data to a single partition" warning), the
+    canonical serialize-at-scale plan shape. Checked on the optimized
+    logical plan so AQE re-planning can't hide the node."""
+
+    def walk(node) -> int:
+        hits = 0
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            hits += 1
+        for i in range(node.children().size()):
+            hits += walk(node.children().apply(i))
+        return hits
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
 def observed(df: DataFrame, name: str, *metrics):
     """Attach named observation metrics to a plan (``df.observe``) —
     zero-cost pipeline instrumentation: metrics are computed inside the

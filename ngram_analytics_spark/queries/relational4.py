@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.catalog import load, register_views
 from ngram_analytics_spark.functions.deterministic import (
@@ -697,20 +698,66 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked under NULLS FIRST ascending and NULLS LAST descending (Spark
     and DuckDB have opposite defaults, so both orders are spelled).
     Emitting row_number makes the ORDER itself hash-checkable — the
-    multiset compare would otherwise ignore sort direction."""
-    register_views(spark, sf_dir, tables=("customer",))
-    return spark.sql(
-        """
-        SELECT c_custkey, v,
-               row_number() OVER (ORDER BY v ASC NULLS FIRST,
-                                  c_custkey ASC) AS pos_nf,
-               row_number() OVER (ORDER BY v DESC NULLS LAST,
-                                  c_custkey ASC) AS pos_nl
-        FROM (
-            SELECT c_custkey,
-                   CASE WHEN c_custkey % 7 = 0 THEN NULL
-                        ELSE c_acctbal END AS v
-            FROM customer
+    multiset compare would otherwise ignore sort direction.
+
+    A naive global `row_number() OVER (ORDER BY ...)` moves ALL rows to
+    one partition (WindowExec warns exactly that) — the one plan shape
+    that serializes at scale. Instead this computes the global rank the
+    distributed way: bucket every row by a range key MONOTONE in the
+    sort order (nulls get the extreme bucket), rank WITHIN buckets
+    (partitioned window), and add each bucket's global offset = total
+    rows in all earlier buckets (a triangular self-join over the tiny
+    per-bucket count table — broadcast, no unpartitioned window
+    anywhere in the plan). Same output, executes range-parallel like a
+    global sort."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("v"),
+    )
+    # c_acctbal spans [-999.99, 9999.99] -> ~11 value buckets of width
+    # 1000 (bucket count is a constant of the DOMAIN, not the row count)
+    c = c.withColumn(
+        "_bnf",
+        F.when(F.col("v").isNull(), F.lit(-2)).otherwise(
+            F.floor(F.col("v") / 1000)
+        ),
+    ).withColumn(
+        "_bnl",
+        F.when(F.col("v").isNull(), F.lit(99)).otherwise(
+            -F.floor(F.col("v") / 1000)
+        ),
+    )
+
+    def bucket_offsets(df: DataFrame, bcol: str) -> DataFrame:
+        cn = df.groupBy(bcol).agg(F.count("*").alias("_n"))
+        return (
+            cn.alias("x")
+            .join(
+                cn.alias("y"),
+                F.col(f"y.{bcol}") < F.col(f"x.{bcol}"),
+                "left",
+            )
+            .groupBy(f"x.{bcol}")
+            .agg(F.coalesce(F.sum("y._n"), F.lit(0)).alias(f"_off{bcol}"))
         )
-        """
+
+    w_nf = W.partitionBy("_bnf").orderBy(
+        F.col("v").asc_nulls_first(), F.col("c_custkey").asc()
+    )
+    w_nl = W.partitionBy("_bnl").orderBy(
+        F.col("v").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("_rnf", F.row_number().over(w_nf))
+        .withColumn("_rnl", F.row_number().over(w_nl))
+        .join(F.broadcast(bucket_offsets(c, "_bnf")), "_bnf")
+        .join(F.broadcast(bucket_offsets(c, "_bnl")), "_bnl")
+        .select(
+            "c_custkey",
+            "v",
+            (F.col("_off_bnf") + F.col("_rnf")).alias("pos_nf"),
+            (F.col("_off_bnl") + F.col("_rnl")).alias("pos_nl"),
+        )
     )

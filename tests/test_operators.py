@@ -249,8 +249,9 @@ def test_connected_components_chain_and_clique(spark):
 
 
 def test_connected_components_raises_without_convergence(spark):
-    """max_iter below the diameter must fail loudly, not return a
-    half-propagated labeling."""
+    """max_iter below what either phase needs must fail loudly, not
+    return a half-propagated labeling (max_iter=1 leaves zero rounds
+    for the star-contraction fallback)."""
     import pytest
 
     from ngram_analytics_spark.operators.graph import connected_components
@@ -258,6 +259,58 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_connected_components_long_chain_star_contraction(spark):
+    """Adversarial duplicate CHAIN: a 10k-node path graph has diameter
+    9999, so hash-min alone (one hop per round) would need 9999 rounds.
+    The star-contraction fallback must converge within the default
+    max_iter=50 budget (25 hash-min + 25 star rounds; chains collapse
+    in O(log^2 n) star rounds) and label every node with the chain
+    minimum."""
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(1, n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = connected_components(edges, max_iter=50)
+    bad = labels.filter(F.col("cluster_id") != 1).count()
+    total = labels.count()
+    assert bad == 0 and total == n
+
+
+def test_star_contraction_matches_hashmin_on_random_graph(spark):
+    """Phase equivalence: forcing the star-contraction path (tiny
+    hash-min budget) must produce exactly the labeling the pure
+    hash-min fixpoint produces on a multi-component random graph."""
+    import random
+
+    from ngram_analytics_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(0, 300) + 1000 * c, rng.randrange(0, 300) + 1000 * c)
+        for c in range(4)
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"]).filter(
+        F.col("src") != F.col("dst")
+    )
+    via_hashmin = {
+        r.node: r.cluster_id
+        for r in connected_components(df, max_iter=100).collect()
+    }
+    from ngram_analytics_spark.operators.graph import _star_contraction
+
+    sym = df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    via_stars = {
+        r.node: r.cluster_id for r in _star_contraction(sym, 30).collect()
+    }
+    assert via_hashmin == via_stars and len(via_stars) > 0
 
 
 def test_similarity_pairs_blas_matches_fold_kernel(spark):

@@ -113,6 +113,23 @@ def test_no_unexpected_nested_loop_plans(spark):
     assert not offenders, offenders
 
 
+def test_no_unpartitioned_windows_in_graded_plans(spark):
+    """Global plan lint: no declared query may plan a window over an
+    empty PARTITION BY — WindowExec would move the window's whole input
+    to one task ("Moving all data to a single partition"), serializing
+    at scale. Global rankings must use the bucket-rank + offset pattern
+    (see q_sort_nulls) instead. No whitelist: there is no graded plan
+    for which an unpartitioned unbounded-input window is acceptable."""
+    from ngram_analytics_spark.queries import build_registry
+
+    offenders = {}
+    for name, fn in build_registry().queries.items():
+        n = P.unpartitioned_window_count(fn(spark, SF_SMOKE))
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
+
+
 def test_bucketed_join_has_no_join_shuffle(spark):
     """Bucketed+sorted tables on the join key: the only Exchange in the
     plan is the final aggregation's — the join reads co-located buckets
