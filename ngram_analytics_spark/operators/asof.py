@@ -34,6 +34,7 @@ def asof_join(
     right_values: list[str],
     *,
     strict: bool = False,
+    right_order: str | None = None,
 ) -> DataFrame:
     """Backward as-of join (latest right at-or-before left's time).
 
@@ -41,6 +42,12 @@ def asof_join(
         right_values: right columns to carry onto matched left rows
             (returned with the same names; NULL when no prior right row).
         strict: if True, match strictly-before (<) instead of (<=).
+        right_order: tiebreak column for DUPLICATE right rows at the
+            same (key, time): the row with the MAX tiebreak value wins
+            (its values must be non-null). This folds the "dedupe the
+            right side to one row per (key, time)" pre-aggregation into
+            the merge window's sort — one fewer shuffle over the right
+            side than a separate groupBy/max_by pass.
     """
     # side marker: right rows sort before left rows at equal time so
     # `<=` semantics see a same-timestamp right row. strict => reverse.
@@ -54,14 +61,19 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(right_side).alias("_side"),
         *[F.col(c) for c in right_values],
+        *([F.col(right_order).alias("_ord")] if right_order else []),
     )
     for c in right_values:
         lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    # allowMissingColumns fills the left side's absent _ord with NULL;
+    # _ord only orders rows WITHIN the right side at one (_t, _side),
+    # so the running `last` picks the max-tiebreak duplicate.
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
+    order_cols = ["_t", "_side"] + (["_ord"] if right_order else [])
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(
@@ -71,7 +83,9 @@ def asof_join(
             for c in right_values
         ],
     )
-    return filled.filter(F.col("_side") == left_side).drop("_k", "_t", "_side")
+    return filled.filter(F.col("_side") == left_side).drop(
+        "_k", "_t", "_side", "_ord"
+    )
 
 
 def asof_join_pandas(

@@ -153,16 +153,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event ↔ latest order at-or-before its timestamp
     per user (union-merge implementation, operators.asof; oracle is
-    DuckDB's native ASOF JOIN). Orders are deduped to one per
-    (cust, date) so the as-of pick is well-defined on both engines."""
+    DuckDB's native ASOF JOIN). Same-date orders are deduped to the max
+    orderkey INSIDE the merge window (right_order tiebreak) — a
+    separate groupBy/max_by pre-aggregation would shuffle orders twice
+    for the same answer (it did in round 2: 0.87 s vs 0.56 s)."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(
-            F.max_by("o_orderkey", "o_orderkey").alias("last_orderkey"),
-            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
-        )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_price"),
     )
     return asof_join(
         e,
@@ -172,6 +172,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="o_orderdate",
         right_values=["last_orderkey", "last_price"],
+        right_order="last_orderkey",
     ).select("event_id", "user_id", "last_orderkey", "last_price")
 
 

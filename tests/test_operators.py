@@ -152,6 +152,37 @@ def test_asof_join_same_timestamp_inclusive(spark):
     assert row.px is None  # < semantics
 
 
+def test_asof_join_right_order_tiebreak(spark):
+    """Duplicate right rows at one (key, time): right_order makes the
+    max-tiebreak row win — the in-window equivalent of a groupBy/max_by
+    dedup pre-pass (one fewer shuffle). Without it the pick would be
+    partition-order dependent."""
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=1, t=10, ev="a"), Row(k=1, t=4, ev="b")])
+    right = spark.createDataFrame(
+        [
+            Row(rk=1, rt=5, okey=3, px=30),
+            Row(rk=1, rt=5, okey=9, px=90),  # max tiebreak at rt=5
+            Row(rk=1, rt=2, okey=1, px=10),
+        ]
+    )
+    rows = {
+        r.ev: (r.okey, r.px)
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "rk",
+            "t",
+            "rt",
+            ["okey", "px"],
+            right_order="okey",
+        ).collect()
+    }
+    assert rows == {"a": (9, 90), "b": (1, 10)}
+
+
 def test_multimodal_frame_sample_shape(spark):
     from ngram_analytics_spark.operators.multimodal import (
         frame_sample_stub,
