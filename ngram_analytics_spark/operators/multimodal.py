@@ -126,7 +126,10 @@ def decode_image(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     widths.append(-1)
                     heights.append(-1)
                     modes.append("corrupt")
-                sizes.append(len(payload))
+                # NULL payload must degrade like any corrupt row — a
+                # bare len(payload) would TypeError outside the guard
+                # and kill the whole Arrow batch.
+                sizes.append(len(payload) if payload is not None else -1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_name].astype("int64"),
@@ -138,6 +141,135 @@ def decode_image(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sr int, n_samples int, n_channels int,"
+    " wave array<double>"
+)
+
+#: samples kept per row by the audio decoders (head of channel 0)
+AUDIO_WAVE_LEN = 8
+
+
+def have_soundfile() -> bool:
+    """Capability gate for the real audio decoder (libsndfile/soundfile
+    absent in the test container by design — same pattern as
+    :func:`have_pil`)."""
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _round4(x: float) -> float:
+    # matches functions.deterministic.round_det for non-negative x
+    return float(int(x * 1e4 + 0.5)) / 1e4
+
+
+def decode_audio_stub(
+    blobs: DataFrame, id_col: str = "doc_id", n_wave: int = AUDIO_WAVE_LEN
+) -> DataFrame:
+    """Deterministic stand-in for an audio decode with the REAL Spark
+    plumbing — Arrow ``mapInPandas`` batches producing a
+    VARIABLE-LENGTH ``array<double>`` waveform column (the shape every
+    real audio pipeline needs and fixed-width feature schemas don't
+    exercise).
+
+    Fake semantics, derived purely from the payload bytes so results
+    are stable and oracle-checkable: sample rate 16 kHz, sample count =
+    byte length, channel count alternates on byte-length parity, and
+    the 'waveform' is ``n_wave`` evenly-strided bytes scaled to [0, 1]
+    (4-dp rounded). Swap for :func:`decode_audio` when codecs exist.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, counts, chans, waves = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    srs.append(-1)
+                    counts.append(-1)
+                    chans.append(-1)
+                    waves.append([])
+                    continue
+                n = len(payload)
+                stride = max(1, n // n_wave)
+                srs.append(16000)
+                counts.append(n)
+                chans.append(1 + n % 2)
+                waves.append(
+                    [
+                        _round4(payload[i * stride] / 255.0)
+                        for i in range(min(n_wave, n))
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sr": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "wave": waves,
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+def decode_audio(
+    blobs: DataFrame, id_col: str = "doc_id", n_wave: int = AUDIO_WAVE_LEN
+) -> DataFrame:
+    """REAL audio decode over the payload column — soundfile behind the
+    capability gate, schema-identical to :func:`decode_audio_stub`
+    (batch in, batch out, variable-length waveform head).
+
+    Per-row degradation: a corrupt or NULL payload yields
+    (-1, -1, -1, []) instead of failing the Arrow batch. Raises
+    :class:`NotImplementedError` when soundfile is not installed.
+    """
+    if not have_soundfile():
+        raise NotImplementedError(
+            "real audio decode requires soundfile; use decode_audio_stub "
+            "for codec-free environments"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import soundfile as sf
+
+        for pdf in batches:
+            srs, counts, chans, waves = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    data, sr = sf.read(
+                        io.BytesIO(payload), always_2d=True, dtype="float64"
+                    )
+                    srs.append(sr)
+                    counts.append(data.shape[0])
+                    chans.append(data.shape[1])
+                    waves.append(
+                        [_round4(abs(x)) for x in data[:n_wave, 0]]
+                    )
+                except Exception:
+                    srs.append(-1)
+                    counts.append(-1)
+                    chans.append(-1)
+                    waves.append([])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sr": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "wave": waves,
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=AUDIO_SCHEMA)
 
 
 def frame_sample_stub(

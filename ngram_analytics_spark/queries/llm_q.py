@@ -286,6 +286,48 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.register(
+    "q_multimodal_audio",
+    oracle=f"""
+        SELECT doc_id,
+               16000 AS sr,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_samples,
+               CAST(1 + octet_length(encode(text)) % 2 AS INTEGER)
+                   AS n_channels,
+               CAST(i AS INTEGER) AS wave_idx,
+               {oracle_round4det(
+                   "CAST(ascii(substr(text,"
+                   " CAST(i * greatest(1, octet_length(encode(text)) // 8)"
+                   " AS INTEGER) + 1, 1)) AS DOUBLE) / 255.0"
+               )} AS amp
+        FROM documents,
+             UNNEST(range(0, least(8, octet_length(encode(text)))))
+                 AS t(i)
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-decode plumbing (operators.multimodal.decode_audio_stub):
+    Arrow mapInPandas producing a VARIABLE-LENGTH array<double>
+    waveform column, then posexplode to scalar rows (the canonicalizer
+    hashes scalars only). Oracle-checkable because the deterministic
+    fake derives the waveform from evenly-strided payload bytes; the
+    real soundfile decoder (decode_audio) is schema-identical behind
+    its capability gate."""
+    from ngram_analytics_spark.operators.multimodal import (
+        decode_audio_stub,
+    )
+
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    audio = decode_audio_stub(blobs)
+    return audio.select(
+        "doc_id",
+        "sr",
+        "n_samples",
+        "n_channels",
+        F.posexplode("wave").alias("wave_idx", "amp"),
+    )
+
+
+@REG.register(
     "q_dedup_cluster",
     oracle=f"""
         WITH RECURSIVE pairs AS (

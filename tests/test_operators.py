@@ -540,6 +540,14 @@ def test_decode_image_real_codec_gated(spark):
     from tests.conftest import SF_SMOKE
 
     blobs = to_blob_table(load(spark, SF_SMOKE, "documents")).limit(5)
+    # include a NULL payload: it must degrade per-row like any corrupt
+    # payload (len(None) outside the guard killed the batch pre-fix)
+    null_row = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS doc_id,"
+        " CAST(NULL AS BINARY) AS payload,"
+        " named_struct('mime', 'application/fake', 'n_bytes', 0) AS meta"
+    )
+    blobs = blobs.unionByName(null_row)
     if not have_pil():
         with pytest.raises(NotImplementedError, match="Pillow"):
             decode_image(blobs)
@@ -547,5 +555,61 @@ def test_decode_image_real_codec_gated(spark):
     rows = decode_image(blobs).collect()
     # text bytes are not a valid image: the decoder must degrade
     # per-row (mode='corrupt'), never crash the task
+    assert len(rows) == 6
+    assert all(r.mode == "corrupt" for r in rows)
+    assert {r.n_bytes for r in rows if r.doc_id == -1} == {-1}
+
+
+def test_decode_audio_stub_waveform(spark):
+    """Audio stub: variable-length array<double> waveform through real
+    Arrow plumbing — lengths bounded by AUDIO_WAVE_LEN, values in
+    [0, 1], and one row spot-checked against a hand computation."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.multimodal import (
+        AUDIO_WAVE_LEN,
+        decode_audio_stub,
+        to_blob_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").limit(10)
+    blobs = to_blob_table(docs)
+    rows = decode_audio_stub(blobs).collect()
+    assert len(rows) == 10
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        payload = texts[r.doc_id].encode()
+        n = len(payload)
+        assert r.sr == 16000
+        assert r.n_samples == n
+        assert r.n_channels == 1 + n % 2
+        assert 0 < len(r.wave) <= AUDIO_WAVE_LEN
+        assert all(0.0 <= x <= 1.0 for x in r.wave)
+        stride = max(1, n // AUDIO_WAVE_LEN)
+        expect0 = float(int(payload[0] / 255.0 * 1e4 + 0.5)) / 1e4
+        assert r.wave[0] == expect0 and len(r.wave) == min(
+            AUDIO_WAVE_LEN, n
+        ), (r.doc_id, stride)
+
+
+def test_decode_audio_real_codec_gated(spark):
+    """Real audio decode: exercises soundfile when present (with
+    per-row corrupt degradation), otherwise verifies the capability
+    gate raises."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.multimodal import (
+        decode_audio,
+        have_soundfile,
+        to_blob_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    blobs = to_blob_table(load(spark, SF_SMOKE, "documents")).limit(5)
+    if not have_soundfile():
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(blobs)
+        return
+    rows = decode_audio(blobs).collect()
+    # text bytes are not valid audio: per-row degradation, no crash
     assert len(rows) == 5
-    assert all(r.mode == "corrupt" and r.n_bytes > 0 for r in rows)
+    assert all(r.sr == -1 and r.wave == [] for r in rows)
