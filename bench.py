@@ -114,7 +114,8 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": n_passes,
+                "base_passes": n_passes,
+                "runs_per_query": {n: len(r) for n, r in runs.items()},
                 "interleaved_passes": True,
                 "retried": retried,
                 "aggregation": "min",
