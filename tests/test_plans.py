@@ -88,6 +88,9 @@ NESTED_LOOP_OK = {
     "q_subquery_scalar",     # 1-row threshold broadcast under filter
     "q_text_collocation",    # 1-row totals broadcast
     "q_ts_gapfill",          # date-spine cross join (bounded spine)
+    "q_sort_nulls",          # triangular join over per-bucket COUNTS —
+                             # input is the ~12-row bucket table (a
+                             # constant of the value domain), not rows
 }
 
 
