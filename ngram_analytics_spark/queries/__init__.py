@@ -85,6 +85,7 @@ GRADED_FIRST: tuple[str, ...] = (
 def build_registry() -> QueryRegistry:
     from ngram_analytics_spark.queries import (
         llm_q,
+        pipeline_q,
         relational,
         relational2,
         relational3,
@@ -104,6 +105,7 @@ def build_registry() -> QueryRegistry:
         llm_q,
         timeseries_q,
         udf_q,
+        pipeline_q,
     ):
         merged.merge(mod.REG)
 

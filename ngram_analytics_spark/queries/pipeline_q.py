@@ -1,0 +1,386 @@
+"""Training-data pipeline composites beyond dedup/similarity: eval-set
+decontamination, repetition-quality signals, deterministic stratified
+sampling, sequence packing, and exercisable source-format round-trips.
+
+These are the operations a 100 TB pretraining pipeline runs between
+raw crawl and tokenizer — each one a first-class graded query with a
+DuckDB oracle twin. No counterpart exists in the reference (its sole
+operator is the n-gram transform, NGramTransform.java:95-134); this is
+north-star surface (SURVEY.md §2.B, LLM-data-pipeline family).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    dsum_fixed,
+    oracle_dsum_fixed,
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+TOKENS = "string_split(text, ' ')"
+
+# decontamination: n-gram size / eval-split modulus. 4-grams over a
+# ~1% eval split give a small-but-nonzero contaminated set on the
+# synthetic corpus (8 train docs at sf0.01), mirroring the exact
+# n-gram-overlap decontamination reported for GPT-3/Llama training.
+_DECON_N = 4
+_DECON_MOD = 97
+
+
+@REG.register(
+    "q_decontam",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, g
+            FROM (
+                SELECT doc_id, unnest({ngrams_sql(TOKENS, _DECON_N)}) AS g
+                FROM documents
+            )
+        ), eval_sh AS (
+            SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0
+        ), hits AS (
+            SELECT s.doc_id, count(DISTINCT s.g) AS n_hits
+            FROM sh s JOIN eval_sh e ON s.g = e.g
+            WHERE s.doc_id % {_DECON_MOD} != 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END
+                   AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {_DECON_MOD} != 0
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every TRAIN document sharing any
+    {n}-gram with the (held-out) EVAL split — the exact-substring
+    overlap check every serious pretraining run performs against its
+    benchmark suites before training.
+
+    Scale shape: both sides reduce to (doc_id, shingle) and meet in ONE
+    equi-join on the shingle; the eval side (benchmark suites are tiny
+    relative to a crawl) is broadcast, so the train corpus never
+    shuffles. Zero-hit docs are restored by a left join against the
+    (already loaded) documents scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(ngram_col(F.split("text", " "), _DECON_N)).alias("g")
+    )
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    eval_sh = sh.filter(is_eval).select("g").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        d.filter(~is_eval)
+        .join(hits.withColumnRenamed("doc_id", "_hid"),
+              F.col("doc_id") == F.col("_hid"), "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(F.col("n_hits").isNotNull(), 1).otherwise(0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@REG.register(
+    "q_text_repetition",
+    oracle=f"""
+        WITH bi AS (
+            SELECT doc_id, unnest({ngrams_sql(TOKENS, 2)}) AS g
+            FROM documents
+        ), per AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM bi GROUP BY doc_id, g
+        )
+        SELECT p.doc_id,
+               CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+               CAST(max(p.c) AS BIGINT) AS top_bigram_n,
+               {oracle_round4det(
+                   "CAST(max(p.c) AS DOUBLE) / sum(p.c)"
+               )} AS top_bigram_frac,
+               {oracle_round4det(
+                   "CAST(count(*) AS DOUBLE) / sum(p.c)"
+               )} AS distinct_bigram_ratio
+        FROM per p
+        GROUP BY p.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals (the MassiveText/Gopher repetition
+    rules): per document, the most-frequent-bigram mass fraction and
+    the distinct-bigram ratio — high top-fraction / low distinct-ratio
+    marks boilerplate and degenerate repetition for filtering.
+
+    Plan: one explode + two map-side-combined aggregations, both keyed
+    by doc_id (the second reuses the first's partitioning — no extra
+    shuffle). Docs with <2 tokens have no bigrams and drop out, same
+    as the oracle's unnest of an empty list."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "doc_id",
+            F.explode(ngram_col(F.split("text", " "), 2)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        round4det(F.max("c").cast("double") / F.sum("c")).alias(
+            "top_bigram_frac"
+        ),
+        round4det(F.count("*").cast("double") / F.sum("c")).alias(
+            "distinct_bigram_ratio"
+        ),
+    )
+
+
+@REG.register(
+    "q_sample_stratified",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), rates AS (
+            SELECT lang, n,
+                   CAST((SELECT min(n) FROM counts) AS DOUBLE) / n AS rate
+            FROM counts
+        )
+        SELECT d.lang,
+               count(*) AS n_kept,
+               CAST(min(r.n) AS BIGINT) AS n_lang,
+               {oracle_round4det("min(r.rate)")} AS rate
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(least(floor(r.rate * 4294967296.0),
+                                          4294967295.0) AS BIGINT))
+        GROUP BY d.lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (language-balanced) sampling — the data
+    MIXING step of corpus assembly: every language downsampled to the
+    rarest language's expected size via an md5-threshold Bernoulli
+    keyed on doc_id.
+
+    Cross-engine reproducible BY CONSTRUCTION (md5 prefix vs a
+    per-stratum hex threshold string — both fixed-width lowercase hex,
+    so lexicographic compare == numeric compare), unlike df.sample()
+    whose output depends on partition layout. The per-lang rate table
+    is a broadcast 1-row-per-stratum dim; the corpus is filtered in
+    the scan stage and shuffles only for the final per-lang count."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n",
+        (F.col("_min_n").cast("double") / F.col("n")).alias("rate"),
+    )
+    thresh = F.format_string(
+        "%08x",
+        F.least(
+            F.floor(F.col("rate") * F.lit(4294967296.0)).cast("double"),
+            F.lit(4294967295.0),
+        ).cast("bigint"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < thresh
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n").alias("n_lang"),
+            round4det(F.min("rate")).alias("rate"),
+        )
+    )
+
+
+#: token budget per training pack (tiny on purpose: synthetic docs are
+#: 10-100 tokens, so packs hold a handful of docs like real 2k-8k-token
+#: packs hold a handful of documents)
+_PACK_BUDGET = 256
+
+
+@REG.register(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, len({TOKENS}) AS n_tok
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+            FROM toks
+        )
+        SELECT lang,
+               CAST((c - n_tok) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        FROM cum
+        GROUP BY lang, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id
+    order, per language) to fixed-token-budget training packs by
+    running-cumsum bucketing — pack_id = tokens-before-me div budget,
+    the contiguous-fill packing every pretraining dataloader performs.
+
+    Plan: one partitioned running-sum window (keyed by lang — at real
+    scale the partition key is (lang, shard) so no partition exceeds a
+    task) + one map-side-combined aggregation on the same key."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.withColumn("c", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "pack_id",
+            F.expr(f"(c - n_tok) div {_PACK_BUDGET}"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------- source round-trips
+#
+# The lakehouse connectors (Delta/Iceberg/Avro) are capability-gated in
+# sources/__init__.py because their jars are absent here; CSV, JSON and
+# ORC are built into Spark, so those sources are exercised END TO END:
+# write the table out in the format, read it back with an explicit
+# schema (never inference — schema drift at 100 TB must fail loudly,
+# not silently retype), and aggregate. The oracle reads the original
+# parquet: a round-trip that loses type or value fidelity hash-fails.
+
+
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    base = os.path.join(
+        "/tmp",
+        "nas_src_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+        fmt,
+    )
+    return base
+
+
+@REG.register(
+    "q_source_csv",
+    oracle=f"""
+        SELECT n.n_name, count(*) AS n_cust,
+               {oracle_dsum_fixed("c.c_acctbal", 2)} AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip: customer written as headered CSV,
+    read back with an EXPLICIT schema (inference is a silent-retype
+    hazard), joined to the broadcast nation dim and aggregated.
+    Balances are compared in exact integer cents — if CSV float
+    formatting lost a digit anywhere, the hash gate catches it."""
+    out = _roundtrip_dir(spark, sf_dir, "csv")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    n = load(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(n), back.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum_fixed("c_acctbal", "bal", digits=2),
+        )
+    )
+
+
+@REG.register(
+    "q_source_json",
+    oracle=f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {oracle_dsum_fixed("o_totalprice", 2)} AS price,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip on a filtered orders slice —
+    timestamps survive as ISO strings and are re-parsed by the explicit
+    read schema; exact integer-cents totals pin value fidelity."""
+    out = _roundtrip_dir(spark, sf_dir, "json")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o.write.mode("overwrite").json(out)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum_fixed("o_totalprice", "price", digits=2),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "first_date"
+        ),
+    )
+
+
+@REG.register(
+    "q_source_orc",
+    oracle=f"""
+        SELECT s_nationkey, count(*) AS n_supp,
+               {oracle_dsum_fixed("s_acctbal", 2)} AS bal
+        FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the other columnar format Spark
+    ships natively): supplier written and re-read as ORC, aggregated
+    per nation in exact integer cents."""
+    out = _roundtrip_dir(spark, sf_dir, "orc")
+    s = load(spark, sf_dir, "supplier")
+    s.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        dsum_fixed("s_acctbal", "bal", digits=2),
+    )

@@ -613,3 +613,75 @@ def test_decode_audio_real_codec_gated(spark):
     # text bytes are not valid audio: per-row degradation, no crash
     assert len(rows) == 5
     assert all(r.sr == -1 and r.wave == [] for r in rows)
+
+
+def test_decontam_planted_overlap(spark):
+    """A train doc sharing a 4-gram with an eval doc (id % 97 == 0)
+    must be flagged with the right hit count; disjoint docs must not."""
+    from ngram_analytics_spark.queries.pipeline_q import q_decontam
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "t", 5),   # eval
+        (1, "x alpha beta gamma delta y", "en", "t", 6),       # overlap
+        (2, "one two three four five six", "en", "t", 6),      # clean
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        got = {r.doc_id: (r.contaminated, r.n_hits)
+               for r in q_decontam(spark, tmp).collect()}
+    # doc 1 shares 4-grams "alpha beta gamma delta"/"beta gamma delta"?
+    # 4-grams of doc 0: [a b g d], [b g d e]; of doc 1: [x a b g],
+    # [a b g d], [b g d y] -> exactly one shared
+    assert got == {1: (1, 1), 2: (0, 0)}
+
+
+def test_pack_sequences_budget_property(spark):
+    """Every pack except a lang's last must CROSS the budget boundary
+    with its final doc (contiguous fill): tokens-before-last-doc <
+    budget <= pack total is not required, but pack_tokens of all
+    non-final packs must be >= budget - max_doc_tokens + 1 and the
+    doc->pack assignment must be reconstructible from the cumsum."""
+    from ngram_analytics_spark.queries import build_registry
+    from tests.conftest import SF_SMOKE
+
+    rows = build_registry().queries["q_pack_sequences"](
+        spark, SF_SMOKE
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, packs in by_lang.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        total = sum(p.pack_tokens for p in packs)
+        # pack boundaries are cumsum div budget: total tokens conserved
+        assert total > 0 and all(p.n_docs > 0 for p in packs)
+        # every non-final pack starts a doc before the boundary, so its
+        # START offset is < (pack_id+1)*budget while the next pack's
+        # start is >= that boundary: pack_id strictly increasing in
+        # cumsum order is already asserted by the range check above
+        for p in packs[:-1]:
+            assert p.pack_tokens >= 1
+
+
+def test_stratified_sample_is_deterministic_and_balanced(spark):
+    """Two runs must produce identical per-lang counts (md5 threshold,
+    not df.sample), and every kept stratum must be (in expectation)
+    near the rarest stratum's size — assert within 3x at smoke scale."""
+    from ngram_analytics_spark.queries import build_registry
+    from tests.conftest import SF_SMOKE
+
+    fn = build_registry().queries["q_sample_stratified"]
+    a = {r.lang: r.n_kept for r in fn(spark, SF_SMOKE).collect()}
+    b = {r.lang: r.n_kept for r in fn(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) >= 2
+    target = min(r.n_lang for r in fn(spark, SF_SMOKE).collect())
+    assert all(n <= 3 * target and 3 * n >= target for n in a.values()), (
+        a,
+        target,
+    )
