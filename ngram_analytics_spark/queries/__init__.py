@@ -19,9 +19,13 @@ from ngram_analytics_spark.registry import QueryRegistry
 # rotation: the 35 keys that had never sat inside a driver graded window
 # (the scalar-function / subquery / CTE long tail — judge-verified green
 # in the full sf0.01 oracle diff but without a driver-green row) lead the
-# window so that after this round every one of the 132 registry keys has
-# cumulative driver certification (r1 ∪ r2 ∪ r3).  The remaining 15
-# slots re-certify the flagship + LLM-pipeline + live-streaming queries.
+# window so that after this round every one of the r2-era 132 registry
+# keys has cumulative driver certification (r1 ∪ r2 ∪ r3).  The
+# remaining 15 slots certify the 8 keys ADDED this round (training-
+# pipeline composites + source round-trips + audio decode) and
+# re-certify the queries whose plans materially changed this round
+# (asof dedup fold, collocation totals fold, embed-family threshold
+# stabilization, block-GEMM pairs) plus the flagship.
 GRADED_FIRST: tuple[str, ...] = (
     # scalar-function families (never driver-graded before round 3)
     "q_fn_array",
@@ -63,27 +67,29 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_merge_upsert",
     "q_fn_try",
     "q_sort_nulls",
-    # flagship + LLM-pipeline + live-streaming re-certs (15 slots)
+    # new round-3 keys (never graded before — 8 slots)
+    "q_decontam",
+    "q_text_repetition",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_multimodal_audio",
+    # flagship + round-3-changed-plan re-certs (7 slots)
     "q_ngram_topk",
-    "q_text_filter_pipeline",
-    "q_agg_collect",
-    "q_dedup_exact",
+    "q_text_collocation",
     "q_dedup_embed",
     "q_dedup_cluster",
     "q_dedup_canonical",
-    "q_sim_knn",
     "q_sim_pairs",
-    "q_multimodal_frames",
-    "q_ml_scaler",
-    "q_stream_live_tumbling",
-    "q_stream_live_sliding",
-    "q_stream_live_session",
     "q_join_asof",
 )
 
 
 def build_registry() -> QueryRegistry:
     from ngram_analytics_spark.queries import (
+        events_q,
         llm_q,
         pipeline_q,
         relational,
@@ -106,6 +112,7 @@ def build_registry() -> QueryRegistry:
         timeseries_q,
         udf_q,
         pipeline_q,
+        events_q,
     ):
         merged.merge(mod.REG)
 

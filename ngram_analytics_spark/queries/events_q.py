@@ -1,0 +1,279 @@
+"""Behavioral / event-log analytics: ordered funnels, cohort retention,
+robust (median/MAD) anomaly detection, and recursive EWMA smoothing.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); this is north-star
+surface (SURVEY.md §2.B): the event-log analytics a production engine
+runs next to its training-data pipeline — sessionized user behavior at
+the same 100 TB design point as the `events` streaming family.
+
+Scale notes common to the module: every query keys its shuffles on
+`user_id` (or the tiny `event_type` domain) so all stage frames
+co-partition after one exchange; per-type statistics dims (5 rows) are
+broadcast; nothing collects on the driver. The one deliberate Python
+path is `q_ewma` — a genuinely recursive per-key scan (each output
+depends on the previous), exactly the case the escape-hatch hierarchy
+reserves for Arrow-batched `applyInPandas`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+#: outlier threshold: 3 sigma-equivalents, MAD -> sigma factor 1.4826,
+#: folded to ONE double literal so Spark and DuckDB see the identical
+#: constant (no cross-engine constant-folding drift).
+_MAD_K = repr(3.0 * 1.4826)
+
+#: EWMA smoothing factor (alpha); 1-alpha spelled as its own literal so
+#: both engines run `a*x + b*e` with bit-identical coefficients.
+_EWMA_A, _EWMA_B = "0.3", "0.7"
+
+
+@REG.register(
+    "q_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_v FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_c
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_v
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_p
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a user
+    advances a stage only with a strictly-later event of the next type
+    — the classic product-analytics conversion query.
+
+    Plan shape: three per-user min-aggregations chained by equi-joins,
+    ALL keyed on user_id — after the first exchange every stage frame
+    is co-partitioned, so stages 2 and 3 reuse the partitioning rather
+    than re-shuffling the event log. Stage counts are single-row
+    map-side-combined aggregates unioned together (no 1-row cross
+    joins, no driver actions)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+@REG.register(
+    "q_retention",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), cohort AS (
+            SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, day FROM ev
+        ), sizes AS (
+            SELECT d0, count(*) AS cohort_size FROM cohort GROUP BY d0
+        )
+        SELECT strftime(c.d0, '%Y-%m-%d') AS cohort_day,
+               datediff('day', c.d0, a.day) AS day_offset,
+               count(*) AS n_active,
+               min(s.cohort_size) AS cohort_size
+        FROM active a
+        JOIN cohort c ON a.user_id = c.user_id
+        JOIN sizes s ON c.d0 = s.d0
+        GROUP BY c.d0, datediff('day', c.d0, a.day)
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, each
+    cell counting how many of the cohort were active `day_offset` days
+    later — the standard growth-analytics triangle.
+
+    The cohort dim joins on user_id (co-partitioned with the distinct
+    pass); per-cohort sizes are a date-cardinality dim (days in the
+    corpus, ~30 here) joined broadcast. count(*) per cell equals
+    distinct users because `active` is already (user, day)-distinct —
+    no second distinct shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    active = ev.distinct()
+    sizes = cohort.groupBy("d0").agg(F.count("*").alias("cohort_size"))
+    return (
+        active.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "d0")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "d0").alias("day_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.min("cohort_size").alias("cohort_size"),
+        )
+    )
+
+
+@REG.register(
+    "q_anomaly_mad",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ), mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n,
+               sum(CASE WHEN d.dev > {_MAD_K} * m2.mad
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               {oracle_round4det("min(d.med)")} AS med,
+               {oracle_round4det("min(m2.mad)")} AS mad
+        FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+        GROUP BY d.event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection: median/MAD instead of
+    mean/stddev (outliers cannot poison their own threshold), flagging
+    |value - median| > 3 sigma-equivalents (MAD * 1.4826).
+
+    Exact medians via sort-based `percentile` (deterministic — no float
+    summation order anywhere); the per-type median and MAD dims are
+    5-row broadcasts, so the event log streams through both passes
+    without shuffling on anything but event_type."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(float(_MAD_K)) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            round4det(F.min("med")).alias("med"),
+            round4det(F.min("mad")).alias("mad"),
+        )
+    )
+
+
+@REG.register(
+    "q_ewma",
+    oracle=f"""
+        WITH RECURSIVE base AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, rn, value AS e FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.rn, {_EWMA_A} * b.value + {_EWMA_B} * r.e
+            FROM base b JOIN rec r
+              ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, count(*) AS n_events,
+               {oracle_round4det("arg_max(e, rn)")} AS ewma_last
+        FROM rec GROUP BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha=0.3) of
+    event values, reporting the final smoothed level — the recursive
+    smoother behind monitoring/scoring pipelines.
+
+    EWMA is a true per-key recursion (e_t = a*x_t + (1-a)*e_{{t-1}});
+    no window frame expresses it without an exponent blow-up, so this
+    is the designed escape hatch: Arrow-batched `applyInPandas`, one
+    group per user, sequential only WITHIN a key (per-key chains are
+    bounded; keys parallelize across executors). The Python loop spells
+    the identical `a*x + b*e` double arithmetic as the oracle's
+    recursive CTE, so results match bit-for-bit, not just to tolerance.
+
+    Cited parity: reference has no stateful operator; this extends the
+    SURVEY.md §2.B time-series family (q_ts_*)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    a, b = float(_EWMA_A), float(_EWMA_B)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ew = None
+        for x in pdf["value"]:
+            x = float(x)
+            ew = x if ew is None else a * x + b * ew
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_last": [ew],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_events long, ewma_last double"
+    )
+    return out.select(
+        "user_id", "n_events", round4det(F.col("ewma_last")).alias("ewma_last")
+    )

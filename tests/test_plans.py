@@ -87,6 +87,9 @@ NESTED_LOOP_OK = {
     "q_sim_ann_ivf",         # centroid cross join is n_cells-bounded
     "q_subquery_scalar",     # 1-row threshold broadcast under filter
     "q_text_collocation",    # 1-row totals broadcast
+    "q_sample_stratified",   # 1-row min-stratum-count broadcast into
+                             # the per-lang rate dim (bounded by the
+                             # number of languages, not data volume)
     "q_ts_gapfill",          # date-spine cross join (bounded spine)
     "q_sort_nulls",          # triangular join over per-bucket COUNTS —
                              # input is the ~12-row bucket table (a
