@@ -186,3 +186,96 @@ def _star_contraction(sym: DataFrame, max_rounds: int) -> DataFrame:
     raise RuntimeError(
         f"star contraction did not converge in {max_rounds} rounds"
     )
+
+
+def knn_graph_edges(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    min_cos: float = 0.2,
+) -> DataFrame:
+    """Directed k-nearest-neighbor graph over an embedding corpus:
+    for every vector, edges to its top-``k`` cosine neighbors at or
+    above ``min_cos`` — the similarity graph that feeds graph-side
+    corpus analytics (hub detection, quality propagation, clustering).
+
+    Built from :func:`~ngram_analytics_spark.operators.similarity.
+    cosine_edges` (auto-dispatched exact block-GEMM / LSH — the 100 TB
+    path engages above the corpus-size bound), symmetrized, then
+    ranked per source with a window keyed on the source node (one
+    shuffle; ties broken on the 4-dp-rounded cosine by neighbor id so
+    the edge set is engine-stable). A node whose k-th neighbor falls
+    below ``min_cos`` keeps fewer than k edges.
+
+    Returns (src, dst, c) with c the 4-dp-rounded cosine.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ngram_analytics_spark.operators.similarity import cosine_edges
+
+    pairs = cosine_edges(corpus, id_col, vec_col, min_cos=min_cos)
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("cos_sim").alias("c"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            F.col("cos_sim").alias("c"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
+    return (
+        directed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "vec_id",
+    iters: int = 5,
+    base: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in pure int64 arithmetic: ranks held in
+    integer micro-units, contributions as exact integer division by
+    out-degree, damping 0.85 as ``(85 * s) div 100`` — every operation
+    associative/exact, so results are bit-identical on any engine and
+    any partitioning (float PageRank cannot be differentially hashed:
+    summation order changes the last ulp).
+
+    Per iteration: one join of ranks to edges on the source key (both
+    sides hash-partitioned on the node id — co-partitioned after the
+    first exchange) and one map-side-combinable sum on the destination
+    key. Dangling nodes keep the damping floor and contribute nothing
+    (mass leaks, as in the simplified formulation). The plan is built
+    by unrolling ``iters`` joins — no action per round, Catalyst sees
+    the whole pipeline.
+
+    Returns (node, rank) for every node in ``nodes``.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.select("src", "dst").join(deg, "src")
+    n = nodes.select(F.col(node_col).alias("node"))
+    ranks = n.select("node", F.lit(base).cast("long").alias("r"))
+    floor_ = int(base * 15) // 100
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            n.join(contrib, n["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(floor_)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

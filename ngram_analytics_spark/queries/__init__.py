@@ -21,11 +21,12 @@ from ngram_analytics_spark.registry import QueryRegistry
 # in the full sf0.01 oracle diff but without a driver-green row) lead the
 # window so that after this round every one of the r2-era 132 registry
 # keys has cumulative driver certification (r1 ∪ r2 ∪ r3).  The
-# remaining 15 slots certify the 8 keys ADDED this round (training-
-# pipeline composites + source round-trips + audio decode) and
-# re-certify the queries whose plans materially changed this round
-# (asof dedup fold, collocation totals fold, embed-family threshold
-# stabilization, block-GEMM pairs) plus the flagship.
+# remaining 15 slots go to keys ADDED this round (training-pipeline
+# composites, source round-trips, audio decode, event analytics,
+# corpus modeling, graph pagerank); the six round-3 additions that
+# don't fit (q_boilerplate, q_shard_assign, q_graph_degree,
+# q_graph_triangles, q_stream_live_dedup, q_stream_live_join) lead
+# the round-4 rotation.
 GRADED_FIRST: tuple[str, ...] = (
     # scalar-function families (never driver-graded before round 3)
     "q_fn_array",
@@ -67,7 +68,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_merge_upsert",
     "q_fn_try",
     "q_sort_nulls",
-    # new round-3 keys (never graded before — 8 slots)
+    # new round-3 keys (never graded before — 15 slots; the re-cert
+    # slots went to new surface instead: every flagship /
+    # changed-plan candidate already holds an r1-or-r2 driver-green
+    # row and stays covered by the judge's full oracle diff)
     "q_decontam",
     "q_text_repetition",
     "q_sample_stratified",
@@ -76,20 +80,21 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_source_json",
     "q_source_orc",
     "q_multimodal_audio",
-    # flagship + round-3-changed-plan re-certs (7 slots)
-    "q_ngram_topk",
-    "q_text_collocation",
-    "q_dedup_embed",
-    "q_dedup_cluster",
-    "q_dedup_canonical",
-    "q_sim_pairs",
-    "q_join_asof",
+    "q_funnel",
+    "q_retention",
+    "q_anomaly_mad",
+    "q_ewma",
+    "q_doc_lm_score",
+    "q_quant_int8",
+    "q_graph_pagerank",
 )
 
 
 def build_registry() -> QueryRegistry:
     from ngram_analytics_spark.queries import (
+        corpus_q,
         events_q,
+        graph_q,
         llm_q,
         pipeline_q,
         relational,
@@ -113,6 +118,8 @@ def build_registry() -> QueryRegistry:
         udf_q,
         pipeline_q,
         events_q,
+        corpus_q,
+        graph_q,
     ):
         merged.merge(mod.REG)
 

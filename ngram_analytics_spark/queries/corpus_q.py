@@ -1,0 +1,301 @@
+"""Corpus-modeling queries: bigram language-model scoring, boilerplate
+span detection, deterministic shard assignment, and int8 embedding
+quantization error analysis.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); these extend the
+SURVEY.md §2.B training-data-pipeline family: the corpus-level
+modeling passes an LLM data pipeline runs between dedup and export —
+fluency scoring against a self-trained LM, template/boilerplate
+removal, stable sharding for distributed writes, and storage-side
+embedding compression.
+
+Scale notes: every aggregation below is map-side combinable; the only
+broadcast dims are vocabulary-bounded (unigram counts, 64 per-dim
+scales, one totals row). The bigram count table shuffles on the bigram
+key — the same shape q_ngram_topk already certifies at the 100 TB
+design point. Nothing collects on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    davg,
+    oracle_davg,
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+TOKENS = "string_split(text, ' ')"
+
+#: boilerplate span width (tokens) and the doc-frequency cutoff above
+#: which a span counts as corpus boilerplate.
+_SPAN_N = 5
+_SPAN_DF = 5
+
+#: shard-assignment constants: Knuth multiplicative hash folded to 64
+#: shards — spelled as plain int64 arithmetic so Spark and DuckDB
+#: compute the identical shard id (no engine-specific hash function).
+_SHARD_MOD = 999983  # prime < 2^20: doc_id folded before the multiply
+_SHARD_MUL = 2654435761  # 2^32 / golden ratio (Knuth)
+_SHARD_SPACE = 4294967296  # 2^32
+_N_SHARDS = 64
+
+
+@REG.register(
+    "q_doc_lm_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {TOKENS} AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, unnest({ngrams_sql("toks", 2)}) AS bg FROM t
+        ), bc AS (
+            SELECT bg, count(*) AS c_bi FROM bg GROUP BY bg
+        ), uc AS (
+            SELECT w, count(*) AS c_uni
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        )
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               {oracle_davg("CAST(c.c_bi AS DOUBLE) / u.c_uni")} AS lm_score
+        FROM bg b
+        JOIN bc c ON b.bg = c.bg
+        JOIN uc u ON u.w = string_split(b.bg, ' ')[1]
+        GROUP BY b.doc_id
+    """,
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under a corpus-trained bigram LM: the
+    average conditional probability count(w1 w2)/count(w1) over the
+    doc's bigrams — the self-supervised quality signal pipelines use to
+    rank documents before sampling (high = built from common
+    continuations, low = unusual token sequences).
+
+    Plan: one explode for bigram counts (shuffle on the bigram key,
+    map-side combined — the q_ngram_topk shape), a vocabulary-sized
+    unigram dim joined BROADCAST, and the per-doc score as an
+    order-independent decimal-accumulated average. Probabilities are
+    averaged directly (no log) so the score stays bit-identical across
+    engines — no libm transcendental in the differential surface.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bg = t.select(
+        "doc_id", F.explode(ngram_col(F.col("toks"), 2)).alias("bg")
+    )
+    bc = bg.groupBy("bg").agg(F.count("*").alias("c_bi"))
+    uc = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    return (
+        bg.join(bc, "bg")
+        .join(
+            F.broadcast(uc),
+            F.col("w") == F.split(F.col("bg"), " ").getItem(0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            davg(
+                F.col("c_bi").cast("double") / F.col("c_uni"), "lm_score"
+            ),
+        )
+    )
+
+
+@REG.register(
+    "q_boilerplate",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest({ngrams_sql("toks", _SPAN_N)}) AS g
+            FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+        ), df AS (
+            SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g
+        )
+        SELECT g.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN df.df >= {_SPAN_DF} THEN 1 ELSE 0 END)
+                   AS n_boiler,
+               {oracle_round4det(
+                   f"CAST(sum(CASE WHEN df.df >= {_SPAN_DF} THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)"
+               )} AS boiler_ratio
+        FROM g JOIN df ON g.g = df.g
+        GROUP BY g.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: a 5-token span occurring in >= 5 distinct
+    documents is corpus boilerplate (templates, headers, navigation);
+    each document reports what fraction of its spans are boilerplate —
+    the removal signal upstream of dedup in a training-data pipeline.
+
+    Plan: span explode -> distinct-doc-frequency agg (shuffle on the
+    span key, map-side combined) -> join back on the same span key (no
+    second exchange for the build side: it arrives partitioned from
+    its agg) -> per-doc ratio. The span-frequency table is corpus-
+    bounded, never broadcast, never driver-side.
+    """
+    g = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(ngram_col(F.split("text", " "), _SPAN_N)).alias("g"),
+        )
+    )
+    df = g.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = F.sum(
+        F.when(F.col("df") >= _SPAN_DF, 1).otherwise(0)
+    )
+    return (
+        g.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            boiler.alias("n_boiler"),
+            round4det(
+                boiler.cast("double") / F.count("*")
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+@REG.register(
+    "q_shard_assign",
+    oracle=f"""
+        SELECT ((doc_id % {_SHARD_MOD}) * {_SHARD_MUL})
+                   % {_SHARD_SPACE} % {_N_SHARDS} AS shard,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for distributed export: Knuth
+    multiplicative hash of doc_id folded to 64 shards, reported as
+    per-shard balance stats (row and byte counts) — the writer-side
+    layout step of a training-data pipeline, where a stable doc->shard
+    map must reproduce across engines and runs.
+
+    The hash is plain int64 arithmetic (fold, multiply, two mods) so
+    any engine computes the identical assignment — no xxhash64 /
+    murmur dependence. One map-side-combined aggregation over 64 keys;
+    in a real export the same expression feeds repartition(shard) so
+    each output file is one shard.
+    """
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") % _SHARD_MOD) * F.lit(_SHARD_MUL)
+    ) % _SHARD_SPACE % _N_SHARDS
+    return (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+#: int8 quantization: symmetric per-dimension scale max|x|/127; the
+#: round-half-away-from-zero + clamp spelled identically in both
+#: engines (floor/abs/sign only — see functions.deterministic).
+_Q_ERR_DUCK = """
+    abs(least(127.0, CAST(floor(abs(x / s) + 0.5) AS DOUBLE))
+        * (CASE WHEN x / s < 0 THEN -1.0
+                WHEN x / s > 0 THEN 1.0 ELSE 0.0 END) * s - x)
+"""
+
+
+@REG.register(
+    "q_quant_int8",
+    oracle=f"""
+        WITH d AS (
+            SELECT vec_id, label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), s AS (
+            SELECT pos, max(abs(x)) / 127.0 AS s FROM d GROUP BY pos
+        ), e AS (
+            SELECT vec_id, label, {_Q_ERR_DUCK} AS err
+            FROM d JOIN s ON d.pos = s.pos
+            WHERE s.s != 0
+        ), pv AS (
+            SELECT vec_id, min(label) AS label,
+                   CAST(sum(CAST(floor(err * 100000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100000000.0 / count(*) AS mean_err,
+                   max(err) AS max_err
+            FROM e GROUP BY vec_id
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               {oracle_davg("mean_err")} AS avg_err,
+               {oracle_round4det("max(max_err)")} AS max_err
+        FROM pv GROUP BY label
+    """,
+)
+def q_quant_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization error analysis: symmetric per-
+    dimension scales (max|x|/127), round-half-away + clamp to int8,
+    dequantize, and report per-label mean / max reconstruction error —
+    the storage-compression validation step before shipping embeddings
+    to an ANN index (4x smaller vectors, bounded error).
+
+    Plan: one posexplode; per-dim scales are a 64-key map-side-combined
+    agg joined back BROADCAST; per-vector error folds in exact int64
+    fixed-point (1e-8 ticks — order-independent across engines), then
+    a per-label decimal-accumulated average. max() is order-free by
+    nature. No Python, no driver action, no unbounded state.
+    """
+    d = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x"
+        ),
+    )
+    # DuckDB range(1,..) positions are 1-based; align.
+    d = d.withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    s = d.groupBy("pos").agg((F.max(F.abs("x")) / 127.0).alias("s"))
+    q = F.col("x") / F.col("s")
+    dequant = (
+        F.least(F.lit(127.0), F.floor(F.abs(q) + 0.5).cast("double"))
+        * F.signum(q)
+        * F.col("s")
+    )
+    e = (
+        d.join(F.broadcast(s.filter(F.col("s") != 0)), "pos")
+        .select("vec_id", "label", F.abs(dequant - F.col("x")).alias("err"))
+    )
+    pv = e.groupBy("vec_id").agg(
+        F.min("label").alias("label"),
+        (
+            F.sum(F.floor(F.col("err") * 1e8 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 1e8
+            / F.count("*")
+        ).alias("mean_err"),
+        F.max("err").alias("max_err"),
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        davg("mean_err", "avg_err"),
+        round4det(F.max("max_err")).alias("max_err"),
+    )

@@ -1,0 +1,204 @@
+"""Similarity-graph analytics over the embedding k-NN graph: degree
+distribution, triangle census, and integer PageRank.
+
+A training-data pipeline that builds a near-duplicate / similarity
+graph (operators.similarity.cosine_edges feeds dedup composites) can
+also MINE that graph: hub vectors (high in-degree) flag over-
+represented content, triangles measure local redundancy, PageRank
+ranks vectors by semantic centrality for sampling. The reference
+engine has no counterpart (its sole operator is the n-gram transform,
+NGramTransform.java:95-134); this extends SURVEY.md §2.B's
+LLM-pipeline family with the graph-side passes.
+
+Substrate: the directed 3-NN graph over `embeddings` (top-3 cosine
+neighbors at >= 0.2, ties broken deterministically — see
+operators.graph.knn_graph_edges). The TPC-H-derived co-occurrence
+graphs are complete at test scale (every supplier pair shares an
+order), so the k-NN graph is the non-degenerate substrate; it is also
+the one a real pipeline has already paid for.
+
+Scale notes: edge generation auto-dispatches exact block-GEMM vs LSH
+(the 100 TB path engages above the corpus bound); per-query shuffles
+key on node ids (no global windows); triangle enumeration joins on the
+shared vertex of id-ordered edges — the production refinement for
+power-law graphs is degree-ordered orientation, which bounds the join
+fan-out by arboricity instead of max degree (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import oracle_round4det
+from ngram_analytics_spark.functions.vectors import oracle_cosine
+from ngram_analytics_spark.operators.graph import (
+    knn_graph_edges,
+    pagerank_int,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+_K = 3
+_MIN_COS = 0.2
+_COS_AB = oracle_cosine("a.embedding", "b.embedding")
+
+#: DuckDB twin of operators.graph.knn_graph_edges: all-pairs rounded
+#: cosine, per-source rank on (c DESC, dst ASC), top-3. The Spark side
+#: reaches the same edge set through cosine_edges' bucketed kernels.
+_EDGES_CTE = f"""
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {oracle_round4det(_COS_AB)} AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE {oracle_round4det(_COS_AB)} >= {_MIN_COS}
+    ), e AS (
+        SELECT src, dst, c FROM (
+            SELECT src, dst, c,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst ASC) AS rn
+            FROM pairs
+        ) WHERE rn <= {_K}
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph_edges(emb, k=_K, min_cos=_MIN_COS)
+
+
+@REG.register(
+    "q_graph_degree",
+    oracle=f"""
+        WITH {_EDGES_CTE}, ind AS (
+            SELECT n.vec_id, coalesce(d.ind, 0) AS in_degree
+            FROM embeddings n
+            LEFT JOIN (SELECT dst, count(*) AS ind FROM e GROUP BY dst) d
+              ON n.vec_id = d.dst
+        )
+        SELECT in_degree, count(*) AS n_nodes
+        FROM ind GROUP BY in_degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the 3-NN graph (0-degree nodes
+    included): the hub-detection histogram — a vector chosen as
+    neighbor by many others marks an over-dense region of the corpus.
+
+    Two map-side-combined aggs (per-node count, then histogram) plus
+    one left join to re-attach never-chosen nodes; all keyed on node
+    ids, no global ordering anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    ind = (
+        emb.select("vec_id")
+        .join(
+            _edges(spark, sf_dir)
+            .groupBy("dst")
+            .agg(F.count("*").alias("ind")),
+            F.col("vec_id") == F.col("dst"),
+            "left",
+        )
+        .select(F.coalesce("ind", F.lit(0)).alias("in_degree"))
+    )
+    return ind.groupBy("in_degree").agg(F.count("*").alias("n_nodes"))
+
+
+@REG.register(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH {_EDGES_CTE}, u AS (
+            SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2
+            FROM e
+        ), tri AS (
+            SELECT count(*) AS v FROM u e1
+            JOIN u e2 ON e2.s1 = e1.s2
+            JOIN u e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+        SELECT 'n_nodes' AS metric, count(*) AS value
+        FROM (SELECT s1 AS n FROM u UNION SELECT s2 FROM u)
+        UNION ALL SELECT 'n_edges', count(*) FROM u
+        UNION ALL SELECT 'n_triangles', v FROM tri
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the symmetrized 3-NN graph: triangles =
+    closed 2-paths over id-ordered edges (a<b<c counted once) — the
+    local-redundancy measure (clustering coefficient numerator).
+
+    The enumeration is two equi-joins on shared vertices of the
+    id-ordered edge table — hash-joinable, no nested loop; the metric
+    rows are unioned single-row aggregates (the q_funnel shape), so no
+    1-row cross joins either."""
+    u = (
+        _edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("s1"),
+            F.greatest("src", "dst").alias("s2"),
+        )
+        .distinct()
+    )
+    nodes = (
+        u.select(F.col("s1").alias("n"))
+        .union(u.select(F.col("s2").alias("n")))
+        .distinct()
+    )
+    e1 = u.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = u.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = u.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+
+    def metric(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("value")).select(
+            F.lit(label).alias("metric"), "value"
+        )
+
+    return (
+        metric(nodes, "n_nodes")
+        .unionAll(metric(u, "n_edges"))
+        .unionAll(metric(tri, "n_triangles"))
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    sql = f"""
+        WITH {_EDGES_CTE},
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        n AS (SELECT vec_id FROM embeddings),
+        r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n)
+    """
+    for i in range(1, iters + 1):
+        sql += f"""
+        , r{i} AS (
+            SELECT n.vec_id,
+                   CAST(150000 + (85 * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS r
+            FROM n LEFT JOIN (
+                SELECT e.dst, sum(r.r // d.deg) AS s
+                FROM e
+                JOIN r{i - 1} r ON e.src = r.vec_id
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) c ON n.vec_id = c.dst)
+        """
+    return sql + f" SELECT vec_id AS node, r AS rank FROM r{iters}"
+
+
+@REG.register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power-iterations of PageRank over the 3-NN graph in exact
+    int64 micro-units (operators.graph.pagerank_int): semantic
+    centrality for sampling weights, with bit-identical results on any
+    engine/partitioning — the reason for integer arithmetic is that a
+    float PageRank's last ulp depends on summation order and cannot be
+    differentially certified.
+
+    The oracle unrolls the same five iterations as chained CTEs with
+    the identical integer expressions ((85 * s) div 100 damping,
+    rank div degree contributions)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pagerank_int(
+        emb.select("vec_id"), _edges(spark, sf_dir), iters=5
+    ).select(F.col("node"), F.col("rank"))

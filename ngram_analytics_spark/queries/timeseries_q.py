@@ -503,3 +503,86 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REG.oracles["q_stream_live_sliding"] = REG.oracles["q_stream_sliding"]
+
+
+@REG.register(
+    "q_stream_live_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under REAL Structured Streaming:
+    readStream -> dropDuplicates on the key columns -> append memory
+    sink. The emitted SET of keys is arrival-order independent (which
+    physical row survives is not, so only the keys are projected),
+    making streaming exactly-once dedup differentially certifiable
+    against batch DISTINCT.
+
+    State note: key-only dropDuplicates keeps one state row per
+    distinct key forever — correct here and for bounded key domains;
+    an unbounded-key production stream uses
+    streaming.dedup_within_watermark (dropDuplicatesWithinWatermark,
+    state GC'd past the watermark), whose survivor set depends on
+    arrival order and is therefore exercised in tests, not the hash
+    gate."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    dedup = events.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = "t_live_dedup_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(dedup, name, output_mode="append")
+    return spark.table(name)
+
+
+@REG.register(
+    "q_stream_live_join",
+    oracle=f"""
+        WITH cohort AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(date_trunc('hour', e.ts), '{TS_FMT_DUCK}')
+                   AS win_start,
+               strftime(c.d0, '%Y-%m-%d') AS cohort_day,
+               count(*) AS n
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under REAL Structured Streaming: the live
+    event stream joins a BATCH-computed dimension (per-user first-seen
+    cohort day), then rolls up hourly counts per cohort — the standard
+    "enrich the stream with a warehouse dim" topology. The static side
+    is planned once and broadcast into every micro-batch; no state
+    beyond the windowed agg, watermark bounds it.
+
+    Hash-certified against the equivalent batch join+agg, so the gate
+    covers the join semantics, not just the agg."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    cohort = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    events = S.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "d0")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            "n",
+        )
+    )
+    name = "t_live_sjoin_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
