@@ -101,6 +101,7 @@ def build_registry() -> QueryRegistry:
         relational2,
         relational3,
         relational4,
+        relational5,
         text_q,
         timeseries_q,
         udf_q,
@@ -113,6 +114,7 @@ def build_registry() -> QueryRegistry:
         relational2,
         relational3,
         relational4,
+        relational5,
         llm_q,
         timeseries_q,
         udf_q,

@@ -1,0 +1,388 @@
+"""TPC-H-shaped composite queries (Q3 / Q5 / Q10 analogues) and
+Deequ-style data-quality operators (table profiling, constraint
+suites).
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); this is north-star
+surface (SURVEY.md §2.B): the decision-support join pipelines every
+warehouse engine is judged on, plus the data-quality passes a
+training pipeline runs before trusting a new drop of data.
+
+Scale notes: the composites follow the star-join discipline the
+graded surface already pins — date/segment filters sit in the scan
+(pushed to parquet), small dimensions broadcast, the lineitem spine
+never shuffles more than once per join key, and every money sum rides
+the fixed-point int64 path (pure long adds in whole-stage codegen).
+Profiling computes all per-column statistics in ONE scan (grouping-id
+expansion), not one scan per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    dsum_fixed,
+    oracle_dsum_fixed,
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@REG.register(
+    "q_tpch_q3",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {oracle_dsum_fixed(_REVENUE)} AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders of one
+    market segment by revenue.
+
+    Plan: segment filter prunes customers scan-side and the pruned dim
+    broadcasts into orders; the surviving orders (date-filtered in the
+    scan) broadcast into the lineitem spine, which therefore never
+    shuffles before its one aggregation on l_orderkey. The top-10 is a
+    TakeOrdered (no global sort), deterministic because revenue is a
+    fixed-point sum and ties break on the key."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum_fixed(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@REG.register(
+    "q_tpch_q5",
+    oracle=f"""
+        SELECT n.n_name,
+               {oracle_dsum_fixed(_REVENUE)} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    customer and supplier share the nation, one region, one year.
+
+    Plan: region->nation->supplier collapses to one broadcast dim;
+    customers join it broadcast too (the c_nationkey = s_nationkey
+    equi-term rides the join), so the only shuffle is lineitem ⋈
+    orders on the orderkey spine followed by the 5-key nation agg."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum_fixed(revenue, "revenue"))
+    )
+
+
+@REG.register(
+    "q_tpch_q10",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {oracle_dsum_fixed(_REVENUE)} AS revenue,
+               {oracle_round4det("min(c.c_acctbal)")} AS acctbal,
+               min(n.n_name) AS nation
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one quarter.
+
+    Plan: quarter-filtered orders broadcast into the return-filtered
+    lineitem spine (both filters in the scans); the customer dim
+    (with its broadcast nation join) arrives broadcast as well, so the
+    spine's only shuffle is the per-customer aggregation; top-20 is a
+    TakeOrdered on the fixed-point revenue with key tiebreak."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum_fixed(revenue, "revenue"),
+            round4det(F.min("c_acctbal")).alias("acctbal"),
+            F.min("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+#: columns profiled by q_profile_table, with their value family —
+#: doubles report rounded numeric min/max (double->string formatting
+#: is engine-specific: Java emits scientific notation above 1e7),
+#: everything else reports string min/max (bigint/varchar/timestamp
+#: casts are format-stable across engines).
+_PROFILE_COLS = (
+    ("o_orderkey", "str"),
+    ("o_custkey", "str"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, fam in _PROFILE_COLS:
+        min_s = f"CAST(min({col}) AS VARCHAR)" if fam == "str" else "NULL"
+        max_s = f"CAST(max({col}) AS VARCHAR)" if fam == "str" else "NULL"
+        min_n = oracle_round4det(f"min({col})") if fam == "num" else "NULL"
+        max_n = oracle_round4det(f"max({col})") if fam == "num" else "NULL"
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+                   count(*) AS n_rows,
+                   count(*) - count({col}) AS n_null,
+                   count(DISTINCT {col}) AS n_distinct,
+                   {min_s} AS min_str, {max_s} AS max_str,
+                   CAST({min_n} AS DOUBLE) AS min_num,
+                   CAST({max_n} AS DOUBLE) AS max_num
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@REG.register("q_profile_table", oracle=_profile_oracle())
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (Deequ/TFDV-style): one row per column with
+    row/null/distinct counts and min/max — the first pass a pipeline
+    runs on any new data drop.
+
+    All statistics come from ONE scan: a single multi-countDistinct
+    aggregate (Catalyst's grouping-expand handles the distincts) whose
+    single output row is exploded into per-column rows plan-side — no
+    per-column re-scan, no driver round-trips. At petabyte scale the
+    exact distincts downgrade to approx_count_distinct; exact is kept
+    here for oracle certifiability."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for col, fam in _PROFILE_COLS:
+        aggs.append(F.count(col).alias(f"nn_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"nd_{col}"))
+        if fam == "str":
+            aggs.append(F.min(col).cast("string").alias(f"mins_{col}"))
+            aggs.append(F.max(col).cast("string").alias(f"maxs_{col}"))
+        else:
+            aggs.append(round4det(F.min(col)).alias(f"minn_{col}"))
+            aggs.append(round4det(F.max(col)).alias(f"maxn_{col}"))
+    one = o.agg(*aggs)
+    structs = []
+    for col, fam in _PROFILE_COLS:
+        structs.append(
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{col}")).alias("n_null"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                (
+                    F.col(f"mins_{col}")
+                    if fam == "str"
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"maxs_{col}")
+                    if fam == "str"
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+                (
+                    F.col(f"minn_{col}")
+                    if fam == "num"
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"maxn_{col}")
+                    if fam == "num"
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@REG.register(
+    "q_dq_checks",
+    oracle="""
+        SELECT 'quantity_positive' AS check_name,
+               sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                   AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_range',
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_not_null',
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'pk_unique',
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        UNION ALL
+        SELECT 'fk_orders_covered', count(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite validation (Deequ-style): each check emits a
+    violation count — range, nullability, primary-key uniqueness, and
+    foreign-key coverage — the gate a pipeline runs before promoting a
+    batch.
+
+    The three row-local checks and the PK check share ONE scan (single
+    aggregate); FK coverage is a left-anti probe against the
+    broadcast-able orders key set. Violation counts (not samples) keep
+    the output bounded at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    row_checks = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "quantity_positive"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("discount_in_range"),
+        F.sum(
+            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
+        ).alias("shipdate_not_null"),
+        (
+            F.count("*")
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("pk_unique"),
+    )
+    structs = [
+        F.struct(F.lit(n).alias("check_name"), F.col(n).alias("n_violations"))
+        for n in (
+            "quantity_positive",
+            "discount_in_range",
+            "shipdate_not_null",
+            "pk_unique",
+        )
+    ]
+    rows = row_checks.select(F.explode(F.array(*structs)).alias("c")).select(
+        "c.*"
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("fk_orders_covered").alias("check_name"), "n_violations")
+    )
+    return rows.unionAll(fk)
