@@ -386,3 +386,146 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("fk_orders_covered").alias("check_name"), "n_violations")
     )
     return rows.unionAll(fk)
+
+
+@REG.register(
+    "q_scd2",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               coalesce(
+                   strftime(
+                       lead(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ), '%Y-%m-%d'),
+                   '9999-12-31') AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM orders
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: turn an event-ordered dimension feed
+    (orders per customer) into versioned rows with [valid_from,
+    valid_to) intervals and a current-row flag — the warehouse pattern
+    for tracking attribute history, and the producer side of the
+    q_join_interval / q_join_asof temporal joins.
+
+    One window (lead over the natural key, full-key tiebreak so
+    same-day versions order identically on any engine), one shuffle on
+    the dimension key. The open interval is pinned to a sentinel
+    high date, matching common warehouse practice."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@REG.register(
+    "q_topk_salted",
+    oracle=f"""
+        SELECT o_orderpriority, o_orderkey,
+               {oracle_round4det("o_totalprice")} AS price,
+               rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+)
+def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k per group: phase 1 ranks within
+    (group, salt) partitions — 8-way salting spreads a hot group
+    across tasks and prunes to at most 8k candidate rows per group —
+    and phase 2 ranks the survivors globally per group. Correct
+    because every global top-k row is necessarily in its salt's
+    top-k (a superset survives phase 1).
+
+    The oracle is the UNSALTED single-window rank: salting is
+    semantics-preserving (the q_join_salted / q_agg_salted
+    discipline), so the hash gate certifies exactly that. This is the
+    100 TB answer to q_topk_pergroup's single-window shape, where one
+    degenerate group would serialize into one task."""
+    from pyspark.sql.window import Window as W
+
+    k = 3
+    o = load(spark, sf_dir, "orders").withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(8))
+    )
+    w1 = W.partitionBy("o_orderpriority", "_salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    survivors = (
+        o.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            round4det(F.col("o_totalprice")).alias("price"),
+            "rn",
+        )
+    )
+
+
+@REG.register("q_sketch_countmin")  # rows-only: xxhash64 grid is Spark-specific
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch demo over lineitem part keys: two
+    partition sketches (split by line number parity) merged by counter
+    addition, point-queried for the 10 most frequent parts — returns
+    (l_partkey, exact, est) with est >= exact by construction and the
+    merged estimate EXACTLY equal to a single-pass sketch (linearity;
+    both properties pinned in tests/test_sketch.py).
+
+    Deterministic (seeded xxhash64 grid) but hash-family-specific, so
+    rows-only like the HLL / MinHash / SimHash families."""
+    from ngram_analytics_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linenumber"
+    )
+    sk = countmin_merge(
+        countmin_build(li.filter(F.col("l_linenumber") % 2 == 0), "l_partkey"),
+        countmin_build(li.filter(F.col("l_linenumber") % 2 == 1), "l_partkey"),
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("l_partkey").asc())
+        .limit(10)
+    )
+    return (
+        countmin_estimate(sk, top.select("l_partkey"), "l_partkey")
+        .join(top, "l_partkey")
+        .select("l_partkey", "exact", "est")
+        .orderBy("l_partkey")
+    )
