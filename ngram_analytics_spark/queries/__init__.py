@@ -95,6 +95,7 @@ def build_registry() -> QueryRegistry:
         corpus_q,
         events_q,
         graph_q,
+        layout_q,
         llm_q,
         pipeline_q,
         relational,
@@ -122,6 +123,7 @@ def build_registry() -> QueryRegistry:
         events_q,
         corpus_q,
         graph_q,
+        layout_q,
     ):
         merged.merge(mod.REG)
 

@@ -1,0 +1,298 @@
+"""Lakehouse-layout and snapshot-maintenance queries: Z-order
+clustering keys, CDC snapshot diffing, and percentile winsorization.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); this is north-star
+surface (SURVEY.md §2.B): the table-maintenance passes a 100 TB
+lakehouse runs between ingest and query — multi-dimensional layout
+clustering (what Delta/Iceberg call OPTIMIZE ZORDER), change capture
+between snapshots, and outlier clipping before statistics feed
+downstream consumers.
+
+Determinism discipline: the Z-order key is pure div/mod arithmetic
+(no engine bit-op or hash dependence); CDC mutations are synthesized
+by key arithmetic; winsorization thresholds are DISCRETE percentiles
+(rank-selected values present in the data — no interpolation, so no
+cross-engine last-ulp hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    davg_fixed,
+    oracle_davg_fixed,
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+#: Z-order: 8 bits per dimension, interleaved with div/mod arithmetic.
+_ZBITS = 8
+
+
+def _zterm_sql(x: str, y: str, intdiv: str = "//") -> str:
+    """Bit-interleave expression from div/mod arithmetic only.
+
+    ``intdiv`` is the engine's INTEGER division spelling ("//" DuckDB,
+    "div" Spark SQL) — double division + truncating cast is NOT
+    equivalent at quotient boundaries (the rounded double can cross
+    the integer the exact quotient sits below)."""
+    terms = []
+    for b in range(_ZBITS):
+        terms.append(f"(({x}) {intdiv} {2 ** b}) % 2 * {4 ** b}")
+        terms.append(f"(({y}) {intdiv} {2 ** b}) % 2 * {2 * 4 ** b}")
+    return " + ".join(terms)
+
+
+@REG.register(
+    "q_zorder_layout",
+    oracle=f"""
+        WITH ranges AS (
+            SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s
+            FROM lineitem
+        ), keyed AS (
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   {_zterm_sql(
+                       f"(l_partkey * {2 ** _ZBITS}) // (max_p + 1)",
+                       f"(l_suppkey * {2 ** _ZBITS}) // (max_s + 1)",
+                   )} AS zkey
+            FROM lineitem, ranges
+        )
+        SELECT zkey // {4 ** _ZBITS // 16} AS zbucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM keyed
+        GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    each key is scaled to 8 bits and the bits interleaved, so rows
+    close in EITHER dimension land in the same file bucket — the
+    multi-dimensional data-skipping layout behind OPTIMIZE ZORDER.
+    The per-bucket min/max ranges returned ARE the skipping index:
+    both dimensions' ranges stay narrow per bucket (a single-column
+    sort would leave the other column's range unbounded).
+
+    Bit interleave spelled as div/mod/multiply only — identical int64
+    arithmetic on any engine. The scale ranges come from a 1-row agg
+    broadcast into the scan (no driver action); bucketing is a plain
+    16-key aggregation. In a real write path the same zkey feeds
+    ``repartitionByRange(zbucket)`` before the sink."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ranges = li.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    keyed = li.crossJoin(F.broadcast(ranges)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            _zterm_sql(
+                f"(l_partkey * {2 ** _ZBITS}) div (max_p + 1)",
+                f"(l_suppkey * {2 ** _ZBITS}) div (max_s + 1)",
+                intdiv="div",
+            )
+        ).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(
+            F.expr(f"zkey div {4 ** _ZBITS // 16}").alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+#: CDC snapshot-B synthesis: deletes (key % 13 == 0), status updates
+#: (key % 7 == 0), inserts (key % 11 == 0 re-keyed past the domain).
+_CDC = """
+        snap_b AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey % 13 != 0 AND o_orderkey % 7 != 0
+            UNION ALL
+            SELECT o_orderkey, 'X' FROM orders
+            WHERE o_orderkey % 13 != 0 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_orderstatus FROM orders
+            WHERE o_orderkey % 11 = 0
+        )
+"""
+
+
+@REG.register(
+    "q_cdc_diff",
+    oracle=f"""
+        WITH {_CDC}
+        SELECT op, count(*) AS n_rows,
+               min(key) AS min_key, max(key) AS max_key
+        FROM (
+            SELECT coalesce(b.o_orderkey, a.o_orderkey) AS key,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                        WHEN b.o_orderkey IS NULL THEN 'delete'
+                        ELSE 'update' END AS op
+            FROM orders a FULL JOIN snap_b b
+              ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+               OR a.o_orderstatus != b.o_orderstatus
+        )
+        GROUP BY op
+    """,
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer
+    compare on the primary key classifying every changed row as
+    insert / update / delete — how a pipeline turns periodic full
+    drops into an incremental feed. Snapshot B is synthesized from
+    snapshot A by key arithmetic (deletes, status updates, re-keyed
+    inserts) so the diff is deterministic and self-contained.
+
+    One co-partitioned full-outer join on the key (both sides hash to
+    the same layout) + a 3-key rollup. At 100 TB the same plan runs
+    per partition-date so only changed partitions join."""
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    keep = a.filter(
+        (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 != 0)
+    )
+    upd = a.filter(
+        (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+    ins = a.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    b = keep.unionAll(upd).unionAll(ins)
+    ab = a.alias("a").join(
+        b.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full",
+    )
+    changed = ab.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    ).select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("a.o_orderkey")).alias("key"),
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+    return changed.groupBy("op").agg(
+        F.count("*").alias("n_rows"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+
+
+@REG.register(
+    "q_winsorize",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                l_linenumber ASC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ), cuts AS (
+            SELECT l_returnflag,
+                   min(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                            THEN l_extendedprice END) AS lo,
+                   min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                            THEN l_extendedprice END) AS hi
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT r.l_returnflag,
+               count(*) AS n,
+               {oracle_round4det("min(c.lo)")} AS p01,
+               {oracle_round4det("min(c.hi)")} AS p99,
+               sum(CASE WHEN r.l_extendedprice < c.lo
+                         OR r.l_extendedprice > c.hi
+                        THEN 1 ELSE 0 END) AS n_clipped,
+               {oracle_davg_fixed(
+                   "greatest(c.lo, least(c.hi, r.l_extendedprice))"
+               )} AS clipped_mean
+        FROM ranked r JOIN cuts c ON r.l_returnflag = c.l_returnflag
+        GROUP BY r.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clip each group's values at discrete
+    p01/p99 and report the clipped mean — the outlier-robust
+    statistics pass run before value distributions feed training or
+    monitoring.
+
+    Thresholds are DISCRETE percentiles (the value at sorted position
+    ceil(q*n), full-key tiebreaks): rank selection instead of
+    interpolation means the cut is a value present in the data,
+    bit-identical on any engine — interpolated percentiles differ in
+    the last ulp across engines and cannot anchor an exact clip
+    comparison. One ranking window per group, a 3-row cuts dim joined
+    broadcast, and a fixed-point clipped mean."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    wc = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice"))
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            round4det(F.min("lo")).alias("p01"),
+            round4det(F.min("hi")).alias("p99"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            davg_fixed(clipped, "clipped_mean"),
+        )
+    )

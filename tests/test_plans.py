@@ -87,6 +87,7 @@ NESTED_LOOP_OK = {
     "q_sim_ann_ivf",         # centroid cross join is n_cells-bounded
     "q_subquery_scalar",     # 1-row threshold broadcast under filter
     "q_text_collocation",    # 1-row totals broadcast
+    "q_zorder_layout",       # 1-row scale-ranges broadcast into the scan
     "q_sample_stratified",   # 1-row min-stratum-count broadcast into
                              # the per-lang rate dim (bounded by the
                              # number of languages, not data volume)
