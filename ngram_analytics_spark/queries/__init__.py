@@ -103,6 +103,7 @@ def build_registry() -> QueryRegistry:
         relational3,
         relational4,
         relational5,
+        sampling_q,
         text_q,
         timeseries_q,
         udf_q,
@@ -124,6 +125,7 @@ def build_registry() -> QueryRegistry:
         corpus_q,
         graph_q,
         layout_q,
+        sampling_q,
     ):
         merged.merge(mod.REG)
 

@@ -1,0 +1,183 @@
+"""Deterministic sampling and incremental-maintenance queries:
+weighted Bernoulli sampling, exact-k per-group reservoir-style
+sampling, and algebraic partial-aggregate merge.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); north-star surface
+(SURVEY.md §2.B): the sampling passes that assemble a training mix
+from a scored corpus, and the incremental-aggregation discipline that
+keeps 100 TB rollups fresh without full recompute.
+
+Determinism discipline: all randomness is derived arithmetically or
+via md5 from row keys (the q_sample_hash precedent) — reproducible
+across engines, partitionings, and cluster sizes, unlike
+``df.sample(seed=)`` which depends on partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    davg,
+    oracle_davg,
+    oracle_round4det,
+    round4det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+#: arithmetic uniform in [0, 1): Knuth multiplicative hash of the row
+#: key folded modulo a prime — identical int64 math on both engines
+#: (md5-hex -> fraction needs hex->int, which DuckDB spells
+#: differently; plain arithmetic sidesteps the divergence).
+_U_PRIME = 1000003
+
+
+def _uniform(key):
+    return ((key * 2654435761) % _U_PRIME).cast("double") / _U_PRIME
+
+
+def _uniform_sql(key: str) -> str:
+    return f"(CAST(({key}) * 2654435761 % {_U_PRIME} AS DOUBLE) / {_U_PRIME})"
+
+
+@REG.register(
+    "q_sample_weighted",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, n_chars,
+                   least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS wt
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_kept,
+               sum(n_chars) AS total_chars,
+               {oracle_davg("wt")} AS avg_weight
+        FROM w
+        WHERE {_uniform_sql("doc_id")} < wt
+        GROUP BY lang
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli sampling: each document kept with
+    probability proportional to a quality proxy (here capped length) —
+    how a pipeline over-samples high-quality documents into the mix
+    while keeping the decision row-local and auditable.
+
+    keep <=> arithmetic-uniform(doc_id) < weight: a scan-stage filter,
+    no shuffle until the per-language rollup; any engine replays the
+    identical keep set from the keys alone."""
+    d = load(spark, sf_dir, "documents")
+    wt = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 400.0)
+    return (
+        d.withColumn("wt", wt)
+        .filter(_uniform(F.col("doc_id")) < F.col("wt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+            davg("wt", "avg_weight"),
+        )
+    )
+
+
+@REG.register(
+    "q_sample_reservoir",
+    oracle="""
+        SELECT lang, doc_id, rk FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 20
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group (k=20 per language), the
+    deterministic twin of reservoir sampling: rank rows by the md5 of
+    their key and keep the first k — every row equally likely under
+    the hash ordering, yet the selected set is identical on any
+    engine/partitioning/arrival order (true reservoir sampling is
+    arrival-order dependent and cannot be certified).
+
+    One ranking window per group; at scale the same query runs as the
+    salted two-phase top-k (q_topk_salted) on the md5 key."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+#: fixed-point tick scale for the mergeable money sum (1e4 ticks,
+#: matching functions.deterministic's 4-digit path).
+_TICKS = 10000.0
+
+
+@REG.register(
+    "q_incr_agg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               (CAST(sum(CAST(floor(abs(o_totalprice) * {_TICKS} + 0.5)
+                              AS BIGINT)
+                         * (CASE WHEN o_totalprice < 0 THEN -1 ELSE 1 END))
+                     AS DOUBLE) / {_TICKS}) AS total_price,
+               {oracle_round4det("min(o_totalprice)")} AS min_price,
+               {oracle_round4det("max(o_totalprice)")} AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the rollup is computed as
+    merge(partial(base), partial(delta)) — count/sum/min/max carried
+    as mergeable partial states (fixed-point int64 ticks for the sum)
+    and combined WITHOUT touching base rows again. The oracle is the
+    full-table aggregate, so the hash gate certifies the merge algebra
+    equals a from-scratch rebuild — the invariant that lets a 100 TB
+    rollup absorb a daily delta at delta cost.
+
+    Base/delta split is synthesized by key arithmetic (%13, the
+    q_cdc_diff convention)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    ticks = (
+        F.floor(F.abs("o_totalprice") * _TICKS + F.lit(0.5)).cast("long")
+        * F.when(F.col("o_totalprice") < 0, -1).otherwise(1)
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("_n"),
+            F.sum(ticks).alias("_ticks"),
+            F.min("o_totalprice").alias("_min"),
+            F.max("o_totalprice").alias("_max"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 13 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 13 == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_n").alias("n"),
+            (F.sum("_ticks").cast("double") / _TICKS).alias("total_price"),
+            round4det(F.min("_min")).alias("min_price"),
+            round4det(F.max("_max")).alias("max_price"),
+        )
+    )
