@@ -586,3 +586,134 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "t_live_sjoin_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     S.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@REG.register(
+    "q_stream_live_pairjoin",
+    oracle="""
+        SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_id < r.event_id
+         AND r.ts >= l.ts
+         AND r.ts < l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_live_pairjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under REAL Structured Streaming: two
+    live event streams joined on user within a bounded event-time gap
+    (streaming.stream_stream_join). Both sides watermarked AND the
+    join condition bounds the time delta — the two requirements that
+    let Spark GC join state on unbounded streams; without either,
+    state grows forever.
+
+    The emitted pair set is arrival-order independent, so the hash
+    gate certifies streaming-join/batch-join parity exactly."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    l = S.read_events_stream(spark, sf_dir)
+    r = S.read_events_stream(spark, sf_dir)
+    joined = S.stream_stream_join(l, r).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id"),
+        F.col("r_id"),
+    )
+    name = "t_live_pj_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+@REG.register(
+    "q_stream_foreach_upsert",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               (CAST(sum(CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT)
+                         * (CASE WHEN value < 0 THEN -1 ELSE 1 END))
+                     AS DOUBLE) / 10000.0) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with INCREMENTAL UPSERT: the stream is split
+    into multiple micro-batches (maxFilesPerTrigger=1 over a 4-file
+    staging copy), and every batch MERGES its per-user partial
+    aggregate into a parquet state snapshot (full-outer add on the
+    key — copy-on-write, the operators/upsert.py discipline). The
+    final state must equal the one-shot batch aggregate: the hash
+    gate certifies that the incremental path is exactly additive
+    across arbitrary batch splits.
+
+    This is the production topology for maintaining a serving table
+    from a stream when the sink has no native MERGE: foreachBatch
+    gives the batch DataFrame API inside each micro-batch. Sums ride
+    fixed-point int64 ticks so merge order cannot move a ulp."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"nas-upsert-{tag}")
+    stage, state = os.path.join(base, "in"), os.path.join(base, "state")
+    # fresh run each call: foreachBatch state is per-invocation
+    shutil.rmtree(base, ignore_errors=True)
+    load(spark, sf_dir, "events").select(
+        "user_id", "value"
+    ).repartition(4).write.parquet(stage)
+
+    ticks = (
+        F.floor(F.abs("value") * 10000.0 + F.lit(0.5)).cast("long")
+        * F.when(F.col("value") < 0, -1).otherwise(1)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum(ticks).alias("_ticks")
+        )
+        if os.path.exists(state):
+            old = spark.read.parquet(state)
+            a, b = old.alias("a"), part.alias("b")
+            part = (
+                a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full")
+                .select(
+                    F.coalesce(
+                        F.col("a.user_id"), F.col("b.user_id")
+                    ).alias("user_id"),
+                    (
+                        F.coalesce(F.col("a.n_events"), F.lit(0))
+                        + F.coalesce(F.col("b.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("a._ticks"), F.lit(0))
+                        + F.coalesce(F.col("b._ticks"), F.lit(0))
+                    ).alias("_ticks"),
+                )
+            )
+        nxt = f"{state}.v{batch_id}"
+        part.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.replace(nxt, state)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select(
+        "user_id",
+        "n_events",
+        (F.col("_ticks").cast("double") / 10000.0).alias("sum_value"),
+    )
