@@ -299,3 +299,44 @@ def q_quant_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("mean_err", "avg_err"),
         round4det(F.max("max_err")).alias("max_err"),
     )
+
+
+@REG.register(
+    "q_inverted_index",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest({TOKENS}) AS term FROM documents
+        )
+        SELECT term,
+               count(DISTINCT doc_id) AS df,
+               count(*) AS cf,
+               array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+                   AS postings_head
+        FROM t GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term the document frequency,
+    collection frequency, and the head of the sorted postings list —
+    the retrieval-side index a corpus pipeline materializes next to
+    its text analytics (the full postings write is this same plan
+    without the head slice, sunk via repartition(term-range)).
+
+    One explode into one map-side-combined aggregation on the term
+    key; postings are sorted in-plan (collect_set + array_sort) so the
+    head is deterministic on any partitioning, and emitted as a
+    flattened string per the scalar-only output discipline."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return t.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )

@@ -685,3 +685,29 @@ def test_stratified_sample_is_deterministic_and_balanced(spark):
         a,
         target,
     )
+
+
+def test_decode_video_real_codec_gated(spark):
+    """Real video decode is capability-gated on PyAV/OpenCV (absent
+    here): the gate must raise NotImplementedError cleanly, and with a
+    codec present the schema contract matches the stub's exploding
+    shape (exercised wherever the lib exists)."""
+    import pytest
+
+    from ngram_analytics_spark.operators.multimodal import (
+        decode_video_frames,
+        have_av,
+        to_blob_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some payload")], "doc_id long, text string"
+    )
+    blobs = to_blob_table(docs)
+    if not have_av():
+        with pytest.raises(NotImplementedError):
+            decode_video_frames(blobs)
+        return
+    rows = decode_video_frames(blobs).collect()
+    # text payload is not a video: per-row degradation sentinel
+    assert [r["frame_idx"] for r in rows] == [-1]
