@@ -23,10 +23,12 @@ from ngram_analytics_spark.registry import QueryRegistry
 # keys has cumulative driver certification (r1 ∪ r2 ∪ r3).  The
 # remaining 15 slots go to keys ADDED this round (training-pipeline
 # composites, source round-trips, audio decode, event analytics,
-# corpus modeling, graph pagerank); the six round-3 additions that
-# don't fit (q_boilerplate, q_shard_assign, q_graph_degree,
-# q_graph_triangles, q_stream_live_dedup, q_stream_live_join) lead
-# the round-4 rotation.
+# corpus modeling, graph pagerank).  The 23 round-3 additions that
+# don't fit (TPC-H composites, profiling/DQ, SCD2, salted top-k,
+# count-min, the new streaming twins, boilerplate/sharding/inverted
+# index, graph degree/triangles, Z-order/CDC/winsorize, sampling,
+# incremental agg) lead the round-4 rotation — 23 < 50, so one more
+# rotation restores full cumulative driver certification.
 GRADED_FIRST: tuple[str, ...] = (
     # scalar-function families (never driver-graded before round 3)
     "q_fn_array",

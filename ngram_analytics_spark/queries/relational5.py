@@ -529,3 +529,39 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "exact", "est")
         .orderBy("l_partkey")
     )
+
+
+@REG.register(
+    "q_fn_crypto",
+    oracle="""
+        SELECT doc_id,
+               text AS roundtrip,
+               CASE WHEN text IS NULL THEN NULL ELSE NULL END
+                   AS bad_key_decrypt,
+               sha256(text) AS digest
+        FROM documents
+    """,
+)
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level crypto family: AES-GCM encrypt/decrypt round-trip
+    (tokenizing PII columns at rest), try_aes_decrypt returning NULL —
+    not a job failure — under a wrong key, and a SHA-256 digest.
+
+    The oracle certifies the SEMANTICS rather than the ciphertext
+    (AES-GCM is nondeterministic by design — fresh IV per row): the
+    round-trip must be the identity, the wrong-key probe must be NULL,
+    and the digest must match DuckDB's sha256. All JVM-side built-ins
+    (aes_encrypt / try_aes_decrypt), zero Python."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "CAST(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'GCM'),"
+            " '0123456789abcdef', 'GCM') AS STRING)"
+        ).alias("roundtrip"),
+        F.expr(
+            "CAST(try_aes_decrypt(aes_encrypt(text, '0123456789abcdef',"
+            " 'GCM'), 'fedcba9876543210', 'GCM') AS STRING)"
+        ).alias("bad_key_decrypt"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
