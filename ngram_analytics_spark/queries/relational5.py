@@ -565,3 +565,41 @@ def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_key_decrypt"),
         F.sha2(F.col("text"), 256).alias("digest"),
     )
+
+
+@REG.register(
+    "q_fn_levenshtein",
+    oracle="""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.source AS src_a, b.source AS src_b,
+               levenshtein(a.source, b.source) AS lev,
+               CASE WHEN levenshtein(a.source, b.source) <= 3
+                    THEN 1 ELSE 0 END AS near_match
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the entity-resolution kernel):
+    levenshtein over candidate pairs with a near-match threshold —
+    the scoring step of a blocking+scoring match pipeline (candidate
+    generation itself is the dedup family's LSH/rare-shingle joins;
+    adjacent-id pairs stand in here, the q_dedup_jaccard convention).
+
+    JVM built-in `levenshtein` on short key-like strings — O(n*m) per
+    pair means the 100 TB discipline is: block first, score the
+    bounded candidate set, never all-pairs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    lev = F.levenshtein("src_a", "src_b")
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            "src_a",
+            "src_b",
+            lev.alias("lev"),
+            F.when(lev <= 3, 1).otherwise(0).alias("near_match"),
+        )
+    )
