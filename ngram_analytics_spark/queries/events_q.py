@@ -277,3 +277,60 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", round4det(F.col("ewma_last")).alias("ewma_last")
     )
+
+
+@REG.register(
+    "q_user_transitions",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS prev_type
+            FROM events
+        ), t AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), tot AS (
+            SELECT prev_type, sum(n) AS row_n FROM t GROUP BY prev_type
+        )
+        SELECT t.prev_type, t.next_type, t.n,
+               {oracle_round4det("CAST(t.n AS DOUBLE) / tot.row_n")} AS p
+        FROM t JOIN tot ON t.prev_type = tot.prev_type
+    """,
+)
+def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) — the behavioral model behind
+    next-action prediction and anomalous-session detection.
+
+    One lag window per user (shuffle on user_id, full-key tiebreak),
+    one transition-pair aggregation (at most |types|^2 = 25 groups,
+    map-side combined), and the row-normalizer is a 5-row broadcast
+    dim. Probabilities are exact int ratios — deterministic without
+    decimal accumulation."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = load(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            round4det(F.col("n").cast("double") / F.col("row_n")).alias("p"),
+        )
+    )
