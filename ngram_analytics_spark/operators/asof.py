@@ -35,23 +35,39 @@ def asof_join(
     *,
     strict: bool = False,
     right_order: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (latest right at-or-before left's time).
+    """As-of join: latest right at-or-before (``direction="backward"``,
+    default) or earliest right at-or-after (``"forward"``) the left
+    row's time, per key.
 
     Args:
         right_values: right columns to carry onto matched left rows
-            (returned with the same names; NULL when no prior right row).
-        strict: if True, match strictly-before (<) instead of (<=).
+            (returned with the same names; NULL when no match exists).
+        strict: if True, match strictly-before/-after instead of
+            inclusive.
         right_order: tiebreak column for DUPLICATE right rows at the
-            same (key, time): the row with the MAX tiebreak value wins
-            (its values must be non-null). This folds the "dedupe the
-            right side to one row per (key, time)" pre-aggregation into
-            the merge window's sort — one fewer shuffle over the right
-            side than a separate groupBy/max_by pass.
+            same (key, time): backward keeps the MAX-tiebreak row,
+            forward the MIN (the row nearest the left row in the merge
+            order; its values must be non-null). This folds the right-
+            side dedup into the merge window's sort — one fewer
+            shuffle than a separate groupBy/max_by pass.
+
+    Both directions are the same union-merge plan; forward flips the
+    window frame (current..unbounded-following, running ``first``) and
+    the equal-time side order.
     """
-    # side marker: right rows sort before left rows at equal time so
-    # `<=` semantics see a same-timestamp right row. strict => reverse.
-    right_side, left_side = (1, 0) if strict else (0, 1)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
+    # side marker: for backward <=, right rows sort BEFORE left rows at
+    # equal time so the running last() sees a same-timestamp right row;
+    # for forward <=, right rows sort AFTER left rows so the running
+    # first() ahead of the left row includes them. strict reverses.
+    if fwd:
+        right_side, left_side = (0, 1) if strict else (1, 0)
+    else:
+        right_side, left_side = (1, 0) if strict else (0, 1)
 
     lt = left.withColumn("_k", F.col(left_key)).withColumn(
         "_t", F.col(left_time)
@@ -71,17 +87,23 @@ def asof_join(
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
     order_cols = ["_t", "_side"] + (["_ord"] if right_order else [])
-    w = (
-        W.partitionBy("_k")
-        .orderBy(*order_cols)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if fwd:
+        w = (
+            W.partitionBy("_k")
+            .orderBy(*order_cols)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            W.partitionBy("_k")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         *[c for c in unioned.columns if c not in right_values],
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_values
-        ],
+        *[pick(c).alias(c) for c in right_values],
     )
     return filled.filter(F.col("_side") == left_side).drop(
         "_k", "_t", "_side", "_ord"

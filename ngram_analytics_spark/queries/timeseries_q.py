@@ -717,3 +717,46 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("_ticks").cast("double") / 10000.0).alias("sum_value"),
     )
+
+
+@REG.register(
+    "q_join_asof_fwd",
+    oracle="""
+        WITH o AS (  -- dedupe to one order per (cust, date): min orderkey
+            SELECT o_custkey, o_orderdate,
+                   min_by(o_orderkey, o_orderkey) AS o_orderkey,
+                   min_by(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS next_orderkey,
+               o.o_totalprice AS next_price
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event ↔ earliest order at-or-after its
+    timestamp per user — the look-ahead direction (next scheduled
+    action, time-to-conversion), same union-merge plan as the backward
+    q_join_asof with the window frame flipped (running first() over
+    current..unbounded-following). Same-date orders dedupe to the MIN
+    orderkey inside the merge window (forward tiebreak convention)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_price"),
+    )
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["next_orderkey", "next_price"],
+        right_order="next_orderkey",
+        direction="forward",
+    ).select("event_id", "user_id", "next_orderkey", "next_price")
