@@ -711,3 +711,55 @@ def test_decode_video_real_codec_gated(spark):
     rows = decode_video_frames(blobs).collect()
     # text payload is not a video: per-row degradation sentinel
     assert [r["frame_idx"] for r in rows] == [-1]
+
+
+def test_asof_join_forward_basic_and_strict(spark):
+    """Forward as-of: earliest right at-or-after; strict excludes the
+    equal-time row; no later right row => NULL."""
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b")], "k long, t long, v string"
+    )
+
+    def run(**kw):
+        return {
+            r["t"]: r["v"]
+            for r in asof_join(
+                left, right, "k", "k", "t", "t", ["v"],
+                direction="forward", **kw
+            ).collect()
+        }
+
+    assert run() == {10: "a", 25: "b", 40: None}
+    assert run(strict=True) == {10: "b", 25: "b", 40: None}
+
+
+def test_asof_join_forward_tiebreak_min(spark):
+    """Duplicate right rows at one (key, time): forward keeps the
+    MIN-tiebreak row (nearest in merge order)."""
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "hi"), (1, 10, 3, "lo")],
+        "k long, t long, ord long, v string",
+    )
+    rows = asof_join(
+        left, right, "k", "k", "t", "t", ["v"],
+        right_order="ord", direction="forward",
+    ).collect()
+    assert [r["v"] for r in rows] == ["lo"]
+
+
+def test_asof_join_direction_validation(spark):
+    import pytest
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, "k", "k", "t", "t", [], direction="sideways")
