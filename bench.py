@@ -37,6 +37,20 @@ HEADLINE = [
     "q_udf_pandas",       # Arrow UDF path
 ]
 
+#: round-3 families, timed with the same methodology but kept OUT of
+#: the headline total so that number stays comparable to BASELINE.md
+#: and to prior rounds (same 18-query denominator).
+EXTENDED = [
+    "q_tpch_q3",          # star composite, top-10
+    "q_tpch_q5",          # 6-way broadcast star
+    "q_doc_lm_score",     # bigram-LM scoring
+    "q_boilerplate",      # span doc-frequency detection
+    "q_graph_pagerank",   # 5-iteration integer pagerank
+    "q_funnel",           # ordered conversion funnel
+    "q_winsorize",        # discrete-percentile clipping
+    "q_inverted_index",   # postings build
+]
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -106,6 +120,20 @@ def main() -> int:
                     retried.append(name)
     timings = {name: round(min(runs[name]), 3) for name in names}
 
+    # extended (non-headline) set: min of 2 interleaved passes, only in
+    # the default full run (not --warm, not an explicit query list).
+    extended: dict[str, float] = {}
+    if not warm and not args:
+        ext = [n for n in EXTENDED if n in qs]
+        edfs = {n: qs[n](spark, sf_dir) for n in ext}
+        eruns: dict[str, list[float]] = {n: [] for n in ext}
+        for _ in range(2):
+            for n in ext:
+                t0 = time.perf_counter()
+                edfs[n].write.format("noop").mode("overwrite").save()
+                eruns[n].append(time.perf_counter() - t0)
+        extended = {n: round(min(r), 3) for n, r in eruns.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -119,6 +147,7 @@ def main() -> int:
                 "interleaved_passes": True,
                 "retried": retried,
                 "aggregation": "min",
+                "extended_queries": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
