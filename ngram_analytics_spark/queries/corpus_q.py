@@ -29,6 +29,7 @@ from ngram_analytics_spark.functions.deterministic import (
     oracle_round4det,
     round4det,
 )
+from ngram_analytics_spark.operators import spread
 from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
 from ngram_analytics_spark.registry import QueryRegistry
 
@@ -86,7 +87,10 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     averaged directly (no log) so the score stays bit-identical across
     engines — no libm transcendental in the differential surface.
     """
-    t = load(spark, sf_dir, "documents").select(
+    # documents scan is a single row group -> one task; spread() buys
+    # plan-wide parallelism for the per-row n-gram kernels (measured
+    # 3.4x on the explode at sf0.1 — the q_dedup_jaccard discipline).
+    t = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     bg = t.select(
@@ -141,32 +145,37 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document reports what fraction of its spans are boilerplate —
     the removal signal upstream of dedup in a training-data pipeline.
 
-    Plan: span explode -> distinct-doc-frequency agg (shuffle on the
-    span key, map-side combined) -> join back on the same span key (no
-    second exchange for the build side: it arrives partitioned from
-    its agg) -> per-doc ratio. The span-frequency table is corpus-
-    bounded, never broadcast, never driver-side.
+    Plan: spread() the single-row-group scan so the span construction
+    runs plan-wide, then per-(doc, span) counts (one map-side-combined
+    shuffle; makes the doc-frequency a PLAIN count, no countDistinct
+    expand, and shrinks the join-back side to per-doc-distinct spans)
+    -> span-key agg joined back on the same key -> per-doc ratio
+    weighted by instance counts. A/B-measured at sf0.1: this shape
+    1.5 s vs 4.1 s for the naive countDistinct+join and 5.9 s for a
+    COUNT-window doc-frequency (240k tiny window partitions sort-
+    dominate). The span-frequency table is corpus-bounded, never
+    broadcast, never driver-side.
     """
     g = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.explode(ngram_col(F.split("text", " "), _SPAN_N)).alias("g"),
         )
     )
-    df = g.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    dg = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    df = dg.groupBy("g").agg(F.count("*").alias("df"))
     boiler = F.sum(
-        F.when(F.col("df") >= _SPAN_DF, 1).otherwise(0)
+        F.when(F.col("df") >= _SPAN_DF, F.col("cnt")).otherwise(0)
     )
+    n_spans = F.sum("cnt")
     return (
-        g.join(df, "g")
+        dg.join(df, "g")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
+            n_spans.alias("n_spans"),
             boiler.alias("n_boiler"),
-            round4det(
-                boiler.cast("double") / F.count("*")
-            ).alias("boiler_ratio"),
+            round4det(boiler.cast("double") / n_spans).alias("boiler_ratio"),
         )
     )
 
@@ -326,7 +335,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; postings are sorted in-plan (collect_set + array_sort) so the
     head is deterministic on any partitioning, and emitted as a
     flattened string per the scalar-only output discipline."""
-    t = load(spark, sf_dir, "documents").select(
+    t = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     return t.groupBy("term").agg(
