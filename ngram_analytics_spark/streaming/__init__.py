@@ -16,25 +16,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: legacy driver layout: TIMESTAMP(NANOS) surfaced as long
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+#: standard layout: TIMESTAMP(MICROS) reads natively
+EVENTS_TS_SCHEMA = _events_schema(T.TimestampType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (same ns->us timestamp
-    normalization as catalog.load).
+    """File-source stream over the events parquet (same layout-adaptive
+    timestamp normalization as catalog.load).
 
     Spark's file stream source requires a *directory*; the testdata dir
     mixes all tables, so stage a scratch dir holding a symlink to the
     single events file (read-only testdata is never touched).
+
+    ``readStream`` needs an explicit schema, and the driver has shipped
+    the events table in two layouts across rounds — TIMESTAMP(NANOS)
+    (which Spark surfaces as long under the legacy conf) and plain
+    TIMESTAMP(MICROS). Probe the file's batch schema (footer-only, no
+    data scan) and pick the matching stream schema; applying the ns->us
+    division to a micros column would shift every event to 1970.
     """
     import hashlib
     import os
@@ -49,11 +63,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ts_is_long = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
+    if ts_is_long:
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.readStream.schema(EVENTS_TS_SCHEMA).parquet(stage)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
