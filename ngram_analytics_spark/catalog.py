@@ -49,11 +49,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # driver layout: TIMESTAMP(NANOS) surfaced as long
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            # driver layout: TIMESTAMP(MICROS) without timezone; the
+            # engine's time functions (unix_micros, window, ...) expect
+            # the session-TZ type — with the session pinned to UTC the
+            # cast preserves every instant.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

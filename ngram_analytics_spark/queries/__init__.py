@@ -27,8 +27,10 @@ from ngram_analytics_spark.registry import QueryRegistry
 # don't fit (TPC-H composites, profiling/DQ, SCD2, salted top-k,
 # count-min, the new streaming twins, boilerplate/sharding/inverted
 # index, graph degree/triangles, Z-order/CDC/winsorize, sampling,
-# incremental agg) lead the round-4 rotation — 23 < 50, so one more
-# rotation restores full cumulative driver certification.
+# incremental agg, and the quality family added late in round 3:
+# q_text_pii, q_text_chunk, q_text_entropy, q_ts_islands,
+# q_agg_bitwise, q_fn_format) lead the round-4 rotation — still < 50,
+# so one more rotation restores full cumulative driver certification.
 GRADED_FIRST: tuple[str, ...] = (
     # scalar-function families (never driver-graded before round 3)
     "q_fn_array",
@@ -100,6 +102,7 @@ def build_registry() -> QueryRegistry:
         layout_q,
         llm_q,
         pipeline_q,
+        quality_q,
         relational,
         relational2,
         relational3,
@@ -128,6 +131,7 @@ def build_registry() -> QueryRegistry:
         graph_q,
         layout_q,
         sampling_q,
+        quality_q,
     ):
         merged.merge(mod.REG)
 

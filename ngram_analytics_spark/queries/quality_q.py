@@ -1,0 +1,367 @@
+"""Data-quality and corpus-hygiene queries: PII redaction, overlapping
+document chunking, token-entropy scoring, gaps-and-islands activity
+detection, bitwise aggregates, and printf-style formatting parity.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); these extend the
+SURVEY.md §2.B training-data-pipeline family with the hygiene passes an
+LLM data pipeline runs before export — scrubbing PII, splitting long
+documents into overlapping context windows, and flagging low-entropy
+(repetitive / degenerate) text.
+
+Scale notes: every query is one scan -> narrow per-row expressions ->
+at most one map-side-combined aggregation or one keyed window. The PII
+and chunking passes are pure scan-stage projection (no shuffle at all
+until the optional aggregate); nothing collects on the driver and no
+Python UDF sits in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    oracle_round4det,
+    oracle_dsum_fixed,
+    round4det,
+    dsum_fixed,
+)
+from ngram_analytics_spark.operators import spread
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+#: PII patterns — RE2 (DuckDB) and java.util.regex (Spark) common
+#: subset only: character classes and bounded repeats, no lookaround,
+#: no backreferences.
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_PHONE = "\\+1-555-[0-9]{4}"
+_RE_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+#: chunking geometry: 32-token windows every 24 tokens (8-token overlap)
+_CHUNK = 32
+_STRIDE = 24
+
+#: islands: a >300 s silence starts a new activity island
+_ISLAND_GAP_S = 300
+
+
+@REG.register(
+    "q_text_pii",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   concat(source, '.', CAST(doc_id AS VARCHAR),
+                          '@mail.example call +1-555-',
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                          ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                          '.0.1 ', text) AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_RE_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(t, '{_RE_PHONE}')) AS n_phones,
+               len(regexp_extract_all(t, '{_RE_IP}')) AS n_ips,
+               substr(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                      '{_RE_PHONE}', '<PHONE>', 'g'),
+                      '{_RE_IP}', '<IP>', 'g'), 1, 80) AS red_head
+        FROM p
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and scrub emails, phone numbers
+    and IPv4 addresses — the compliance pass a training-data pipeline
+    runs before export. The synthetic corpus carries no natural PII, so
+    the plan plants a deterministic PII-bearing header derived from
+    existing columns and then detects/redacts it, exercising the real
+    machinery (count + 3-stage chained redaction) end to end.
+
+    Patterns stay inside the RE2/java.util.regex common subset so both
+    engines compile the identical automaton. Pure scan-stage
+    projection: no shuffle, no Python — regexp_count/regexp_replace are
+    codegen'd JVM expressions, and at 100 TB this is the ideal shape
+    (row-parallel, no state, pushdown-friendly)."""
+    p = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit("."),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IP,
+        "<IP>",
+    )
+    return p.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_RE_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(_RE_IP)).alias("n_ips"),
+        F.substring(red, 1, 80).alias("red_head"),
+    )
+
+
+@REG.register(
+    "q_text_chunk",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_STRIDE})) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               start // {_STRIDE} AS chunk_idx,
+               len(list_slice(toks, start + 1, start + {_CHUNK}))
+                   AS n_toks,
+               toks[start + 1] AS head_tok,
+               list_slice(toks, start + 1, start + {_CHUNK})[-1] AS last_tok
+        FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking: split each document into
+    {_CHUNK}-token context windows every {_STRIDE} tokens (8-token
+    overlap) — how a training pipeline turns long documents into
+    model-sized sequences without losing cross-boundary context.
+
+    Plan: one split + one explode of the stride lattice (sequence()),
+    then pure array slicing per chunk — a 1:N row expansion identical
+    in shape to the certified frame-sampling and n-gram explodes. The
+    slice happens on the exploded row, so Tungsten never materializes
+    more than one (doc, start) pair per output chunk. At 100 TB this
+    is scan-stage work: no shuffle, no state."""
+    t = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("toks") - 1, F.lit(_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)
+    return s.select(
+        "doc_id",
+        F.floor(F.col("start") / _STRIDE).alias("chunk_idx"),
+        F.size(chunk).alias("n_toks"),
+        F.element_at(F.col("toks"), F.col("start") + 1).alias("head_tok"),
+        F.element_at(chunk, -1).alias("last_tok"),
+    )
+
+
+@REG.register(
+    "q_text_entropy",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), c AS (
+            SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               sum(c) AS n_toks,
+               count(*) AS n_types,
+               {oracle_round4det(
+                   "log2(CAST(sum(c) AS DOUBLE)) - "
+                   + oracle_dsum_fixed(
+                       "CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))",
+                       digits=6,
+                   )
+                   + " / sum(c)"
+               )} AS entropy,
+               {oracle_round4det(
+                   "CAST(count(*) AS DOUBLE) / sum(c)"
+               )} AS ttr
+        FROM c GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality scoring: per-document Shannon entropy of
+    the token distribution plus type-token ratio — the repetitiveness
+    signal pipelines use to drop degenerate documents (boilerplate
+    loops, keyword stuffing) before training.
+
+    Entropy is computed in the algebraic form log2(n) - sum(c*log2 c)/n
+    so the per-row term is quantized to 1e-6 ticks and summed exactly
+    in int64 (order-independent across partitionings and engines); the
+    only cross-engine float surface is one log2 per distinct token and
+    the final 4-dp round — the q_fn_trig determinism discipline. Two
+    map-side-combined aggregations, no Python."""
+    w = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    plogp = dsum_fixed(
+        F.col("c").cast("double") * F.log2(F.col("c").cast("double")),
+        digits=6,
+    )
+    return c.groupBy("doc_id").agg(
+        n.alias("n_toks"),
+        F.count("*").alias("n_types"),
+        round4det(F.log2(n.cast("double")) - plogp / n).alias("entropy"),
+        round4det(F.count("*").cast("double") / n).alias("ttr"),
+    )
+
+
+@REG.register(
+    "q_ts_islands",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > {_ISLAND_GAP_S}
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), i AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM o
+        ), g AS (
+            SELECT user_id, island, count(*) AS n,
+                   date_diff('second', min(ts), max(ts)) AS dur_s
+            FROM i GROUP BY user_id, island
+        )
+        SELECT user_id,
+               count(*) AS n_islands,
+               sum(n) AS n_events,
+               max(n) AS max_island_len,
+               max(dur_s) AS max_island_dur_s
+        FROM g GROUP BY user_id
+    """,
+)
+def q_ts_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous activity runs per user, where a
+    silence longer than {_ISLAND_GAP_S} s starts a new island — the
+    classic sessionization-by-cumulative-break-count SQL pattern
+    (complementary to q_stream_session's session_window operator:
+    same semantics, window-function formulation).
+
+    Plan: one shuffle on user_id feeds BOTH window passes (lag + the
+    running break count share the partitioning; Spark plans one
+    Exchange, two Window nodes, no re-shuffle) and the same
+    partitioning then serves the (user, island) aggregate map-side.
+    Equal timestamps can never split an island (gap 0 <= threshold),
+    so island ids are deterministic under the event_id tiebreak."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(
+            (gap_s > _ISLAND_GAP_S) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    i = o.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    g = i.groupBy("user_id", "island").agg(
+        F.count("*").alias("n"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_island_len"),
+        F.max("dur_s").alias("max_island_dur_s"),
+    )
+
+
+@REG.register(
+    "q_agg_bitwise",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               bit_and(o_custkey) AS and_cust,
+               bit_or(o_custkey) AS or_cust,
+               bit_xor(o_orderkey) AS xor_key
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — the
+    bitmap-accumulator aggregates behind permission masks, feature
+    flags and xor-checksums. All three are commutative/associative, so
+    Spark runs them map-side-combined in one shuffle on the 3-value
+    status key (complements q_fn_bitwise's scalar operators)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.bit_and("o_custkey").alias("and_cust"),
+        F.bit_or("o_custkey").alias("or_cust"),
+        F.bit_xor("o_orderkey").alias("xor_key"),
+    )
+
+
+@REG.register(
+    "q_fn_format",
+    oracle="""
+        SELECT p_partkey,
+               printf('%s|%05d|%09d', p_brand, p_partkey,
+                      CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                   AS part_code,
+               printf('sz=%03d', p_size) AS size_code,
+               hex(p_partkey) AS key_hex,
+               concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
+        FROM part
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting parity: format_string/printf with %s,
+    zero-padded %d widths, hex(), and concat_ws — the deterministic
+    record-id/file-name construction used by export and shard writers.
+    Prices format as integer cents (deterministic fixed-point), never
+    %f — C and Java printf disagree on float midpoint rounding."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "%s|%05d|%09d",
+            F.col("p_brand"),
+            F.col("p_partkey"),
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long"),
+        ).alias("part_code"),
+        F.format_string("sz=%03d", F.col("p_size")).alias("size_code"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.concat_ws(
+            "-", F.col("p_brand"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+    )

@@ -607,3 +607,137 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lev <= 3, 1).otherwise(0).alias("near_match"),
         )
     )
+
+
+@REG.register(
+    "q_tpch_q18",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               {oracle_round4det("o.o_totalprice")} AS total_price,
+               {oracle_round4det("b.sum_qty")} AS sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY total_price DESC, o.o_orderkey ASC
+        LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the top-100 orders whose
+    total line quantity exceeds the threshold, with their customers.
+
+    Plan: the quantity rollup is ONE map-side-combined shuffle on
+    l_orderkey and the HAVING prunes it to a small survivor set, which
+    then BROADCASTS into orders (no second lineitem pass — the rollup
+    is reused instead of re-aggregated, unlike the literal SQL's
+    IN-subquery + re-join formulation); customers arrive broadcast
+    too, so the spine shuffles exactly once. Top-100 is a TakeOrdered
+    on (price, orderkey) — deterministic tiebreak, no global sort."""
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            round4det(F.col("o_totalprice")).alias("total_price"),
+            round4det(F.col("sum_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@REG.register(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               {oracle_dsum_fixed(_REVENUE)} AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey != n2.n_nationkey
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), generalized to the full bilateral
+    trade matrix: revenue between every distinct supplier-nation /
+    customer-nation pair by ship year (the classic Q7 pins one nation
+    pair; the synthetic smoke corpus has too few suppliers for any
+    single pinned pair to be non-empty at every scale factor, and the
+    matrix form exercises the identical plan).
+
+    Plan: supplier⋈nation and customer⋈nation collapse to broadcast
+    dims (nation is 25 rows — broadcast cost is nil); the date filter
+    sits in the lineitem scan. The spine shuffles once on the orderkey
+    join, and the cross-nation predicate is applied post-join where
+    both nation names are in scope. Final agg is nations²·years
+    groups — map-side combined."""
+    n = load(spark, sf_dir, "nation")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair_ok = F.col("supp_nation") != F.col("cust_nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum_fixed(revenue, "revenue"))
+    )
