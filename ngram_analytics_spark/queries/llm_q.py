@@ -461,3 +461,146 @@ def q_ml_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4det(F.element_at(z, 2)).alias("z2"),
         round4det(F.element_at(z, 3)).alias("z3"),
     )
+
+
+@REG.register(
+    "q_ml_kmeans_step",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), craw AS (
+            SELECT label AS clabel, pos,
+                   CAST(SUM(CAST(floor(abs(x) * 1000000.0 + 0.5) AS BIGINT)
+                            * (CASE WHEN x < 0 THEN -1
+                                    WHEN x > 0 THEN 1 ELSE 0 END))
+                        AS DOUBLE) / 1000000.0 / count(*) AS c_raw
+            FROM d GROUP BY label, pos
+        ), cent AS (
+            SELECT clabel, pos,
+                   (CAST(floor(abs(c_raw) * 10000.0 + 0.5) AS DOUBLE)
+                    * (CASE WHEN c_raw < 0 THEN -1.0
+                            WHEN c_raw > 0 THEN 1.0 ELSE 0.0 END)
+                    / 10000.0) AS c
+            FROM craw
+        ), dist AS (
+            SELECT vec_id, min(d.label) AS label, clabel,
+                   SUM(CAST(floor((x - c) * (x - c) * 100000000.0 + 0.5)
+                            AS BIGINT)) AS dq
+            FROM d JOIN cent USING (pos)
+            GROUP BY vec_id, clabel
+        ), ranked AS (
+            SELECT vec_id, label, clabel, dq,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dq, clabel) AS rn
+            FROM dist
+        )
+        SELECT vec_id, label, clabel AS assigned,
+               CAST(floor(CAST(dq AS DOUBLE) / 100000000.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS dist2,
+               CASE WHEN clabel != label THEN 1 ELSE 0 END AS moved
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means Lloyd iteration over the embedding corpus: fit
+    per-label centroids (the current assignment's class means), then
+    reassign every vector to its nearest centroid — the distributed
+    training step under clustering-based corpus curation (topic
+    balancing, semantic bucketing for stratified sampling).
+
+    Determinism: centroids average through the fixed-point int64 path
+    and are rounded to 4 dp, so both engines compare vectors against
+    the bit-identical centroid matrix; squared-L2 terms quantize to
+    1e-8 ticks summed in int64 (order-free), and the argmin breaks
+    distance ties on the smaller label.
+
+    Scale: the fit is one map-side-combined shuffle on (label, pos)
+    keys — k*dim running sums, the classic distributed-k-means
+    reduction; the assignment joins the (k x dim) centroid matrix in
+    as a BROADCAST of k rows (bounded by k, never data-sized) and the
+    per-row distance kernel is a JVM zip_with/aggregate fold — no
+    Python, no per-vector shuffle. The argmin re-shuffles on vec_id
+    only because the output is per-vector; a production loop folds it
+    into the next fit pass."""
+    d = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+    )
+    tick = (
+        F.floor(F.abs("x") * 1e6 + 0.5).cast("long")
+        * F.signum("x").cast("long")
+    )
+    cent = (
+        d.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(tick).cast("double") / 1e6 / F.count("*")
+            ).alias("c_raw")
+        )
+        # half-away 4-dp round via floor/abs/sign only (round_det
+        # semantics) so both engines hold the bit-identical centroid
+        .withColumn(
+            "c",
+            F.floor(F.abs("c_raw") * 1e4 + 0.5)
+            * F.signum("c_raw")
+            / 1e4,
+        )
+    )
+    carr = (
+        cent.groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+    )
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dq = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("carr"),
+            lambda x, c: F.floor((x - c) * (x - c) * 1e8 + 0.5).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    scored = v.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", dq.alias("dq")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min("label").alias("label"),
+            F.min(F.struct("dq", "clabel")).alias("_b"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("_b.clabel").alias("assigned"),
+            (
+                F.floor(
+                    F.col("_b.dq").cast("double") / 1e8 * 1e4 + 0.5
+                ).cast("double")
+                / 1e4
+            ).alias("dist2"),
+            F.when(F.col("_b.clabel") != F.col("label"), 1)
+            .otherwise(0)
+            .alias("moved"),
+        )
+    )
+    return best

@@ -95,6 +95,9 @@ NESTED_LOOP_OK = {
     "q_sort_nulls",          # triangular join over per-bucket COUNTS —
                              # input is the ~12-row bucket table (a
                              # constant of the value domain), not rows
+    "q_ml_kmeans_step",      # vectors x k-row centroid matrix — the
+                             # broadcast side is bounded by k (10),
+                             # never data-sized
 }
 
 
