@@ -49,6 +49,15 @@ EXTENDED = [
     "q_funnel",           # ordered conversion funnel
     "q_winsorize",        # discrete-percentile clipping
     "q_inverted_index",   # postings build
+    "q_text_pii",         # scan-stage regex redaction
+    "q_text_chunk",       # stride-lattice chunk explode
+    "q_text_entropy",     # token-entropy quality scoring
+    "q_ts_islands",       # gaps-and-islands windows
+    "q_tpch_q18",         # HAVING rollup + broadcast top-100
+    "q_tpch_q7",          # bilateral nation matrix
+    "q_ml_kmeans_step",   # centroid fit + reassign fold
+    "q_ts_rolling_median",  # bounded-frame robust smoother
+    "q_session_paths",    # islands + path mining
 ]
 
 

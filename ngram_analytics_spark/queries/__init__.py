@@ -27,10 +27,12 @@ from ngram_analytics_spark.registry import QueryRegistry
 # don't fit (TPC-H composites, profiling/DQ, SCD2, salted top-k,
 # count-min, the new streaming twins, boilerplate/sharding/inverted
 # index, graph degree/triangles, Z-order/CDC/winsorize, sampling,
-# incremental agg, and the quality family added late in round 3:
-# q_text_pii, q_text_chunk, q_text_entropy, q_ts_islands,
-# q_agg_bitwise, q_fn_format) lead the round-4 rotation — still < 50,
-# so one more rotation restores full cumulative driver certification.
+# incremental agg, and the late-round-3 additions: q_text_pii,
+# q_text_chunk, q_text_entropy, q_ts_islands, q_agg_bitwise,
+# q_fn_format, q_tpch_q18, q_tpch_q7, q_ml_kmeans_step,
+# q_ts_rolling_median, q_fn_binary, q_session_paths) lead the round-4
+# rotation — still < 50, so one more rotation restores full cumulative
+# driver certification.
 GRADED_FIRST: tuple[str, ...] = (
     # scalar-function families (never driver-graded before round 3)
     "q_fn_array",

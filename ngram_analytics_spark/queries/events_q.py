@@ -334,3 +334,104 @@ def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4det(F.col("n").cast("double") / F.col("row_n")).alias("p"),
         )
     )
+
+
+#: a silence longer than this starts a new session island (the
+#: q_ts_islands convention — same threshold, same break rule)
+_PATH_GAP_S = 300
+
+
+@REG.register(
+    "q_session_paths",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > {_PATH_GAP_S}
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), i AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM o
+        ), r AS (
+            SELECT user_id, island, event_type,
+                   row_number() OVER (PARTITION BY user_id, island
+                                      ORDER BY ts, event_id) AS rn
+            FROM i
+        ), paths AS (
+            SELECT user_id, island,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 3
+            GROUP BY user_id, island
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY path
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common session entry paths: the first 3 event types of every
+    activity session (island), counted corpus-wide — the behavioral
+    n-gram a product pipeline mines for onboarding/funnel design
+    (composes the q_ts_islands sessionization with sequence mining).
+
+    Plan: every window pass — lag break, running island id, and the
+    rank WITHIN the island — runs on ONE user_id exchange. The
+    in-island rank deliberately avoids a row_number over
+    (user_id, island), which would force a second full-data shuffle
+    on the finer key; instead it is per-user row_number minus the
+    running max of the island-start row_number (same partitioning,
+    same order — pure window arithmetic). The head filter (rn<=3)
+    then drops most rows BEFORE the tiny (user, island) path agg, and
+    the final count keys on the bounded path domain (event_type^3).
+    Equal timestamps break on event_id everywhere, so paths are
+    engine-stable."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (gap_s > _PATH_GAP_S) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    rn_user = F.row_number().over(w)
+    r = o.select(
+        "user_id",
+        "event_type",
+        F.sum("brk").over(run).alias("island"),
+        (
+            rn_user
+            - F.max(F.when(F.col("brk") == 1, rn_user)).over(run)
+            + 1
+        ).alias("rn"),
+    )
+    paths = (
+        r.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))

@@ -365,3 +365,36 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.col("p_brand"), F.col("p_size").cast("string")
         ).alias("brand_size"),
     )
+
+
+@REG.register(
+    "q_fn_binary",
+    oracle="""
+        SELECT p_partkey,
+               base64(encode(p_name)) AS name_b64,
+               decode(from_base64(base64(encode(p_name)))) AS name_rt,
+               hex(p_name) AS name_hex,
+               decode(unhex(hex(p_name))) AS name_unhex_rt,
+               bit_length(p_name) AS name_bits,
+               octet_length(encode(p_name)) AS name_bytes
+        FROM part
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec family: base64 and hex encode/decode round-trips
+    plus bit/byte lengths — the payload-safe serialization path export
+    writers use for binary columns inside text formats (JSON/CSV).
+    Pure scan-stage codegen expressions; round-trips certify that both
+    directions agree byte-for-byte across engines."""
+    p = load(spark, sf_dir, "part")
+    b64 = F.base64(F.encode("p_name", "UTF-8"))
+    hx = F.hex(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        b64.alias("name_b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("name_rt"),
+        hx.alias("name_hex"),
+        F.decode(F.unhex(hx), "UTF-8").alias("name_unhex_rt"),
+        F.bit_length("p_name").alias("name_bits"),
+        F.octet_length(F.encode("p_name", "UTF-8")).alias("name_bytes"),
+    )

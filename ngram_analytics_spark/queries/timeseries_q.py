@@ -17,6 +17,8 @@ from ngram_analytics_spark.functions.deterministic import (
     dsum,
     oracle_davg,
     oracle_dsum,
+    oracle_round4det,
+    round4det,
 )
 from ngram_analytics_spark.operators.asof import asof_join
 from ngram_analytics_spark.registry import QueryRegistry
@@ -760,3 +762,45 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order="next_orderkey",
         direction="forward",
     ).select("event_id", "user_id", "next_orderkey", "next_price")
+
+
+@REG.register(
+    "q_ts_rolling_median",
+    oracle=f"""
+        SELECT event_id, user_id,
+               {oracle_round4det(
+                   "median(value) OVER (PARTITION BY user_id "
+                   "ORDER BY ts, event_id "
+                   "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+               )} AS med7
+        FROM events
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 7 observations per user — the
+    robust smoother time-series pipelines prefer over a rolling mean
+    when spikes must not drag the level.
+
+    Spark has no median window aggregate, so the frame materializes as
+    a collect_list over the bounded 7-row frame, sorts in-plan, and
+    picks the middle (averaging the two middles on even counts —
+    DuckDB's continuous-median semantics on DOUBLE). The frame bound
+    caps per-row state at 7 values, so the window is one shuffle on
+    user_id and O(frame log frame) per row — safe at any scale. Ties
+    on ts break on event_id, pinning frame contents across engines."""
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2.0)
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", round4det(med).alias("med7")
+    )
