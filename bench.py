@@ -58,6 +58,7 @@ EXTENDED = [
     "q_ml_kmeans_step",   # centroid fit + reassign fold
     "q_ts_rolling_median",  # bounded-frame robust smoother
     "q_session_paths",    # islands + path mining
+    "q_dedup_paragraph",  # hashed sub-document dedup
 ]
 
 

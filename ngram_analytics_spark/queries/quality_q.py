@@ -398,3 +398,83 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("p_name").alias("name_bits"),
         F.octet_length(F.encode("p_name", "UTF-8")).alias("name_bytes"),
     )
+
+
+#: paragraph-dedup geometry: NON-overlapping 32-token chunks (stride =
+#: chunk so every token belongs to exactly one "paragraph")
+_PARA = 32
+
+
+@REG.register(
+    "q_dedup_paragraph",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_PARA})) AS start
+            FROM t
+        ), ch AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(toks, start + 1, start + {_PARA}), ' '
+                   )) AS h
+            FROM s
+        ), df AS (
+            SELECT h, count(*) AS c FROM ch GROUP BY h
+        )
+        SELECT doc_id,
+               count(*) AS n_paras,
+               sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS n_dup,
+               {oracle_round4det(
+                   "CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)"
+               )} AS dup_ratio
+        FROM ch JOIN df USING (h)
+        GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: split every document
+    into non-overlapping {_PARA}-token paragraphs, hash each, and
+    report per document how much of it duplicates a paragraph seen
+    anywhere in the corpus — the line/paragraph-level dedup pass (the
+    CCNet discipline) pipelines run BEFORE whole-document dedup,
+    because boilerplate-heavy pages are near-unique at document
+    granularity while being mostly duplicated text.
+
+    Plan: the chunk lattice explodes scan-side (the q_text_chunk
+    shape); paragraphs travel as 128-bit md5 hashes, never as text, so
+    the frequency shuffle carries 16 bytes/paragraph regardless of
+    document size; the frequency table joins back on the same hash key
+    (one shuffle, co-partitioned), then one per-doc agg. Same shape as
+    the certified q_boilerplate at a coarser, hashed granularity."""
+    t = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_PARA))
+        ).alias("start"),
+    )
+    ch = s.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, _PARA), " "
+            )
+        ).alias("h"),
+    )
+    df = ch.groupBy("h").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        ch.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            dup.alias("n_dup"),
+            round4det(dup.cast("double") / F.count("*")).alias("dup_ratio"),
+        )
+    )
