@@ -59,6 +59,7 @@ EXTENDED = [
     "q_ts_rolling_median",  # bounded-frame robust smoother
     "q_session_paths",    # islands + path mining
     "q_dedup_paragraph",  # hashed sub-document dedup
+    "q_text_tfidf_exact", # exact tf-idf (2 aggs + join-back)
 ]
 
 

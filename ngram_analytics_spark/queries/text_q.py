@@ -18,10 +18,13 @@ from pyspark.sql import functions as F
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
     davg,
+    dsum_fixed,
     oracle_davg,
+    oracle_dsum_fixed,
     oracle_round4det,
     round4det,
 )
+from ngram_analytics_spark.operators import spread
 from ngram_analytics_spark.operators.ngram import (
     ngram_col,
     ngrams_sql,
@@ -510,4 +513,96 @@ def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_tokens"
             ),
         )
+    )
+
+
+@REG.register(
+    "q_text_tfidf_exact",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, unnest({TOKENS}) AS term FROM documents
+        ), c AS (
+            SELECT doc_id, term, count(*) AS tf FROM w
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM c GROUP BY term
+        ), totals AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT c.doc_id, c.term,
+                   c.tf * log2((CAST(t.n_docs AS DOUBLE) + 1.0)
+                               / (CAST(df.df AS DOUBLE) + 1.0)) AS s
+            FROM c JOIN df ON c.term = df.term
+            CROSS JOIN totals t
+        )
+        SELECT doc_id,
+               count(*) AS n_terms,
+               {oracle_round4det(
+                   "sqrt(" + oracle_dsum_fixed("s * s", digits=6) + ")"
+               )} AS tfidf_norm,
+               max_by(term, lpad(CAST(CAST(floor(s * 1000000.0 + 0.5)
+                                  AS BIGINT) AS VARCHAR), 15, '0')
+                            || '|' || term) AS top_term
+        FROM scored
+        GROUP BY doc_id
+    """,
+)
+def q_text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact term-level TF-IDF (the SQL-certifiable twin of the
+    MLlib-HashingTF q_text_tfidf): tf = per-(doc, term) count,
+    idf = log2((N+1)/(df+1)), reporting per doc the distinct-term
+    count, the l2 norm of the tf-idf vector, and the top-scoring term
+    — the relevance weighting a corpus pipeline materializes next to
+    its inverted index.
+
+    Determinism: one log2 per distinct (term, df) pair and the final
+    4-dp round are the only float surfaces; (tf*idf)^2 terms quantize
+    to 1e-6 ticks and sum in int64 (order-free). The top term rides a
+    lexicographic max_by key — zero-padded 1e-6-tick score || term —
+    because DuckDB's max_by cannot order by a struct; scores are
+    non-negative (df <= N so idf >= 0), making the padded-string
+    order the numeric order, with ties broken on the larger term.
+
+    Plan: per-(doc, term) counts shuffle once on the compound key; the
+    doc-frequency table derives from THOSE counts (vocabulary-sized,
+    shuffle on term, joined back co-partitioned); the corpus total is
+    a 1-row agg broadcast-crossJoined in (the q_text_collocation
+    discipline — no driver-side count, nothing can go stale). No
+    Python anywhere."""
+    w = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    c = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = c.groupBy("term").agg(F.count("*").alias("df"))
+    totals = load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    s = F.col("tf") * F.log2(
+        (F.col("n_docs").cast("double") + 1.0)
+        / (F.col("df").cast("double") + 1.0)
+    )
+    scored = (
+        c.join(dfq, "term")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        round4det(F.sqrt(dsum_fixed(F.col("s") * F.col("s"), digits=6))).alias(
+            "tfidf_norm"
+        ),
+        F.max_by(
+            "term",
+            F.concat(
+                F.lpad(
+                    F.floor(F.col("s") * 1e6 + 0.5).cast("long").cast(
+                        "string"
+                    ),
+                    15,
+                    "0",
+                ),
+                F.lit("|"),
+                F.col("term"),
+            ),
+        ).alias("top_term"),
     )
