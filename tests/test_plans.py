@@ -98,6 +98,8 @@ NESTED_LOOP_OK = {
     "q_ml_kmeans_step",      # vectors x k-row centroid matrix — the
                              # broadcast side is bounded by k (10),
                              # never data-sized
+    "q_text_tfidf_exact",    # 1-row corpus-totals broadcast (the
+                             # q_text_collocation discipline)
 }
 
 
