@@ -125,3 +125,47 @@ def test_transform_with_state_running_max(spark):
         "SELECT user_id, max(mx) mx FROM tws_max GROUP BY user_id"
     ).collect()
     assert len(rows) > 0
+
+
+def test_read_events_stream_adapts_to_both_ts_layouts(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (surfaced
+    long) and as TIMESTAMP(MICROS); the stream reader must normalize
+    both to the same instants. Synthesize a tiny events file in each
+    layout and pin the decoded timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    us = [1704067200_000_000, 1704067260_000_000]  # 2024-01-01 00:00/ :01
+    for unit, vals in (("us", us), ("ns", [v * 1000 for v in us])):
+        d = dict(base)
+        d["ts"] = pa.array(vals, type=pa.timestamp(unit))
+        sf_dir = tmp_path / f"layout_{unit}"
+        sf_dir.mkdir()
+        pq.write_table(
+            pa.table(
+                {k: d[k] for k in
+                 ("event_id", "ts", "user_id", "event_type", "value",
+                  "props")}
+            ),
+            sf_dir / "events.parquet",
+        )
+        stream = S.read_events_stream(spark, str(sf_dir))
+        name = f"t_layout_{unit}"
+        S.run_to_memory(
+            stream.select("event_id", "ts"), name, output_mode="append"
+        )
+        rows = {
+            r.event_id: r.ts.strftime("%Y-%m-%d %H:%M:%S")
+            for r in spark.table(name).collect()
+        }
+        assert rows == {
+            1: "2024-01-01 00:00:00",
+            2: "2024-01-01 00:01:00",
+        }, f"layout {unit}: {rows}"
