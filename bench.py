@@ -60,6 +60,7 @@ EXTENDED = [
     "q_session_paths",    # islands + path mining
     "q_dedup_paragraph",  # hashed sub-document dedup
     "q_text_tfidf_exact", # exact tf-idf (2 aggs + join-back)
+    "q_join_asof_nearest",  # fused dual-frame as-of
 ]
 
 

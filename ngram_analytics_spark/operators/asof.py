@@ -56,7 +56,22 @@ def asof_join(
     Both directions are the same union-merge plan; forward flips the
     window frame (current..unbounded-following, running ``first``) and
     the equal-time side order.
+
+    ``direction="nearest"`` matches whichever right row is temporally
+    closer (ties -> backward), computing BOTH running frames over the
+    SAME partitioning and sort — one union, one exchange, two window
+    frames — instead of two full as-of passes. Inclusive only
+    (``strict`` unsupported); duplicate right rows at one (key, time)
+    resolve to the max-``right_order`` row backward and the
+    min-``right_order`` row forward (one sort serves both).
     """
+    if direction == "nearest":
+        if strict:
+            raise ValueError("strict is unsupported for direction='nearest'")
+        return _asof_nearest(
+            left, right, left_key, right_key, left_time, right_time,
+            right_values, right_order=right_order,
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     fwd = direction == "forward"
@@ -107,6 +122,80 @@ def asof_join(
     )
     return filled.filter(F.col("_side") == left_side).drop(
         "_k", "_t", "_side", "_ord"
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    *,
+    right_order: str | None = None,
+) -> DataFrame:
+    """Nearest-match as-of: one union-merge pass evaluating the
+    backward candidate (running ``last`` over preceding) AND the
+    forward candidate (running ``first`` over following) on the same
+    exchange, then picking per row by absolute time distance
+    (tie -> backward). Right rows sort BEFORE left rows at equal time,
+    so an exact-time match lands in the backward frame at distance 0
+    and wins the tie by construction."""
+    lt = (
+        left.withColumn("_k", F.col(left_key))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_rt", F.lit(None).cast(dict(right.dtypes)[right_time]))
+    )
+    rt = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_time).alias("_rt"),
+        *[F.col(c) for c in right_values],
+        *([F.col(right_order).alias("_ord")] if right_order else []),
+    )
+    for c in right_values:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    order_cols = ["_t", "_side"] + (["_ord"] if right_order else [])
+    spec = W.partitionBy("_k").orderBy(*order_cols)
+    wb = spec.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = spec.rowsBetween(W.currentRow, W.unboundedFollowing)
+    picked = ["_rt", *right_values]
+    back = {c: F.last(c, ignorenulls=True).over(wb) for c in picked}
+    fwd = {c: F.first(c, ignorenulls=True).over(wf) for c in picked}
+
+    # numeric time axis for the distance compare; TIMESTAMP_NTZ has no
+    # direct double cast, so route timestamps through the session-TZ
+    # type first (the session is pinned UTC by catalog.load).
+    def as_num(col, dtype):
+        if dtype.startswith("timestamp"):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    t_dtype = dict(unioned.dtypes)["_t"]
+    rt_dtype = dict(unioned.dtypes)["_rt"]
+    tnum = as_num(F.col("_t"), t_dtype)
+    use_b = back["_rt"].isNotNull() & (
+        fwd["_rt"].isNull()
+        | (
+            (tnum - as_num(back["_rt"], rt_dtype))
+            <= (as_num(fwd["_rt"], rt_dtype) - tnum)
+        )
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in right_values],
+        *[
+            F.when(use_b, back[c]).otherwise(fwd[c]).alias(c)
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop(
+        "_k", "_t", "_side", "_rt", "_ord"
     )
 
 

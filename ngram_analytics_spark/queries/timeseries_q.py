@@ -804,3 +804,69 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", "user_id", round4det(med).alias("med7")
     )
+
+
+@REG.register(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH ob AS (  -- backward-tiebreak dedup: max orderkey per date
+            SELECT o_custkey, o_orderdate,
+                   max_by(o_orderkey, o_orderkey) AS bkey,
+                   max_by(o_totalprice, o_orderkey) AS bprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ), f AS (     -- forward-tiebreak dedup: min orderkey per date
+            SELECT o_custkey, o_orderdate,
+                   min_by(o_orderkey, o_orderkey) AS fkey,
+                   min_by(o_totalprice, o_orderkey) AS fprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               CASE WHEN b.o_orderdate IS NOT NULL
+                     AND (f.o_orderdate IS NULL
+                          OR epoch(e.ts) - epoch(b.o_orderdate)
+                             <= epoch(f.o_orderdate) - epoch(e.ts))
+                    THEN b.bkey ELSE f.fkey END AS near_orderkey,
+               CASE WHEN b.o_orderdate IS NOT NULL
+                     AND (f.o_orderdate IS NULL
+                          OR epoch(e.ts) - epoch(b.o_orderdate)
+                             <= epoch(f.o_orderdate) - epoch(e.ts))
+                    THEN b.bprice ELSE f.fprice END AS near_price
+        FROM events e
+        ASOF LEFT JOIN ob b
+          ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+        ASOF LEFT JOIN f
+          ON e.user_id = f.o_custkey AND e.ts <= f.o_orderdate
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each event matched to the temporally closest
+    order (before or after) per user, ties to the backward match — the
+    sensor-fusion alignment direction (`merge_asof(direction=
+    'nearest')`) that completes the backward/forward family.
+
+    ONE union-merge pass: both the running-last backward candidate and
+    the running-first forward candidate evaluate over the same
+    partitioning and sort (one exchange, two window frames), then a
+    per-row distance pick — not two full as-of joins stitched
+    together. Duplicate same-date orders resolve max-orderkey backward
+    and min-orderkey forward off the same sorted order (the per-
+    direction tiebreak conventions of the certified q_join_asof /
+    q_join_asof_fwd)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.col("o_totalprice").alias("near_price"),
+    )
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["near_orderkey", "near_price"],
+        right_order="near_orderkey",
+        direction="nearest",
+    ).select("event_id", "user_id", "near_orderkey", "near_price")

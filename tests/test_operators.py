@@ -763,3 +763,87 @@ def test_asof_join_direction_validation(spark):
     df = spark.createDataFrame([(1, 1)], "k long, t long")
     with pytest.raises(ValueError):
         asof_join(df, df, "k", "k", "t", "t", [], direction="sideways")
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """nearest: forward match wins when strictly closer; equal
+    distances tie to the backward match; exact-time match is a
+    zero-distance backward win; a key with only one side present
+    falls back to that side; no match at all -> NULL."""
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=10, ev="fwd_closer"),   # right at 8 and 11
+            Row(k=2, t=10, ev="tie_backward"), # right at 8 and 12
+            Row(k=3, t=10, ev="exact"),        # right at 10 and 11
+            Row(k=4, t=10, ev="only_fwd"),     # right at 30 only
+            Row(k=5, t=10, ev="no_match"),     # no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rk=1, rt=8, px=80),
+            Row(rk=1, rt=11, px=110),
+            Row(rk=2, rt=8, px=81),
+            Row(rk=2, rt=12, px=120),
+            Row(rk=3, rt=10, px=100),
+            Row(rk=3, rt=11, px=111),
+            Row(rk=4, rt=30, px=300),
+        ]
+    )
+    got = {
+        r.ev: r.px
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["px"],
+            direction="nearest",
+        ).collect()
+    }
+    assert got == {
+        "fwd_closer": 110,
+        "tie_backward": 81,
+        "exact": 100,
+        "only_fwd": 300,
+        "no_match": None,
+    }
+
+
+def test_asof_nearest_duplicate_tiebreaks_per_direction(spark):
+    """Duplicates at one (key, time): the backward candidate takes the
+    max-right_order row, the forward candidate the min — both off the
+    single shared sort."""
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=10, ev="back"), Row(k=2, t=10, ev="fwd")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rk=1, rt=9, px=1),
+            Row(rk=1, rt=9, px=2),    # backward dup -> max px
+            Row(rk=2, rt=11, px=5),
+            Row(rk=2, rt=11, px=6),   # forward dup -> min px
+        ]
+    )
+    got = {
+        r.ev: r.px
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["px"],
+            right_order="px", direction="nearest",
+        ).collect()
+    }
+    assert got == {"back": 2, "fwd": 5}
+
+
+def test_asof_nearest_rejects_strict(spark):
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    import pytest as _pytest
+
+    left = spark.createDataFrame([Row(k=1, t=1, ev="x")])
+    right = spark.createDataFrame([Row(rk=1, rt=1, px=1)])
+    with _pytest.raises(ValueError, match="strict"):
+        asof_join(
+            left, right, "k", "rk", "t", "rt", ["px"],
+            strict=True, direction="nearest",
+        )
