@@ -31,7 +31,8 @@ from ngram_analytics_spark.registry import QueryRegistry
 # q_text_chunk, q_text_entropy, q_ts_islands, q_agg_bitwise,
 # q_fn_format, q_tpch_q18, q_tpch_q7, q_ml_kmeans_step,
 # q_ts_rolling_median, q_fn_binary, q_session_paths,
-# q_dedup_paragraph, q_text_tfidf_exact, q_join_asof_nearest) lead
+# q_dedup_paragraph, q_text_tfidf_exact, q_join_asof_nearest,
+# q_join_shuffle_hash) lead
 # the round-4
 # rotation — still < 50, so one more rotation restores full cumulative
 # driver certification.

@@ -741,3 +741,38 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum_fixed(revenue, "revenue"))
     )
+
+
+@REG.register(
+    "q_join_shuffle_hash",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               count(*) AS n,
+               {oracle_dsum_fixed("l.l_extendedprice")} AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the lineitem⋈orders spine under an
+    explicit SHUFFLE_HASH hint. Sort-merge is Spark's default for two
+    large sides, but when one side comfortably fits a per-task hash
+    map, shuffled-hash skips BOTH sort phases — on a 100 TB spine
+    that's the difference between 2 sorts of the fact table and none;
+    the hint is the lever (per-join, no global conf flip). Semantics
+    are identical to the unhinted join, which is exactly what the
+    oracle certifies; the strategy itself is pinned by plan test
+    (ShuffledHashJoin node, no SortMergeJoin)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum_fixed(F.col("l_extendedprice"), "sum_price"),
+        )
+    )

@@ -196,3 +196,15 @@ def test_auto_broadcast_without_hint(spark):
     n = load(spark, SF_SMOKE, "nation")
     df = o.join(n, o.o_orderkey % 25 == n.n_nationkey)
     assert P.uses_broadcast_join(df), P.physical_plan(df)
+
+
+def test_shuffle_hash_hint_overrides_sort_merge(spark):
+    """q_join_shuffle_hash must plan a ShuffledHashJoin (no sort
+    phases on either side), not the default SortMergeJoin."""
+    from ngram_analytics_spark.queries import build_registry
+
+    plan = P.physical_plan(
+        build_registry().queries["q_join_shuffle_hash"](spark, SF_SMOKE)
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
