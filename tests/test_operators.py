@@ -847,3 +847,51 @@ def test_asof_nearest_rejects_strict(spark):
             left, right, "k", "rk", "t", "rt", ["px"],
             strict=True, direction="nearest",
         )
+
+
+def test_asof_nearest_matches_pandas_random(spark):
+    """Seeded-random parity of direction='nearest' vs
+    pd.merge_asof(direction='nearest') — distinct times and distinct
+    distances per key, so no tie-convention ambiguity between the two
+    implementations."""
+    import random
+
+    import pandas as pd
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    # odd left times, even right times, and per-key distinct distances
+    lrows = [
+        Row(k=k, t=2 * rng.randrange(1, 500) + 1, i=i)
+        for i, k in enumerate(rng.choices(range(5), k=80))
+    ]
+    rrows = [
+        Row(rk=k, rt=2 * rng.randrange(1, 500), px=rng.randrange(10**6))
+        for k in rng.choices(range(5), k=60)
+    ]
+    # dedupe (key,time) on both sides to keep merge_asof deterministic
+    lrows = list({(r.k, r.t): r for r in lrows}.values())
+    rrows = list({(r.rk, r.rt): r for r in rrows}.values())
+
+    got = {
+        (r.k, r.t): r.px
+        for r in asof_join(
+            spark.createDataFrame(lrows),
+            spark.createDataFrame(rrows),
+            "k", "rk", "t", "rt", ["px"],
+            direction="nearest",
+        ).collect()
+    }
+
+    lpd = pd.DataFrame([r.asDict() for r in lrows]).sort_values("t")
+    rpd = pd.DataFrame([r.asDict() for r in rrows]).sort_values("rt")
+    exp_df = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", left_by="k", right_by="rk",
+        direction="nearest",
+    )
+    exp = {
+        (int(r.k), int(r.t)): (None if pd.isna(r.px) else int(r.px))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
