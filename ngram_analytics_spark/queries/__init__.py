@@ -32,7 +32,7 @@ from ngram_analytics_spark.registry import QueryRegistry
 # q_fn_format, q_tpch_q18, q_tpch_q7, q_ml_kmeans_step,
 # q_ts_rolling_median, q_fn_binary, q_session_paths,
 # q_dedup_paragraph, q_text_tfidf_exact, q_join_asof_nearest,
-# q_join_shuffle_hash) lead
+# q_join_shuffle_hash, q_ts_pop) lead
 # the round-4
 # rotation — still < 50, so one more rotation restores full cumulative
 # driver certification.

@@ -870,3 +870,66 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order="near_orderkey",
         direction="nearest",
     ).select("event_id", "user_id", "near_orderkey", "near_price")
+
+
+@REG.register(
+    "q_ts_pop",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n,
+                   {oracle_dsum("value")} AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n, sum_value,
+               n - lag(n) OVER w AS n_dod,
+               {oracle_round4det(
+                   "CAST(n - lag(n) OVER w AS DOUBLE)"
+                   " / nullif(lag(n) OVER w, 0)"
+               )} AS n_pct,
+               {oracle_round4det(
+                   "sum_value - lag(sum_value) OVER w"
+               )} AS val_dod
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_ts_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: daily counts and sums per event
+    type with day-over-day deltas and percent change — the trend
+    readout every metrics pipeline derives from its resample.
+
+    Plan: the daily rollup is one map-side-combined agg; the lag
+    window then partitions on the tiny event_type domain over the
+    ALREADY-aggregated (type, day) table — the window input is
+    days x types rows, not events, so the serial-looking lag touches
+    thousands of rows at any corpus size. Percent change guards
+    division by zero with nullif on both engines."""
+    from pyspark.sql.window import Window as W
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    n_lag = F.lag("n").over(w)
+    v_lag = F.lag("sum_value").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        "sum_value",
+        (F.col("n") - n_lag).alias("n_dod"),
+        round4det(
+            (F.col("n") - n_lag).cast("double")
+            / F.nullif(n_lag, F.lit(0))
+        ).alias("n_pct"),
+        round4det(F.col("sum_value") - v_lag).alias("val_dod"),
+    )
