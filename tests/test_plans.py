@@ -208,3 +208,16 @@ def test_shuffle_hash_hint_overrides_sort_merge(spark):
     )
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_islands_windows_share_one_exchange(spark):
+    """q_ts_islands' lag-break and running-sum windows must share a
+    single user_id exchange (same partitioning + order), not re-shuffle
+    between window passes."""
+    from ngram_analytics_spark.queries import build_registry
+
+    plan = P.physical_plan(
+        build_registry().queries["q_ts_islands"](spark, SF_SMOKE)
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}"

@@ -87,3 +87,23 @@ def test_pii_redaction_handles_adjacent_spans(spark):
     )
     assert red.r == "x <EMAIL> <EMAIL> <PHONE> <IP> <IP> y"
     assert (red.ne, red.np, red.ni) == (2, 1, 2)
+
+
+def test_entropy_bounds_hold_on_real_corpus(spark):
+    """Shannon-entropy invariants over the real documents table:
+    0 <= entropy <= log2(n_toks) (+ rounding slack) and
+    0 < ttr <= 1 for every document."""
+    import math
+
+    from ngram_analytics_spark.queries import build_registry
+
+    rows = (
+        build_registry()
+        .queries["q_text_entropy"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert -1e-4 <= r.entropy <= math.log2(r.n_toks) + 1e-4, r
+        assert 0 < r.ttr <= 1, r
+        assert r.n_types <= r.n_toks, r
