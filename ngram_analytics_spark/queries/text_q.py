@@ -563,17 +563,21 @@ def q_text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative (df <= N so idf >= 0), making the padded-string
     order the numeric order, with ties broken on the larger term.
 
-    Plan: per-(doc, term) counts shuffle once on the compound key; the
-    doc-frequency table derives from THOSE counts (vocabulary-sized,
-    shuffle on term, joined back co-partitioned); the corpus total is
-    a 1-row agg broadcast-crossJoined in (the q_text_collocation
+    Plan: per-(doc, term) counts shuffle once on the compound key;
+    the doc-frequency is a COUNT WINDOW over the term key — one more
+    exchange of the tf table and done, where the textbook groupBy +
+    join-back shuffles the tf table on term TWICE (A/B at sf0.1,
+    warm: 1.41 s join-back vs 1.11 s window). The corpus total is a
+    1-row agg broadcast-crossJoined in (the q_text_collocation
     discipline — no driver-side count, nothing can go stale). No
     Python anywhere."""
+    from pyspark.sql.window import Window as W
+
     w = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     c = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = c.groupBy("term").agg(F.count("*").alias("df"))
+    c = c.withColumn("df", F.count("*").over(W.partitionBy("term")))
     totals = load(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
     )
@@ -582,8 +586,7 @@ def q_text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("df").cast("double") + 1.0)
     )
     scored = (
-        c.join(dfq, "term")
-        .crossJoin(F.broadcast(totals))
+        c.crossJoin(F.broadcast(totals))
         .select("doc_id", "term", s.alias("s"))
     )
     return scored.groupBy("doc_id").agg(
