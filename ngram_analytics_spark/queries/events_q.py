@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
+    _oracle_quantized,
+    _quantized,
     oracle_round4det,
     round4det,
 )
@@ -162,22 +164,25 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.register(
     "q_anomaly_mad",
     oracle=f"""
-        WITH med AS (
-            SELECT event_type, quantile_cont(value, 0.5) AS med
-            FROM events GROUP BY event_type
+        WITH base AS (
+            SELECT event_type, {_oracle_quantized("value", 1000000.0)} AS v
+            FROM events
+        ), med AS (
+            SELECT event_type, quantile_cont(v, 0.5) AS med_t
+            FROM base GROUP BY event_type
         ), dev AS (
-            SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
-            FROM events e JOIN med m ON e.event_type = m.event_type
+            SELECT b.event_type, m.med_t, abs(b.v - m.med_t) AS dev_t
+            FROM base b JOIN med m ON b.event_type = m.event_type
         ), mad AS (
-            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            SELECT event_type, quantile_cont(dev_t, 0.5) AS mad_t
             FROM dev GROUP BY event_type
         )
         SELECT d.event_type,
                count(*) AS n,
-               sum(CASE WHEN d.dev > {_MAD_K} * m2.mad
+               sum(CASE WHEN d.dev_t > {_MAD_K} * m2.mad_t
                         THEN 1 ELSE 0 END) AS n_outliers,
-               {oracle_round4det("min(d.med)")} AS med,
-               {oracle_round4det("min(m2.mad)")} AS mad
+               {oracle_round4det("min(d.med_t) / 1000000.0")} AS med,
+               {oracle_round4det("min(m2.mad_t) / 1000000.0")} AS mad
         FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
         GROUP BY d.event_type
     """,
@@ -187,19 +192,26 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev (outliers cannot poison their own threshold), flagging
     |value - median| > 3 sigma-equivalents (MAD * 1.4826).
 
-    Exact medians via sort-based `percentile` (deterministic — no float
-    summation order anywhere); the per-type median and MAD dims are
-    5-row broadcasts, so the event log streams through both passes
-    without shuffling on anything but event_type."""
-    e = load(spark, sf_dir, "events").select("event_type", "value")
+    Values are quantized to int64 1e-6 ticks BEFORE the medians: with
+    integer-tick inputs, even-count median interpolation is exact in
+    binary (multiples of 0.25 ticks) in both engines regardless of how
+    each spells `(a+b)/2` vs `a+(b-a)*frac`, so the deviations, the
+    MAD, and the `dev > K*mad` outlier predicate compare bit-identical
+    doubles. The earlier raw-double formulation lost the last ulp to
+    interpolation association order, flipping a boundary row's outlier
+    flag (official r3 hash-FAIL). Per-type median/MAD dims (5 rows) are
+    broadcast; the event log shuffles only on event_type."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", _quantized(F.col("value"), 1_000_000.0).alias("v")
+    )
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr("percentile(v, 0.5)").alias("med_t")
     )
     dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        "event_type", "med_t", F.abs(F.col("v") - F.col("med_t")).alias("dev_t")
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
+        F.expr("percentile(dev_t, 0.5)").alias("mad_t")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -208,11 +220,11 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(
                 F.when(
-                    F.col("dev") > F.lit(float(_MAD_K)) * F.col("mad"), 1
+                    F.col("dev_t") > F.lit(float(_MAD_K)) * F.col("mad_t"), 1
                 ).otherwise(0)
             ).alias("n_outliers"),
-            round4det(F.min("med")).alias("med"),
-            round4det(F.min("mad")).alias("mad"),
+            round4det(F.min("med_t") / F.lit(1_000_000.0)).alias("med"),
+            round4det(F.min("mad_t") / F.lit(1_000_000.0)).alias("mad"),
         )
     )
 

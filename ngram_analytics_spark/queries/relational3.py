@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load, register_views
 from ngram_analytics_spark.functions.deterministic import (
+    _oracle_quantized,
     davg,
     dsum,
     oracle_davg,
@@ -117,23 +118,30 @@ def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE_SQL = f"""
     WITH cust_orders AS (
         SELECT o_custkey, count(*) AS n_orders,
-               {oracle_dsum("o_totalprice")} AS spend
+               sum({_oracle_quantized("o_totalprice", 10000.0)}) AS spend_ticks
         FROM orders GROUP BY o_custkey
     ),
     seg AS (
-        SELECT c_mktsegment, c_custkey, n_orders, spend
+        SELECT c_mktsegment, c_custkey, n_orders, spend_ticks
         FROM customer JOIN cust_orders ON c_custkey = o_custkey
     )
     SELECT c_mktsegment, count(*) AS n_cust,
-           sum(n_orders) AS n_orders, {oracle_dsum("spend")} AS spend
+           sum(n_orders) AS n_orders,
+           (CAST(sum(spend_ticks) AS DOUBLE) / 10000.0) AS spend
     FROM seg GROUP BY c_mktsegment
 """
 
 
 @REG.register("q_cte", oracle=_CTE_SQL)
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-CTE query — same text both engines (the decimal-accumulate
-    idiom is spelled identically in Spark SQL and DuckDB SQL)."""
+    """Multi-CTE query — same text both engines.
+
+    The per-customer spend is carried through the CTE stack as int64
+    1e-4 ticks and descaled ONCE at the end: the earlier
+    round-to-4dp-then-resum layering put a HALF_UP decimal round on a
+    per-customer boundary value, where Spark and DuckDB can disagree in
+    the last ulp (official r3 hash-FAIL). Integer ticks are exact in
+    both engines, so no intermediate rounding exists to disagree on."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_CTE_SQL)
 
