@@ -492,6 +492,44 @@ def test_cosine_edges_auto_dispatch(spark):
         resolve_edge_method(emb, "bogus")
 
 
+def test_cosine_threshold_applies_to_rounded_value(spark):
+    """The >= min_cos cut is taken on the 4-dp-ROUNDED cosine in every
+    kernel (fold, block-GEMM) — a raw cosine of 0.39996 rounds to
+    0.4000 and is KEPT at min_cos=0.4, while 0.39994 rounds to 0.3999
+    and is dropped. Thresholding the raw value instead would let the
+    last ulp of each engine's summation order flip a boundary pair
+    (the q_cte/q_anomaly_mad failure class, VERDICT r3)."""
+    import math
+
+    from ngram_analytics_spark.operators.similarity import (
+        similarity_pairs,
+        similarity_pairs_blas,
+    )
+
+    def unit_at(c):
+        return [c, math.sqrt(1.0 - c * c), 0.0, 0.0]
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, unit_at(0.39996)),  # raw < 0.4, rounds to 0.4000 -> kept
+        (2, unit_at(0.39994)),  # rounds to 0.3999 -> dropped
+        (3, unit_at(0.40004)),  # rounds to 0.4000 -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # pairs among 1/2/3 are near-parallel (cos ~ 1.0): always kept
+    expect = {(0, 1), (0, 3), (1, 2), (1, 3), (2, 3)}
+    fold = {
+        (r.id_a, r.id_b)
+        for r in similarity_pairs(df, min_cos=0.4).collect()
+    }
+    gemm = {
+        (r.id_a, r.id_b)
+        for r in similarity_pairs_blas(df, min_cos=0.4).collect()
+    }
+    assert fold == expect
+    assert gemm == expect
+
+
 def test_ivf_rejects_nonpositive_stride(spark):
     """centroid_stride=0 would make `id % stride` NULL in Spark SQL and
     silently return an empty result — must raise instead."""
