@@ -15,87 +15,72 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-3
-# rotation: the 35 keys that had never sat inside a driver graded window
-# (the scalar-function / subquery / CTE long tail — judge-verified green
-# in the full sf0.01 oracle diff but without a driver-green row) lead the
-# window so that after this round every one of the r2-era 132 registry
-# keys has cumulative driver certification (r1 ∪ r2 ∪ r3).  The
-# remaining 15 slots go to keys ADDED this round (training-pipeline
-# composites, source round-trips, audio decode, event analytics,
-# corpus modeling, graph pagerank).  The 23 round-3 additions that
-# don't fit (TPC-H composites, profiling/DQ, SCD2, salted top-k,
-# count-min, the new streaming twins, boilerplate/sharding/inverted
-# index, graph degree/triangles, Z-order/CDC/winsorize, sampling,
-# incremental agg, and the late-round-3 additions: q_text_pii,
-# q_text_chunk, q_text_entropy, q_ts_islands, q_agg_bitwise,
-# q_fn_format, q_tpch_q18, q_tpch_q7, q_ml_kmeans_step,
-# q_ts_rolling_median, q_fn_binary, q_session_paths,
-# q_dedup_paragraph, q_text_tfidf_exact, q_join_asof_nearest,
-# q_join_shuffle_hash, q_ts_pop) lead
-# the round-4
-# rotation — still < 50, so one more rotation restores full cumulative
-# driver certification.
+# The 50 keys the differential driver should grade first.  Round-4
+# rotation: the 44 keys that have never sat inside a driver graded
+# window (all registry keys minus the union of CORRECTNESS_r01–r03 —
+# the round-3 additions: TPC-H composites, profiling/DQ, SCD2, the
+# live-streaming twins, graph degree/triangles, layout/sampling/
+# quality families, exact tf-idf, both new as-of directions) lead the
+# window, so after this round every one of the 191 registry keys holds
+# at least one driver-green row (147 cumulative + 44 = 191).  The
+# remaining 6 slots re-certify: q_cte and q_anomaly_mad (official r3
+# hash-FAIL, hardened this round to integer-tick arithmetic), and the
+# q_sim_pairs / q_dedup_embed / _cluster / _canonical family whose
+# physical plan moved to the block-pair GEMM after its r2-green row.
 GRADED_FIRST: tuple[str, ...] = (
-    # scalar-function families (never driver-graded before round 3)
-    "q_fn_array",
-    "q_fn_map_json",
-    "q_fn_string2",
-    "q_fn_cond",
-    "q_fn_hash",
-    "q_fn_cast",
-    # subqueries / CTEs
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_exists_corr",
-    "q_subquery_lateral",
+    # --- never driver-graded (registry order) ---
+    "q_text_tfidf_exact",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_profile_table",
+    "q_dq_checks",
+    "q_scd2",
+    "q_topk_salted",
+    "q_sketch_countmin",
+    "q_fn_crypto",
+    "q_fn_levenshtein",
+    "q_tpch_q18",
+    "q_tpch_q7",
+    "q_join_shuffle_hash",
+    "q_ml_kmeans_step",
+    "q_stream_live_dedup",
+    "q_stream_live_join",
+    "q_stream_live_pairjoin",
+    "q_stream_foreach_upsert",
+    "q_join_asof_fwd",
+    "q_ts_rolling_median",
+    "q_join_asof_nearest",
+    "q_ts_pop",
+    "q_user_transitions",
+    "q_session_paths",
+    "q_boilerplate",
+    "q_shard_assign",
+    "q_inverted_index",
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_zorder_layout",
+    "q_cdc_diff",
+    "q_winsorize",
+    "q_sample_weighted",
+    "q_sample_reservoir",
+    "q_incr_agg",
+    "q_text_pii",
+    "q_text_chunk",
+    "q_text_entropy",
+    "q_ts_islands",
+    "q_agg_bitwise",
+    "q_fn_format",
+    "q_fn_binary",
+    "q_dedup_paragraph",
+    # --- re-certification: r3 hash-FAIL keys, hardened this round ---
     "q_cte",
-    "q_cte_recursive",
-    # nested types / bit ops / sampling
-    "q_fn_struct",
-    "q_fn_map",
-    "q_fn_bitwise",
-    "q_sample_hash",
-    "q_agg_bool",
-    "q_fn_date2",
-    # set ops / inline values / intervals
-    "q_set_ops_all",
-    "q_values_inline",
-    "q_fn_interval",
-    "q_win_ignorenulls",
-    "q_fn_regexp2",
-    "q_fn_trig",
-    # SQL pipe syntax, variant, python datasource, explode
-    "q_sql_pipe",
-    "q_fn_variant",
-    "q_source_pyds",
-    "q_fn_explode_pos",
-    "q_win_range_interval",
-    "q_fn_url",
-    "q_agg_hll_merge",
-    "q_fn_higher_order",
-    "q_merge_upsert",
-    "q_fn_try",
-    "q_sort_nulls",
-    # new round-3 keys (never graded before — 15 slots; the re-cert
-    # slots went to new surface instead: every flagship /
-    # changed-plan candidate already holds an r1-or-r2 driver-green
-    # row and stays covered by the judge's full oracle diff)
-    "q_decontam",
-    "q_text_repetition",
-    "q_sample_stratified",
-    "q_pack_sequences",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_multimodal_audio",
-    "q_funnel",
-    "q_retention",
     "q_anomaly_mad",
-    "q_ewma",
-    "q_doc_lm_score",
-    "q_quant_int8",
-    "q_graph_pagerank",
+    # --- re-certification: plan changed (block-GEMM) since r2 green ---
+    "q_sim_pairs",
+    "q_dedup_embed",
+    "q_dedup_cluster",
+    "q_dedup_canonical",
 )
 
 
