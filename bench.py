@@ -59,7 +59,7 @@ EXTENDED = [
     "q_ts_rolling_median",  # bounded-frame robust smoother
     "q_session_paths",    # islands + path mining
     "q_dedup_paragraph",  # hashed sub-document dedup
-    "q_text_tfidf_exact", # exact tf-idf (2 aggs + join-back)
+    "q_text_tfidf_exact", # exact tf-idf (doc agg + count window)
     "q_join_asof_nearest",  # fused dual-frame as-of
 ]
 

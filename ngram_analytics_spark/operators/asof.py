@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+#: helper columns the union-merge adds; left schemas must not use them
+_RESERVED = ("_k", "_t", "_side", "_rt", "_ord")
+
+
+def _check_left_schema(left: DataFrame) -> None:
+    clash = [c for c in left.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with the as-of join's "
+            f"reserved helper names {_RESERVED}; rename them first"
+        )
+
 
 def asof_join(
     left: DataFrame,
@@ -64,7 +76,14 @@ def asof_join(
     (``strict`` unsupported); duplicate right rows at one (key, time)
     resolve to the max-``right_order`` row backward and the
     min-``right_order`` row forward (one sort serves both).
+
+    Reserved names: the merge adds helper columns ``_k/_t/_side/_rt/
+    _ord`` — a left schema using any of them raises. A left column
+    named like a ``right_values`` entry is REPLACED by the matched
+    value (merge-asof semantics, same as ``pd.merge_asof`` suffixless
+    overwrite).
     """
+    _check_left_schema(left)
     if direction == "nearest":
         if strict:
             raise ValueError("strict is unsupported for direction='nearest'")
@@ -169,13 +188,23 @@ def _asof_nearest(
     back = {c: F.last(c, ignorenulls=True).over(wb) for c in picked}
     fwd = {c: F.first(c, ignorenulls=True).over(wf) for c in picked}
 
-    # numeric time axis for the distance compare; TIMESTAMP_NTZ has no
-    # direct double cast, so route timestamps through the session-TZ
-    # type first (the session is pinned UTC by catalog.load).
+    # numeric time axis for the distance compare; TIMESTAMP_NTZ and
+    # DATE have no direct double cast, so route them through the
+    # session-TZ timestamp type first (the session is pinned UTC by
+    # catalog.load). Anything non-temporal/non-numeric (e.g. a string
+    # axis) fails HERE with a clear message instead of at analysis.
     def as_num(col, dtype):
-        if dtype.startswith("timestamp"):
+        if dtype.startswith("timestamp") or dtype == "date":
             return col.cast("timestamp").cast("double")
-        return col.cast("double")
+        if dtype.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal")
+        ):
+            return col.cast("double")
+        raise ValueError(
+            f"unsupported as-of time-axis dtype {dtype!r}: expected a "
+            "timestamp, date, or numeric column"
+        )
 
     t_dtype = dict(unioned.dtypes)["_t"]
     rt_dtype = dict(unioned.dtypes)["_rt"]

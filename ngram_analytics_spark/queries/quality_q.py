@@ -228,7 +228,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_islands",
     oracle=f"""
         WITH o AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN date_diff('second',
                             lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id),
@@ -239,7 +239,8 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), i AS (
             SELECT user_id, ts,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS island
             FROM o
         ), g AS (
@@ -262,17 +263,20 @@ def q_ts_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complementary to q_stream_session's session_window operator:
     same semantics, window-function formulation).
 
-    Plan: one shuffle on user_id feeds BOTH window passes (lag + the
-    running break count share the partitioning; Spark plans one
-    Exchange, two Window nodes, no re-shuffle) and the same
-    partitioning then serves the (user, island) aggregate map-side.
-    Equal timestamps can never split an island (gap 0 <= threshold),
-    so island ids are deterministic under the event_id tiebreak."""
+    Plan: one shuffle on user_id feeds BOTH window passes; both order
+    by (ts, event_id), so they share ONE sort as well as the exchange
+    (Spark plans one Exchange, one Sort, two Window nodes) and the
+    same partitioning then serves the (user, island) aggregate
+    map-side. The shared tiebreak also makes island membership
+    deterministic when a brk=1 row ties on ts with siblings: a
+    ts-only running sum would assign the tie group to the old vs new
+    island per engine's internal row order (ADVICE r3)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     o = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (gap_s > _ISLAND_GAP_S) | F.lag("ts").over(w).isNull(), 1
         )
@@ -283,11 +287,7 @@ def q_ts_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.sum("brk")
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("island"),
     )
     g = i.groupBy("user_id", "island").agg(

@@ -803,6 +803,53 @@ def test_asof_join_direction_validation(spark):
         asof_join(df, df, "k", "k", "t", "t", [], direction="sideways")
 
 
+def test_asof_join_rejects_reserved_left_columns(spark):
+    """Left columns named like the union-merge helpers (_k/_t/_side/
+    _rt/_ord) would be silently clobbered and dropped — must raise."""
+    import pytest
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 9)], "k long, t long, _ord long")
+    right = spark.createDataFrame([(1, 1, 5)], "k long, t long, px long")
+    with pytest.raises(ValueError, match="reserved helper names"):
+        asof_join(left, right, "k", "k", "t", "t", ["px"])
+
+
+def test_asof_nearest_date_axis_and_dtype_validation(spark):
+    """nearest supports a DATE time axis (routed through timestamp for
+    the distance compare) and rejects a non-temporal/non-numeric axis
+    with a clear error instead of a Spark analysis failure."""
+    import datetime as dt
+
+    import pytest
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10)), (1, d(2024, 3, 1))], "k long, t date"
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 10), (1, d(2024, 2, 28), 20)],
+        "k long, rt date, px long",
+    )
+    got = {
+        r.t: r.px
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", ["px"], direction="nearest"
+        ).collect()
+    }
+    assert got == {d(2024, 1, 10): 10, d(2024, 3, 1): 20}
+
+    sleft = spark.createDataFrame([(1, "a")], "k long, t string")
+    sright = spark.createDataFrame([(1, "b", 5)], "k long, rt string, px long")
+    with pytest.raises(ValueError, match="time-axis dtype"):
+        asof_join(
+            sleft, sright, "k", "k", "t", "rt", ["px"], direction="nearest"
+        )
+
+
 def test_asof_nearest_picks_closer_side(spark):
     """nearest: forward match wins when strictly closer; equal
     distances tie to the backward match; exact-time match is a
