@@ -128,6 +128,15 @@ def build_registry() -> QueryRegistry:
     missing = [k for k in GRADED_FIRST if k not in merged.queries]
     if missing:
         raise ValueError(f"GRADED_FIRST keys not registered: {missing}")
+    from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
+
+    no_oracle = set(merged.queries) - set(merged.oracles)
+    if no_oracle != set(ROWS_ONLY_BY_DESIGN):
+        raise ValueError(
+            "no-oracle keys drifted from ROWS_ONLY_BY_DESIGN: "
+            f"undocumented={sorted(no_oracle - set(ROWS_ONLY_BY_DESIGN))} "
+            f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
+        )
     ordered = QueryRegistry()
     for key in (
         *GRADED_FIRST,

@@ -19,6 +19,57 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Keys declared WITHOUT a SQL oracle — BY DESIGN, not as a gap. The
+#: driver's differential harness records ``err: "no_oracle"`` (a
+#: rows-only check) for exactly these keys; each instead pins its
+#: correctness contract in tests (determinism, error bound, or recall
+#: vs an exact kernel). ``build_registry`` asserts the registry's
+#: actual no-oracle set equals this map, so an accidentally-dropped
+#: oracle fails loudly instead of silently joining this list.
+ROWS_ONLY_BY_DESIGN: dict[str, str] = {
+    "q_agg_approx_distinct": (
+        "Spark's HLL++ sketch differs from DuckDB's estimator; "
+        "relative error vs exact countDistinct pinned in tests"
+    ),
+    "q_agg_approx_percentile": (
+        "Greenwald-Khanna sketch is impl-specific; rank-error bound "
+        "vs exact percentile pinned in tests"
+    ),
+    "q_agg_hll_merge": (
+        "DataSketches HLL binary sketches are not reproducible in "
+        "DuckDB; <=5% error vs exact pinned in tests"
+    ),
+    "q_sketch_countmin": (
+        "count-min hash family is impl-specific; overcount-only "
+        "guarantee and error bound vs exact counts pinned in tests"
+    ),
+    "q_text_tfidf": (
+        "MLlib HashingTF bucket indices are impl-specific; the exact "
+        "term-level twin q_text_tfidf_exact is SQL-certified"
+    ),
+    "q_text_fingerprint": (
+        "xxhash64-seeded rolling-hash fingerprints are Spark-specific; "
+        "determinism pinned in tests"
+    ),
+    "q_dedup_fuzzy": (
+        "MinHash-LSH hash family is impl-specific; determinism and "
+        "recall vs the brute-force Jaccard kernel pinned in tests"
+    ),
+    "q_dedup_simhash": (
+        "xxhash64-based SimHash signatures are Spark-specific; banding "
+        "recall pinned in tests"
+    ),
+    "q_dedup_fuzzy_jaccard": (
+        "candidate set depends on the rare-shingle cutoff (plan "
+        "includes distinct-over-join); verified against the "
+        "brute-force kernel in tests"
+    ),
+    "q_sim_ann_ivf": (
+        "approximate top-k by construction; recall vs brute_force_knn "
+        "pinned in tests"
+    ),
+}
+
 
 class QueryRegistry:
     def __init__(self) -> None:
