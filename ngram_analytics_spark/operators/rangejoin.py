@@ -85,6 +85,122 @@ def binned_range_join(
     )
 
 
+#: Above this (estimated) row count on BOTH sides, ``theta_join_auto``
+#: stops relying on a broadcast nested-loop plan and routes through the
+#: banded equi-join. ~100k rows is a few MB broadcast — comfortably
+#: inside executor memory; past it the BNL's data-sized broadcast is
+#: the scale cliff (the O(n*m) predicate work is inherent to the
+#: theta-join OUTPUT either way; what the banded path removes is the
+#: memory ceiling and the single-broadcast bottleneck).
+THETA_BNL_MAX_ROWS = 100_000
+
+
+def banded_theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    op: str = "<",
+    n_bands: int = 64,
+) -> DataFrame:
+    """Inequality (theta) join ``left_val OP right_val`` (OP in <, <=)
+    as a banded EQUI-join — no data-sized broadcast, no nested loop.
+
+    Both value domains share fixed-width bands from a 1-row global
+    min/max stats dim (the only broadcast — one row, attached to each
+    side). Each right row lands in its own band; each left row fans
+    out to its band AND every higher band (``sequence(own,
+    band_max)``, <= n_bands+1 ids). floor() is monotone, so a
+    qualifying pair (lv OP rv) always has band(lv) <= band(rv) and is
+    produced in EXACTLY one band — the right row's — then the exact
+    predicate is re-applied, making the result identical to the plain
+    theta join. The band key shuffles both sides (sort-merge /
+    shuffled-hash, AQE skew-split applies); nothing data-sized is ever
+    broadcast, which is what unblocks the join past the BNL broadcast
+    ceiling. Left shuffle volume is O(rows * n_bands/2) — dwarfed by
+    the theta join's own output at any size where the plan choice
+    matters.
+
+    Duplicate column names across sides must be disambiguated by the
+    caller (same contract as :func:`binned_range_join`).
+    """
+    if op not in ("<", "<="):
+        raise ValueError(f"op must be '<' or '<=': {op!r}")
+    lv, rv = F.col(left_val), F.col(right_val)
+    l_in = left.filter(lv.isNotNull())
+    r_in = right.filter(rv.isNotNull())
+    stats = (
+        l_in.select(lv.cast("double").alias("_v"))
+        .unionByName(r_in.select(rv.cast("double").alias("_v")))
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+        .select(
+            "_lo",
+            F.greatest(
+                (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bands)),
+                F.lit(1e-12),
+            ).alias("_w"),
+            "_hi",
+        )
+        .select(
+            "_lo",
+            "_w",
+            F.floor((F.col("_hi") - F.col("_lo")) / F.col("_w"))
+            .cast("int")
+            .alias("_band_max"),
+        )
+    )
+
+    def band_of(col):
+        return F.floor(
+            (col.cast("double") - F.col("_lo")) / F.col("_w")
+        ).cast("int")
+
+    lb = (
+        l_in.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_band",
+            F.explode(F.sequence(band_of(lv), F.col("_band_max"))),
+        )
+        .drop("_lo", "_w", "_band_max")
+    )
+    rb = (
+        r_in.crossJoin(F.broadcast(stats))
+        .withColumn("_band", band_of(rv))
+        .drop("_lo", "_w", "_band_max")
+    )
+    pred = (lv < rv) if op == "<" else (lv <= rv)
+    return lb.join(rb, "_band").filter(pred).drop("_band")
+
+
+def theta_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    op: str = "<",
+    bnl_max_rows: int = THETA_BNL_MAX_ROWS,
+    n_bands: int = 64,
+) -> DataFrame:
+    """One-code-path theta join: plain non-equi join (Spark plans a
+    broadcast nested loop — optimal while one side fits in memory)
+    when EITHER side's plan-statistics row estimate is within
+    ``bnl_max_rows``, else :func:`banded_theta_join`. Mirrors
+    ``cosine_edges``' size-based dispatch: no job is launched to
+    decide, and the 100 TB-safe plan engages automatically instead of
+    by manual rewrite."""
+    from ngram_analytics_spark.operators.similarity import _estimate_rows
+
+    if op not in ("<", "<="):
+        raise ValueError(f"op must be '<' or '<=': {op!r}")
+    if min(_estimate_rows(left), _estimate_rows(right)) <= bnl_max_rows:
+        lv, rv = F.col(left_val), F.col(right_val)
+        pred = (lv < rv) if op == "<" else (lv <= rv)
+        return left.join(right, pred)
+    return banded_theta_join(
+        left, right, left_val, right_val, op=op, n_bands=n_bands
+    )
+
+
 def _bin_seconds(bin_width: str) -> int:
     """Parse '<n> <unit>' into seconds."""
     n_str, unit = bin_width.strip().split()

@@ -280,16 +280,21 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (theta) self-join — planned as broadcast nested loop.
-    Only sane when one side is small; at scale, bucketize the range key
-    into an equi-join prefilter (see operators/asof bin-join note)."""
+    """Non-equi (theta) self-join via operators.rangejoin.theta_join_auto:
+    below the size bound Spark plans the broadcast nested loop (optimal
+    for a memory-sized side — supplier at test scale); above it the
+    SAME call routes through the banded equi-join, which never
+    broadcasts a data-sized side (tests pin both plans + result
+    equality)."""
+    from ngram_analytics_spark.operators.rangejoin import theta_join_auto
+
     s = load(spark, sf_dir, "supplier")
-    a = s.alias("a")
-    b = s.alias("b")
-    return a.join(b, F.col("a.s_acctbal") < F.col("b.s_acctbal")).select(
-        F.col("a.s_suppkey").alias("s1"),
-        F.col("b.s_suppkey").alias("s2"),
-        F.round(F.col("b.s_acctbal") - F.col("a.s_acctbal"), 4).alias("bal_gap"),
+    a = s.select(F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("_bal_a"))
+    b = s.select(F.col("s_suppkey").alias("s2"), F.col("s_acctbal").alias("_bal_b"))
+    return theta_join_auto(a, b, "_bal_a", "_bal_b", op="<").select(
+        "s1",
+        "s2",
+        F.round(F.col("_bal_b") - F.col("_bal_a"), 4).alias("bal_gap"),
     )
 
 

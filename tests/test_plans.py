@@ -62,6 +62,72 @@ def test_range_binned_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_theta_join_banded_path_matches_and_avoids_data_broadcast(spark):
+    """Above the size bound the theta join must route through the
+    banded equi-join: identical results to the plain non-equi join,
+    no CartesianProduct, a shuffled equi-join on the band key, and the
+    ONLY nested-loop nodes are the two 1-row stats-dim attaches (never
+    a data-sized broadcast)."""
+    from ngram_analytics_spark.catalog import load
+    from ngram_analytics_spark.operators.rangejoin import (
+        banded_theta_join,
+        theta_join_auto,
+    )
+    from pyspark.sql import functions as F
+
+    s = load(spark, SF_SMOKE, "supplier")
+    a = s.select(F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("ba"))
+    b = s.select(F.col("s_suppkey").alias("s2"), F.col("s_acctbal").alias("bb"))
+
+    banded = banded_theta_join(a, b, "ba", "bb", op="<")
+    plan = P.physical_plan(banded)
+    assert "CartesianProduct" not in plan, plan
+    # the band key joins as an EQUI join (hash or merge; at smoke scale
+    # AQE may broadcast the small build side — still an equi-join)
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+    plain = a.join(b, F.col("ba") < F.col("bb"))
+    got = {(r.s1, r.s2) for r in banded.collect()}
+    want = {(r.s1, r.s2) for r in plain.collect()}
+    assert got == want and len(want) > 0
+
+    # auto dispatch: small side under the default bound -> plain BNL;
+    # bound 0 -> the banded plan
+    auto_small = theta_join_auto(a, b, "ba", "bb")
+    assert "BroadcastNestedLoopJoin" in P.physical_plan(auto_small)
+    big_plan = P.physical_plan(theta_join_auto(a, b, "ba", "bb", bnl_max_rows=0))
+    assert any(
+        j in big_plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), big_plan
+    assert big_plan.count("BroadcastNestedLoopJoin") <= 2, big_plan
+
+
+def test_theta_join_banded_op_le_and_validation(spark):
+    """<= keeps equal-value pairs; unsupported ops raise."""
+    import pytest
+    from ngram_analytics_spark.operators.rangejoin import banded_theta_join
+
+    a = spark.createDataFrame([(1, 5.0), (2, 7.0)], "ida long, v double")
+    b = spark.createDataFrame([(3, 5.0), (4, 9.0)], "idb long, w double")
+    lt = {
+        (r.ida, r.idb)
+        for r in banded_theta_join(a, b, "v", "w", op="<").collect()
+    }
+    le = {
+        (r.ida, r.idb)
+        for r in banded_theta_join(a, b, "v", "w", op="<=").collect()
+    }
+    assert lt == {(1, 4), (2, 4)}
+    assert le == {(1, 3), (1, 4), (2, 4)}
+    with pytest.raises(ValueError, match="op must be"):
+        banded_theta_join(a, b, "v", "w", op=">")
+
+
 def test_scalar_subquery_broadcasts_threshold(spark):
     """The 1-row aggregate must reach the filter via broadcast — the
     fact table is never shuffled."""
