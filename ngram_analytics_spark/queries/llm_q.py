@@ -84,6 +84,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The scalable rare-shingle candidate generator is
     operators.dedup.ngram_jaccard_pairs — rows-only q_dedup_fuzzy_jaccard;
     this SQL-oracled variant pins the Jaccard kernel itself.)
+
+    A/B note (round 4): a single-scan explode-to-pair-id + array-agg
+    formulation (build `st` once, explode each doc to pair ids
+    doc_id/doc_id-1, groupBy) measured EQUAL to this self-join at
+    sf0.1 (0.50-0.63 s vs 0.54-0.85 s warm) — the array-valued
+    aggregation buffer costs what the second scan branch costs — so
+    the simpler certified form stays.
     """
     from ngram_analytics_spark.operators import spread
 
