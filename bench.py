@@ -61,6 +61,9 @@ EXTENDED = [
     "q_dedup_paragraph",  # hashed sub-document dedup
     "q_text_tfidf_exact", # exact tf-idf (doc agg + count window)
     "q_join_asof_nearest",  # fused dual-frame as-of
+    "q_join_overlap",     # binned interval-overlap join
+    "q_dedup_incremental",  # batch-vs-corpus hash dedup
+    "q_mix_budget",       # largest-remainder mix allocation
 ]
 
 

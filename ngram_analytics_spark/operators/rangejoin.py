@@ -85,6 +85,56 @@ def binned_range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: str = "1 day",
+) -> DataFrame:
+    """Interval x interval OVERLAP join (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``) as a bin equi-join —
+    the interval-interval sibling of :func:`binned_range_join`.
+
+    Both sides explode to every bin they overlap (fan-out <= 2 once
+    ``bin_width`` >= the longest interval), equi-join on the bin, then
+    the exact overlap predicate re-applies. An overlapping pair shares
+    EVERY bin its intersection spans, so to emit it exactly once the
+    pair is CLAIMED by the bin containing ``greatest(l_start,
+    r_start)`` — the later start lies inside both intervals whenever
+    they overlap, so that bin is always among the shared ones and no
+    dedup pass is needed. Plans as a shuffled equi-join (AQE
+    skew-split applies); no nested-loop node, no data-sized broadcast.
+
+    Duplicate column names across sides must be disambiguated by the
+    caller beforehand (the :func:`binned_range_join` contract).
+    """
+    width_s = _bin_seconds(bin_width)
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re = F.col(r_start), F.col(r_end)
+    l = left.withColumn(
+        "__bin_l",
+        F.explode(
+            F.sequence(_floor_to_bin(ls, width_s), _floor_to_bin(le, width_s))
+        ),
+    )
+    r = right.withColumn(
+        "__bin_r",
+        F.explode(
+            F.sequence(_floor_to_bin(rs, width_s), _floor_to_bin(re, width_s))
+        ),
+    )
+    overlap = (ls <= re) & (rs <= le)
+    claim = F.col("__bin_l") == _floor_to_bin(F.greatest(ls, rs), width_s)
+    return (
+        l.join(r, F.col("__bin_l") == F.col("__bin_r"))
+        .filter(overlap & claim)
+        .drop("__bin_l", "__bin_r")
+    )
+
+
 #: Above this (estimated) row count on BOTH sides, ``theta_join_auto``
 #: stops relying on a broadcast nested-loop plan and routes through the
 #: banded equi-join. ~100k rows is a few MB broadcast — comfortably

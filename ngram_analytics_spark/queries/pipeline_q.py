@@ -384,3 +384,75 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         dsum_fixed("s_acctbal", "bal", digits=2),
     )
+
+
+@REG.register(
+    "q_dedup_incremental",
+    oracle="""
+        WITH newb AS (
+            SELECT doc_id, lang, sha256(lower(trim(text))) AS h
+            FROM documents WHERE doc_id % 7 = 0
+        ), corpus AS (
+            SELECT DISTINCT sha256(lower(trim(text))) AS h
+            FROM documents WHERE doc_id % 7 != 0
+        ), cls AS (
+            SELECT n.lang,
+                   CASE WHEN c.h IS NOT NULL THEN 2
+                        WHEN row_number() OVER (
+                            PARTITION BY n.h ORDER BY n.doc_id
+                        ) > 1 THEN 1
+                        ELSE 0 END AS cls
+            FROM newb n LEFT JOIN corpus c ON n.h = c.h
+        )
+        SELECT lang,
+               count(*) AS n_new,
+               sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS n_dup_corpus,
+               sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS n_dup_within
+        FROM cls GROUP BY lang
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a NEW batch of documents (doc_id %
+    7 == 0, the q_cdc_diff split convention) deduplicated against the
+    EXISTING corpus without re-touching corpus rows — the shape every
+    continuously-fed training pipeline runs on each drop of data,
+    where re-deduplicating 100 TB from scratch per batch is not an
+    option. A new doc is dropped if its normalized-text hash already
+    exists in the corpus (one distinct-project of the corpus + one
+    hash-key join — the corpus side never carries text, only 32-byte
+    hashes), else if an earlier new doc in the same batch shares the
+    hash (keep-first within batch, q_dedup_exact semantics). Both
+    decisions key the shuffle on the hash, so the plan is two
+    hash-partitioned exchanges regardless of corpus size; per-language
+    counts certify the classification against the SQL oracle."""
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    newb = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 7 != 0).select(h.alias("h")).distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    cls = (
+        newb.join(corpus.withColumn("_hit", F.lit(1)), "h", "left")
+        .withColumn("_rn", rn)
+        .select(
+            "lang",
+            F.when(F.col("_hit").isNotNull(), 2)
+            .when(F.col("_rn") > 1, 1)
+            .otherwise(0)
+            .alias("cls"),
+        )
+    )
+    return cls.groupBy("lang").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("cls") == 0, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("cls") == 2, 1).otherwise(0)).alias(
+            "n_dup_corpus"
+        ),
+        F.sum(F.when(F.col("cls") == 1, 1).otherwise(0)).alias(
+            "n_dup_within"
+        ),
+    )

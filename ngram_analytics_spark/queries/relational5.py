@@ -776,3 +776,89 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_fixed(F.col("l_extendedprice"), "sum_price"),
         )
     )
+
+
+@REG.register(
+    "q_join_overlap",
+    oracle="""
+        WITH iv AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_shipdate AS DATE) AS l_shipdate,
+                   CAST(l_shipdate AS DATE)
+                       + CAST(l_orderkey % 28 + 1 AS INTEGER)
+                       AS l_rcptdate
+            FROM lineitem
+        )
+        SELECT a.l_orderkey AS key_a, a.l_linenumber AS line_a,
+               b.l_orderkey AS key_b, b.l_linenumber AS line_b,
+               date_diff('day',
+                         greatest(a.l_shipdate, b.l_shipdate),
+                         least(a.l_rcptdate, b.l_rcptdate))
+                   + 1 AS overlap_days
+        FROM (SELECT * FROM iv WHERE l_orderkey % 197 = 0) a
+        JOIN (SELECT * FROM iv WHERE l_orderkey % 193 = 0) b
+          ON a.l_shipdate <= b.l_rcptdate
+         AND b.l_shipdate <= a.l_rcptdate
+         AND a.l_orderkey < b.l_orderkey
+    """,
+)
+def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join: which shipments (subset A)
+    were in transit — [l_shipdate, ship + 1..28-day transit], closed —
+    at the same time as shipments from subset B (the transit time is
+    derived deterministically from the order key; this lineitem layout
+    carries no l_receiptdate). The missing sibling of the
+    point-in-interval range join (q_join_range_binned): the naive
+    plan is a nested loop over every pair of intervals; here
+    operators.rangejoin.interval_overlap_join explodes both sides to
+    32-day bins (>= the 28-day max transit time, so fan-out <= 2 bins
+    per row), equi-joins on the bin, re-applies the exact overlap
+    predicate, and claims each pair in the single bin holding the
+    later ship date — exactly-once output with no dedup pass and no
+    nested-loop node (pinned by plan test). The oracle is the plain
+    quadratic join, certifying the bin decomposition loses and
+    invents nothing."""
+    from ngram_analytics_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+        F.date_add(
+            F.to_date("l_shipdate"), (F.col("l_orderkey") % 28 + 1).cast("int")
+        ).alias("l_rcptdate"),
+    )
+    a = li.filter(F.col("l_orderkey") % 197 == 0).select(
+        F.col("l_orderkey").alias("key_a"),
+        F.col("l_linenumber").alias("line_a"),
+        F.col("l_shipdate").alias("ship_a"),
+        F.col("l_rcptdate").alias("rcpt_a"),
+    )
+    b = li.filter(F.col("l_orderkey") % 193 == 0).select(
+        F.col("l_orderkey").alias("key_b"),
+        F.col("l_linenumber").alias("line_b"),
+        F.col("l_shipdate").alias("ship_b"),
+        F.col("l_rcptdate").alias("rcpt_b"),
+    )
+    return (
+        interval_overlap_join(
+            a, b, "ship_a", "rcpt_a", "ship_b", "rcpt_b",
+            bin_width="32 days",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "line_a",
+            "key_b",
+            "line_b",
+            (
+                F.datediff(
+                    F.least("rcpt_a", "rcpt_b"),
+                    F.greatest("ship_a", "ship_b"),
+                )
+                + 1
+            ).alias("overlap_days"),
+        )
+    )

@@ -181,3 +181,86 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4det(F.max("_max")).alias("max_price"),
         )
     )
+
+
+@REG.register(
+    "q_mix_budget",
+    oracle="""
+        WITH t AS (
+            SELECT lang, sum(n_chars) AS avail
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(avail) AS tot, sum(avail) // 2 AS b FROM t
+        ), base AS (
+            SELECT lang, avail, tot, b,
+                   (b * avail) // tot AS alloc0,
+                   (b * avail) % tot AS rem
+            FROM t, tot
+        ), ranked AS (
+            SELECT x.lang, x.avail, x.alloc0, x.b,
+                   count(y.lang) AS rk
+            FROM base x LEFT JOIN base y
+              ON y.rem > x.rem OR (y.rem = x.rem AND y.lang < x.lang)
+            GROUP BY x.lang, x.avail, x.alloc0, x.b
+        ), r AS (
+            SELECT min(b) - sum(alloc0) AS rr FROM base
+        )
+        SELECT lang, avail AS avail_tokens,
+               alloc0 + CASE WHEN rk < rr THEN 1 ELSE 0 END
+                   AS alloc_tokens
+        FROM ranked, r
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget apportionment: split a global token budget
+    (here half the corpus, in char units) across languages
+    proportionally to availability, using LARGEST-REMAINDER rounding
+    so the allocations are integers that sum to the budget EXACTLY —
+    the curriculum-mixing step that decides how many tokens each
+    source contributes to a training run. All arithmetic is int64
+    (products bounded by budget x corpus size; switch to DECIMAL past
+    ~3e18): ideal shares floor-divide, and the leftover units go to
+    the languages with the largest remainders (ties broken by lang) —
+    so the result is hash-certifiable with zero float ops.
+
+    Plan shape: one small per-lang rollup, a 1-row totals broadcast,
+    and a triangular rank join over the LANG-DOMAIN-sized allocation
+    table (bounded by #languages, never data rows — the q_sort_nulls
+    precedent); the corpus itself is touched once."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(F.sum("n_chars").alias("avail"))
+    tot = t.agg(F.sum("avail").alias("tot")).select(
+        "tot", F.expr("tot div 2").alias("b")
+    )
+    base = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail",
+        F.expr("(b * avail) div tot").alias("alloc0"),
+        ((F.col("b") * F.col("avail")) % F.col("tot")).alias("rem"),
+        "b",
+    )
+    y = base.select(
+        F.col("rem").alias("_rem_y"), F.col("lang").alias("_lang_y")
+    )
+    ranked = (
+        base.join(
+            y,
+            (F.col("_rem_y") > F.col("rem"))
+            | (
+                (F.col("_rem_y") == F.col("rem"))
+                & (F.col("_lang_y") < F.col("lang"))
+            ),
+            "left",
+        )
+        .groupBy("lang", "avail", "alloc0", "b")
+        .agg(F.count("_lang_y").alias("rk"))
+    )
+    r = base.agg((F.min("b") - F.sum("alloc0")).alias("rr"))
+    return ranked.crossJoin(F.broadcast(r)).select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        (
+            F.col("alloc0")
+            + F.when(F.col("rk") < F.col("rr"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )

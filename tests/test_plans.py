@@ -107,6 +107,120 @@ def test_theta_join_banded_path_matches_and_avoids_data_broadcast(spark):
     assert big_plan.count("BroadcastNestedLoopJoin") <= 2, big_plan
 
 
+def test_interval_overlap_join_matches_naive_and_avoids_nested_loop(spark):
+    """The bin-claimed overlap join must equal the plain quadratic
+    overlap join exactly (no missed, invented, or duplicated pairs —
+    including intervals spanning a bin boundary and exact-touch
+    endpoints) and must plan as an equi-join on the bin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ngram_analytics_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+
+    def mk(rows, pre):
+        return spark.createDataFrame(
+            [
+                (i, d0 + dt.timedelta(days=s), d0 + dt.timedelta(days=e))
+                for i, s, e in rows
+            ],
+            f"{pre}id long, {pre}s date, {pre}e date",
+        )
+
+    # crafted: same-bin overlaps, cross-bin-boundary overlaps, an
+    # exact-touch pair (end == start, closed intervals -> overlap),
+    # and disjoint pairs
+    a = mk([(1, 0, 5), (2, 28, 40), (3, 10, 10), (4, 60, 61)], "a")
+    b = mk([(1, 3, 9), (2, 5, 5), (3, 39, 66), (4, 10, 12), (5, 45, 50)], "b")
+    got = {
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "as", "ae", "bs", "be", bin_width="32 days"
+        ).collect()
+    }
+    naive = {
+        (r.aid, r.bid)
+        for r in a.join(
+            b, (F.col("as") <= F.col("be")) & (F.col("bs") <= F.col("ae"))
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+    plan = P.physical_plan(
+        interval_overlap_join(a, b, "as", "ae", "bs", "be")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mix_budget_allocations_sum_to_budget(spark):
+    """Largest-remainder invariants: integer allocations, exact sum to
+    the budget (half the corpus), each alloc within 1 unit of its
+    ideal proportional share."""
+    from ngram_analytics_spark.queries.sampling_q import q_mix_budget
+    from tests.conftest import SF_SMOKE
+
+    rows = q_mix_budget(spark, SF_SMOKE).collect()
+    avail = {r.lang: r.avail_tokens for r in rows}
+    alloc = {r.lang: r.alloc_tokens for r in rows}
+    tot = sum(avail.values())
+    budget = tot // 2
+    assert sum(alloc.values()) == budget
+    for lang in avail:
+        ideal = budget * avail[lang] / tot
+        assert abs(alloc[lang] - ideal) < 1.0, (lang, alloc[lang], ideal)
+
+
+def test_dedup_incremental_classification(spark):
+    """Crafted batch: corpus-dup beats within-dup, keep-first within
+    the batch, unique rows kept."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    # inline re-implementation of the query's classification on a
+    # crafted frame (the query itself reads the documents table; the
+    # oracle diff covers it — this pins the intended semantics)
+    d = spark.createDataFrame(
+        [
+            (0, "en", "dup of corpus"),   # new, hash in corpus
+            (7, "en", "fresh one"),       # new, unique -> kept
+            (14, "en", "twin text"),      # new, first twin -> kept
+            (21, "en", "twin text"),      # new, second twin -> within-dup
+            (1, "en", "dup of corpus"),   # corpus
+            (2, "en", "other corpus"),    # corpus
+        ],
+        "doc_id long, lang string, text string",
+    )
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    newb = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select(h.alias("h")).distinct()
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    cls = {
+        r.doc_id: r.cls
+        for r in newb.join(
+            corpus.withColumn("_hit", F.lit(1)), "h", "left"
+        )
+        .withColumn("_rn", rn)
+        .select(
+            "doc_id",
+            F.when(F.col("_hit").isNotNull(), 2)
+            .when(F.col("_rn") > 1, 1)
+            .otherwise(0)
+            .alias("cls"),
+        )
+        .collect()
+    }
+    assert cls == {0: 2, 7: 0, 14: 0, 21: 1}
+
+
 def test_theta_join_banded_op_le_and_validation(spark):
     """<= keeps equal-value pairs; unsupported ops raise."""
     import pytest
@@ -166,6 +280,10 @@ NESTED_LOOP_OK = {
                              # never data-sized
     "q_text_tfidf_exact",    # 1-row corpus-totals broadcast (the
                              # q_text_collocation discipline)
+    "q_mix_budget",          # triangular rank join over the LANG-DOMAIN
+                             # allocation table (bounded by #languages,
+                             # q_sort_nulls precedent) + 1-row totals
+                             # broadcasts
 }
 
 
