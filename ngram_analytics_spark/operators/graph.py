@@ -214,7 +214,13 @@ def knn_graph_edges(
 
     from ngram_analytics_spark.operators.similarity import cosine_edges
 
-    pairs = cosine_edges(corpus, id_col, vec_col, min_cos=min_cos)
+    # The symmetrizing union below references the pair subtree twice,
+    # and Catalyst executes the (expensive) similarity kernel once per
+    # branch — materialize it once instead (eager localCheckpoint):
+    # 2 kernel executions -> 1 for every consumer of the kNN graph.
+    pairs = cosine_edges(
+        corpus, id_col, vec_col, min_cos=min_cos
+    ).localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
         F.col("cos_sim").alias("c"),
@@ -255,9 +261,19 @@ def pagerank_int(
     the whole pipeline.
 
     Returns (node, rank) for every node in ``nodes``.
+
+    The edge frame is materialized ONCE up front (eager
+    ``localCheckpoint``, the connected_components discipline): the
+    unrolled plan references the edge subtree in every iteration plus
+    the degree aggregate, and Catalyst does not reuse exchanges across
+    those branches — with a similarity-kernel edge source (the 3-NN
+    GEMM) the un-checkpointed plan executed that kernel 20 times
+    (measured: q_graph_pagerank 3.0 s warm -> 0.9 s with the pin at
+    sf0.1).
     """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.select("src", "dst").join(deg, "src")
+    e = edges.join(deg, "src")
     n = nodes.select(F.col(node_col).alias("node"))
     ranks = n.select("node", F.lit(base).cast("long").alias("r"))
     floor_ = int(base * 15) // 100

@@ -131,7 +131,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The enumeration is two equi-joins on shared vertices of the
     id-ordered edge table — hash-joinable, no nested loop; the metric
     rows are unioned single-row aggregates (the q_funnel shape), so no
-    1-row cross joins either."""
+    1-row cross joins either. The id-ordered edge table is
+    materialized once (eager localCheckpoint): four plan branches
+    (nodes, e1, e2, e3) reference it and Catalyst would re-execute
+    the 3-NN GEMM edge kernel in each."""
     u = (
         _edges(spark, sf_dir)
         .select(
@@ -139,6 +142,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("s2"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         u.select(F.col("s1").alias("n"))
