@@ -63,7 +63,12 @@ def connected_components(
 
     Raises RuntimeError only if BOTH phases exhaust ``max_iter``.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the input once BEFORE the symmetrizing union: its two
+    # branches would otherwise each re-execute the edge source (for
+    # dedup composites that source is the similarity GEMM kernel)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     sym = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
