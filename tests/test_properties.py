@@ -162,3 +162,103 @@ def test_round_det_matches_duckdb_formula(spark, duck, xs):
         ).fetchall()
     )
     assert got == want
+
+
+@given(
+    lvals=st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    rvals=st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_bands=st.integers(2, 9),
+)
+@settings(**SETTINGS)
+def test_banded_theta_join_equals_plain_join(spark, lvals, rvals, n_bands):
+    """Band decomposition is invisible: for random values (duplicates,
+    negatives, all-equal domains included) the banded plan returns
+    exactly the plain non-equi join's pair set, at any band count."""
+    from ngram_analytics_spark.operators.rangejoin import banded_theta_join
+
+    a = spark.createDataFrame(
+        [Row(ida=i, v=v) for i, v in enumerate(lvals)], "ida long, v double"
+    )
+    b = spark.createDataFrame(
+        [Row(idb=i, w=w) for i, w in enumerate(rvals)], "idb long, w double"
+    )
+    got = {
+        (r.ida, r.idb)
+        for r in banded_theta_join(a, b, "v", "w", n_bands=n_bands).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(lvals)
+        for j, w in enumerate(rvals)
+        if v < w
+    }
+    assert got == want
+
+
+@given(
+    aiv=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    ),
+    biv=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_equals_plain_join(spark, aiv, biv):
+    """Bin claiming is exactly-once for random (start, length) interval
+    sets — including intervals longer than the bin width's guarantee
+    zone boundary case (length up to 40 days vs 32-day bins, so many
+    intervals span 2-3 bins)."""
+    import datetime as dt
+
+    from ngram_analytics_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+
+    def frame(rows, pre):
+        return spark.createDataFrame(
+            [
+                Row(
+                    **{
+                        f"{pre}id": i,
+                        f"{pre}s": d0 + dt.timedelta(days=s),
+                        f"{pre}e": d0 + dt.timedelta(days=s + ln),
+                    }
+                )
+                for i, (s, ln) in enumerate(rows)
+            ],
+            f"{pre}id long, {pre}s date, {pre}e date",
+        )
+
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            frame(aiv, "a"), frame(biv, "b"), "as", "ae", "bs", "be",
+            bin_width="32 days",
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(aiv)
+        for j, (s2, l2) in enumerate(biv)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    )
+    assert got == want
