@@ -14,9 +14,9 @@ from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
-    dsum,
+    dsum_fixed,
     oracle_davg,
-    oracle_dsum,
+    oracle_dsum_fixed,
     oracle_round4det,
     round4det,
 )
@@ -35,7 +35,7 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
         SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
                event_type,
                count(*) AS n,
-               {oracle_dsum("value")} AS sum_value
+               {oracle_dsum_fixed("value")} AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -47,7 +47,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), dsum_fixed("value", "sum_value"))
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
             "event_type",
@@ -71,7 +71,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(ws, '{TS_FMT_DUCK}') AS win_start,
                event_type,
                count(*) AS n,
-               {oracle_dsum("value")} AS sum_value
+               {oracle_dsum_fixed("value")} AS sum_value
         FROM starts
         GROUP BY 1, 2
     """,
@@ -82,7 +82,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), dsum_fixed("value", "sum_value"))
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
             "event_type",
@@ -110,7 +110,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
                count(*) AS n_events,
-               {oracle_dsum("value")} AS sum_value
+               {oracle_dsum_fixed("value")} AS sum_value
         FROM numbered
         GROUP BY user_id, sess_id
     """,
@@ -125,7 +125,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("_start"),
             F.count("*").alias("n_events"),
-            dsum("value", "sum_value"),
+            dsum_fixed("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -184,7 +184,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                event_type,
                count(*) AS n,
-               {oracle_dsum("value")} AS sum_value,
+               {oracle_dsum_fixed("value")} AS sum_value,
                {oracle_davg("value")} AS avg_value
         FROM events
         GROUP BY 1, 2
@@ -202,7 +202,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            dsum("value", "sum_value"),
+            dsum_fixed("value", "sum_value"),
             davg("value", "avg_value"),
         )
     )
@@ -259,7 +259,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
                event_type,
                count(*) AS n,
-               {oracle_dsum("value")} AS sum_value
+               {oracle_dsum_fixed("value")} AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -281,7 +281,7 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), dsum_fixed("value", "sum_value"))
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
             "event_type",
@@ -357,7 +357,7 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("_start"),
             F.count("*").alias("n_events"),
-            dsum("value", "sum_value"),
+            dsum_fixed("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -491,7 +491,7 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
         )
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), dsum_fixed("value", "sum_value"))
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
             "event_type",
@@ -879,7 +879,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n,
-                   {oracle_dsum("value")} AS sum_value
+                   {oracle_dsum_fixed("value")} AS sum_value
             FROM events GROUP BY 1, 2
         )
         SELECT event_type, day, n, sum_value,
@@ -916,7 +916,7 @@ def q_ts_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "day"
             ),
         )
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), dsum_fixed("value", "sum_value"))
     )
     w = W.partitionBy("event_type").orderBy("day")
     n_lag = F.lag("n").over(w)
