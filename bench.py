@@ -64,6 +64,8 @@ EXTENDED = [
     "q_join_overlap",     # binned interval-overlap join
     "q_dedup_incremental",  # batch-vs-corpus hash dedup
     "q_mix_budget",       # largest-remainder mix allocation
+    "q_embed_stats",      # per-dim embedding moments
+    "q_ngram_novelty",    # cross-corpus novelty scoring
 ]
 
 
@@ -104,7 +106,11 @@ def main() -> int:
     # max/min spread still exceeds 2x gets extra runs until the spread
     # closes or a retry cap is hit. The min approximates steady-state
     # engine throughput — what a long-running cluster actually sustains.
-    n_passes = 1 if warm else 2
+    # 3 interleaved base passes (was 2): with 2, a load spike spanning
+    # both passes of one query publishes an inflated min that the
+    # 1.5x-agreement retry cannot detect (both runs agree — both
+    # wrong). A third pass widens the window a spike must cover.
+    n_passes = 1 if warm else 3
     dfs = {name: qs[name](spark, sf_dir) for name in names}
     if warm:
         for df in dfs.values():

@@ -22,9 +22,10 @@ from ngram_analytics_spark.registry import QueryRegistry
 # live-streaming twins, graph degree/triangles, layout/sampling/
 # quality families, exact tf-idf, both new as-of directions) lead the
 # window, so after this round every r3-era registry key holds at
-# least one driver-green row (147 cumulative + 44 = 191; the three
+# least one driver-green row (147 cumulative + 44 = 191; the five
 # round-4 additions — q_join_overlap, q_dedup_incremental,
-# q_mix_budget — lead the round-5 rotation).  The
+# q_mix_budget, q_embed_stats, q_ngram_novelty — lead the round-5
+# rotation).  The
 # remaining 6 slots re-certify: q_cte and q_anomaly_mad (official r3
 # hash-FAIL, hardened this round to integer-tick arithmetic), and the
 # q_sim_pairs / q_dedup_embed / _cluster / _canonical family whose

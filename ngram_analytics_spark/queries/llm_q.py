@@ -611,3 +611,67 @@ def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+@REG.register(
+    "q_embed_stats",
+    oracle="""
+        WITH ex AS (
+            SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+                   CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), dims AS (
+            SELECT dim,
+                   (CAST(floor(abs(x) * 1000000.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN x < 0 THEN -1
+                            WHEN x > 0 THEN 1 ELSE 0 END)) AS xt
+            FROM ex
+        )
+        SELECT dim,
+               count(*) AS n,
+               (CAST(sum(xt) AS DOUBLE) / 1000000.0
+                / count(*)) AS mean_raw,
+               (CAST(sum(xt * xt) AS DOUBLE) / 1000000000000.0
+                / count(*)) AS msq_raw,
+               sum(CASE WHEN abs(xt) < 1000 THEN 1 ELSE 0 END)
+                   AS n_near_zero
+        FROM dims GROUP BY dim
+    """,
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health QA: per-DIMENSION first/second moments and a
+    near-zero census over the whole corpus — the check that catches
+    dead dimensions (mean and mass ~ 0), collapsed scales, or a
+    mis-normalized embedding export before any similarity op consumes
+    the table.
+
+    Determinism: each component is quantized to int64 1e-6 ticks at
+    the row level, so the sums are exact integers in both engines and
+    the mean / mean-square descale with deterministic double division
+    (the q_anomaly_mad discipline; no stddev_samp — its float
+    summation order is engine-dependent). Plan: posexplode to
+    (dim, value), one map-side-combinable aggregate on the 64-value
+    dim key — a single narrow shuffle regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    xt = (
+        F.floor(F.abs(x) * F.lit(1_000_000.0) + F.lit(0.5)) * F.signum(x)
+    ).cast("long")
+    dims = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select("dim", xt.alias("xt"))
+    return dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum("xt").cast("double") / F.lit(1_000_000.0) / F.count("*")
+        ).alias("mean_raw"),
+        (
+            F.sum(F.col("xt") * F.col("xt")).cast("double")
+            / F.lit(1_000_000_000_000.0)
+            / F.count("*")
+        ).alias("msq_raw"),
+        F.sum(
+            F.when(F.abs(F.col("xt")) < 1000, 1).otherwise(0)
+        ).alias("n_near_zero"),
+    )

@@ -456,3 +456,67 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_within"
         ),
     )
+
+
+@REG.register(
+    "q_ngram_novelty",
+    oracle=f"""
+        WITH ref AS (
+            SELECT DISTINCT g AS ng
+            FROM documents, UNNEST({ngrams_sql(TOKENS, 2)}) AS t(g)
+            WHERE doc_id % 5 != 0
+        ), newg AS (
+            SELECT doc_id, g AS ng
+            FROM (
+                SELECT doc_id,
+                       list_distinct({ngrams_sql(TOKENS, 2)}) AS gs
+                FROM documents WHERE doc_id % 5 = 0
+            ), UNNEST(gs) AS t(g)
+        )
+        SELECT n.doc_id,
+               count(*) AS n_bigrams,
+               sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END) AS n_novel,
+               {oracle_round4det(
+                   "CAST(sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / count(*)"
+               )} AS novelty
+        FROM newg n LEFT JOIN ref r ON n.ng = r.ng
+        GROUP BY n.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram NOVELTY scoring: for each incoming document
+    (doc_id % 5 == 0), the fraction of its distinct bigrams never seen
+    in the reference corpus (the rest of the table) — the
+    contribution-vs-redundancy signal a data-mixing pipeline uses to
+    prioritize genuinely new text (complement of q_decontam, which
+    flags OVERLAP with an eval set; docs whose every bigram is known
+    add little). Zero-bigram docs (single-token) drop out of the
+    explode, matching the oracle's inner UNNEST.
+
+    Plan shape: reference bigrams reduce to a DISTINCT hash-key set
+    (never carrying doc ids), incoming docs explode their distinct
+    bigrams, and one left join on the bigram key marks novelty — all
+    shuffles key on the bigram, so the plan is two hash exchanges
+    regardless of corpus size, the q_dedup_incremental discipline at
+    n-gram granularity."""
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(ngram_col(F.split("text", " "), 2))
+    ref = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode(grams).alias("ng"))
+        .distinct()
+    )
+    newg = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode(grams).alias("ng"))
+    )
+    joined = newg.join(
+        ref.withColumn("_hit", F.lit(1)), "ng", "left"
+    )
+    novel = F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        novel.alias("n_novel"),
+        round4det(novel.cast("double") / F.count("*")).alias("novelty"),
+    )
