@@ -22,10 +22,11 @@ from ngram_analytics_spark.registry import QueryRegistry
 # live-streaming twins, graph degree/triangles, layout/sampling/
 # quality families, exact tf-idf, both new as-of directions) lead the
 # window, so after this round every r3-era registry key holds at
-# least one driver-green row (147 cumulative + 44 = 191; the five
-# round-4 additions — q_join_overlap, q_dedup_incremental,
-# q_mix_budget, q_embed_stats, q_ngram_novelty — lead the round-5
-# rotation).  The
+# least one driver-green row (147 cumulative + 44 = 191; the round-4
+# additions — q_join_overlap, q_dedup_incremental, q_mix_budget,
+# q_embed_stats, q_ngram_novelty, q_attribution, q_ts_cusum,
+# q_ts_holt, q_tpch_q21, q_tpch_q22, q_gdpr_cascade, q_join_bloom,
+# q_agg_moments, q_vocab_coverage — lead the round-5 rotation).  The
 # remaining 6 slots re-certify: q_cte and q_anomaly_mad (official r3
 # hash-FAIL, hardened this round to integer-tick arithmetic), and the
 # q_sim_pairs / q_dedup_embed / _cluster / _canonical family whose
@@ -101,6 +102,7 @@ def build_registry() -> QueryRegistry:
         relational3,
         relational4,
         relational5,
+        relational6,
         sampling_q,
         text_q,
         timeseries_q,
@@ -115,6 +117,7 @@ def build_registry() -> QueryRegistry:
         relational3,
         relational4,
         relational5,
+        relational6,
         llm_q,
         timeseries_q,
         udf_q,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
@@ -348,4 +349,99 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("postings_head"),
+    )
+
+
+@REG.register(
+    "q_vocab_coverage",
+    oracle="""
+        WITH vocab AS (
+            SELECT t.tok, count(*) AS cnt
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            GROUP BY t.tok
+        ), tot AS (
+            SELECT sum(cnt) AS total FROM vocab
+        ), ranked AS (
+            SELECT tok, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk,
+                   sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum
+            FROM vocab
+        )
+        SELECT r.rnk, r.tok, r.cnt,
+               (CAST(floor(abs(CAST(r.cum AS DOUBLE)
+                               / CAST(t.total AS DOUBLE))
+                           * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                   AS coverage
+        FROM ranked r, tot t
+        WHERE r.rnk <= 32
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the frequency-ranked token
+    list with each rank's CUMULATIVE share of all corpus tokens — the
+    analysis run before fixing a BPE/vocab size (what fraction of the
+    stream does a 32k / 64k vocabulary cover?). Reports the head
+    (top 32) with rank, count, and cumulative coverage.
+
+    The oracle ranks with a global window; the Spark plan must not
+    (an empty PARTITION BY moves the whole vocab to one task — fine
+    at 60 types, fatal at the ~1e7-type vocab of a real crawl). This
+    uses the distributed global-order pattern q_sort_nulls pins:
+    bucket by -floor(log2(cnt)) (monotone in the count ordering),
+    rank and running-sum WITHIN buckets (partitioned window), then
+    add per-bucket row/mass offsets from a triangular join over the
+    tiny per-bucket summary (broadcast). Coverage divides exact int64
+    token counts, then floor-quantizes to 4dp identically in both
+    engines."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # bucket key monotone DECREASING in cnt: -floor(log2(cnt)); ties
+    # across tokens stay inside one bucket, so (cnt DESC, tok ASC)
+    # within-bucket order + bucket offsets reproduce the global order.
+    vocab = vocab.withColumn(
+        "_b", -F.floor(F.log2(F.col("cnt").cast("double"))).cast("long")
+    )
+    per_bucket = vocab.groupBy("_b").agg(
+        F.count("*").alias("_n"), F.sum("cnt").alias("_mass")
+    )
+    offsets = (
+        per_bucket.alias("x")
+        .join(
+            per_bucket.alias("y"), F.col("y._b") < F.col("x._b"), "left"
+        )
+        .groupBy("x._b")
+        .agg(
+            F.coalesce(F.sum("y._n"), F.lit(0)).alias("_off_n"),
+            F.coalesce(F.sum("y._mass"), F.lit(0)).alias("_off_mass"),
+        )
+    )
+    w = W.partitionBy("_b").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    ranked = (
+        vocab.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("cnt").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .join(F.broadcast(offsets), "_b")
+        .join(F.broadcast(total))
+    )
+    return (
+        ranked.select(
+            (F.col("_off_n") + F.col("_r")).alias("rnk"),
+            "tok",
+            "cnt",
+            round4det(
+                (F.col("_off_mass") + F.col("_cum")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+        .filter(F.col("rnk") <= 32)
     )

@@ -21,11 +21,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
     _oracle_quantized,
     _quantized,
+    dsum_fixed,
+    oracle_dsum_fixed,
     oracle_round4det,
     round4det,
 )
@@ -447,3 +450,284 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+@REG.register(
+    "q_attribution",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_type, value,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS click_ts
+            FROM events
+        ), p AS (
+            SELECT user_id, value,
+                   CASE WHEN click_ts IS NULL THEN NULL
+                        ELSE CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(click_ts)) AS BIGINT)
+                   END AS lag_s
+            FROM seq WHERE event_type = 'purchase'
+        )
+        SELECT CASE WHEN lag_s IS NULL THEN 'none'
+                    WHEN lag_s <= 3600 THEN 'lt_1h'
+                    WHEN lag_s <= 86400 THEN '1h_24h'
+                    ELSE 'gt_24h' END AS bucket,
+               count(*) AS n_purchases,
+               count(DISTINCT user_id) AS n_users,
+               {oracle_dsum_fixed("value")} AS revenue
+        FROM p GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every `purchase` event is
+    attributed to the SAME user's most recent strictly-earlier `click`
+    (IGNORE NULLS `last` over a trailing row frame), then purchases and
+    revenue roll up by attribution-lag bucket (none / <=1h / <=24h /
+    >24h) — the classic conversion-lag report.
+
+    Scale: ONE exchange on user_id feeds the navigation window; the
+    bucket rollup is a 4-group map-side-combinable aggregate. Lag is
+    computed on integer epoch seconds (`unix_timestamp` truncation ==
+    DuckDB `floor(epoch(...))`), so bucket edges compare exact int64s;
+    revenue uses the decimal fixed-point sum (`dsum_fixed`). The
+    reference has no event-log surface (NGramTransform.java:95-134 is
+    its whole engine); north-star family per SURVEY.md §2.B."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_s"),
+    )
+    return (
+        p.select(
+            F.when(F.col("lag_s").isNull(), "none")
+            .when(F.col("lag_s") <= 3600, "lt_1h")
+            .when(F.col("lag_s") <= 86400, "1h_24h")
+            .otherwise("gt_24h")
+            .alias("bucket"),
+            "user_id",
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum_fixed("value", "revenue"),
+        )
+    )
+
+
+@REG.register(
+    "q_ts_cusum",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM({_oracle_quantized("value", 1000000.0)}) AS x
+            FROM events GROUP BY 1, 2
+        ), base AS (
+            SELECT event_type, d, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d) AS rn
+            FROM daily
+        ), tgt AS (
+            SELECT event_type,
+                   CAST(floor(CAST(sum(x) AS DOUBLE) / count(*))
+                        AS BIGINT) AS k
+            FROM base GROUP BY 1
+        ), rec AS (
+            SELECT b.event_type, b.rn,
+                   greatest(CAST(0 AS BIGINT), b.x - t.k) AS s
+            FROM base b JOIN tgt t ON b.event_type = t.event_type
+            WHERE b.rn = 1
+            UNION ALL
+            SELECT b.event_type, b.rn,
+                   greatest(CAST(0 AS BIGINT), r.s + b.x - t.k)
+            FROM base b
+            JOIN rec r ON b.event_type = r.event_type
+                      AND b.rn = r.rn + 1
+            JOIN tgt t ON b.event_type = t.event_type
+        )
+        SELECT r.event_type, count(*) AS n_days,
+               {oracle_round4det("CAST(max(r.s) AS DOUBLE) / 1000000.0")}
+                   AS peak,
+               sum(CASE WHEN r.s > t.k THEN 1 ELSE 0 END) AS n_drift_days,
+               {oracle_round4det(
+                   "CAST(arg_max(r.s, r.rn) AS DOUBLE) / 1000000.0"
+               )} AS s_last
+        FROM rec r JOIN tgt t ON r.event_type = t.event_type
+        GROUP BY r.event_type
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per event type: daily value mass
+    is compared to the type's long-run daily target k (floor of the
+    mean daily mass) and the clamped cumulative excess
+    s_d = max(0, s_{{d-1}} + x_d - k) accumulates — the standard
+    change-point statistic (Page 1954) behind data-drift monitors.
+    Reports the peak excess, days in drift (s > k), and the final
+    state.
+
+    The clamp makes this a TRUE recursion (no prefix-sum window can
+    express max-with-zero resets), so it follows the q_ewma escape
+    hatch: the DISTRIBUTED part is the daily rollup (one shuffle on
+    the (type, day) key, map-side combined); the recursion then runs
+    per type over the tiny aggregated series (days-per-type rows)
+    inside `applyInPandas`. All arithmetic is int64 1e-6 ticks —
+    sums, the floored target, and the clamp are exact integers in
+    both engines, so the parity hash cannot lose an ulp anywhere."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        _quantized(F.col("value"), 1_000_000.0).alias("vt"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("vt").alias("x"))
+    tgt = daily.groupBy("event_type").agg(
+        F.floor(F.sum("x").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("k")
+    )
+    joined = daily.join(F.broadcast(tgt), "event_type")
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        k = int(pdf["k"].iloc[0])
+        s, peak, n_drift = 0, 0, 0
+        for x in pdf["x"]:
+            s = max(0, s + int(x) - k)
+            peak = max(peak, s)
+            n_drift += 1 if s > k else 0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(pdf)],
+                "peak_t": [peak],
+                "n_drift_days": [n_drift],
+                "last_t": [s],
+            }
+        )
+
+    out = joined.groupBy("event_type").applyInPandas(
+        scan,
+        "event_type string, n_days long, peak_t long, "
+        "n_drift_days long, last_t long",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        round4det(
+            F.col("peak_t").cast("double") / F.lit(1_000_000.0)
+        ).alias("peak"),
+        "n_drift_days",
+        round4det(
+            F.col("last_t").cast("double") / F.lit(1_000_000.0)
+        ).alias("s_last"),
+    )
+
+
+@REG.register(
+    "q_ts_holt",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), base AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d) AS rn
+            FROM daily
+        ), rec AS (
+            SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b2.event_type, b2.rn,
+                   0.5 * b2.x + 0.5 * (r.l + r.b),
+                   0.5 * ((0.5 * b2.x + 0.5 * (r.l + r.b)) - r.l)
+                       + 0.5 * r.b
+            FROM base b2
+            JOIN rec r ON b2.event_type = r.event_type
+                      AND b2.rn = r.rn + 1
+        )
+        SELECT event_type, count(*) AS n_days,
+               {oracle_round4det("arg_max(l, rn)")} AS level_last,
+               {oracle_round4det("arg_max(b, rn)")} AS trend_last,
+               {oracle_round4det("arg_max(l + b, rn)")} AS forecast_next
+        FROM rec GROUP BY event_type
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha = beta = 0.5) over the daily event-count series of each
+    type, forecasting the next day — the trend-aware sibling of
+    q_ewma's flat smoother.
+
+    The coupled recursion (l_t needs l_{{t-1}}+b_{{t-1}}, b_t needs
+    l_t) is inexpressible as a window frame, so the distributed stage
+    is the daily count rollup (one (type, day) shuffle) and the
+    recursion runs over the tiny per-type aggregated series in
+    `applyInPandas`. alpha = 0.5 makes every multiply exact in
+    binary, and the additions are spelled in the identical order in
+    the Python loop and the oracle's recursive CTE, so the doubles
+    match bit-for-bit (the q_ewma discipline), not just to
+    tolerance."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        level, trend = None, 0.0
+        for x in pdf["x"]:
+            x = float(x)
+            if level is None:
+                level = x
+            else:
+                prev = level
+                level = 0.5 * x + 0.5 * (level + trend)
+                trend = 0.5 * (level - prev) + 0.5 * trend
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(pdf)],
+                "level_last": [level],
+                "trend_last": [trend],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n_days long, level_last double, "
+        "trend_last double",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        round4det(F.col("level_last")).alias("level_last"),
+        round4det(F.col("trend_last")).alias("trend_last"),
+        round4det(F.col("level_last") + F.col("trend_last")).alias(
+            "forecast_next"
+        ),
+    )

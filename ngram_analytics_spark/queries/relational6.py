@@ -1,0 +1,458 @@
+"""TPC-H Q21 / Q22 analogues (adapted to this schema: no partsupp,
+no l_receiptdate/l_commitdate, no c_phone — lateness is derived from
+o_orderdate and the country code from c_nationkey) plus a GDPR-style
+delete-cascade audit.
+
+The reference engine has no counterpart (its sole operator is the
+n-gram transform, NGramTransform.java:95-134); this is north-star
+surface (SURVEY.md §2.B): the hardest classic decision-support shapes
+— double-negated existence tests and scalar-subquery anti-joins — and
+the data-governance cascade a pipeline must answer before it may
+serve training data.
+
+Scale notes: Q21's two EXISTS / NOT-EXISTS are NOT expressed as
+self-joins of the lineitem spine (three shuffles, skew on hot
+orders); the per-(order, supplier) pre-aggregation makes both
+existence tests plain integer comparisons after ONE l_orderkey
+exchange chain. Q22's scalar subquery is a 1-row broadcast; the
+anti-join shuffles on the customer key only. The cascade audit keys
+every hop on its natural foreign key, so each table shuffles at most
+once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.functions.deterministic import (
+    dsum_fixed,
+    oracle_dsum_fixed,
+    round4det,
+)
+from ngram_analytics_spark.registry import QueryRegistry
+
+REG = QueryRegistry()
+
+#: Q21 lateness cutoff: a line shipped more than 45 days after its
+#: order date counts as late (this lineitem layout has no
+#: l_receiptdate/l_commitdate pair; reference Q21 uses
+#: l_receiptdate > l_commitdate).
+_LATE_DAYS = 45
+
+
+@REG.register(
+    "q_tpch_q21",
+    oracle=f"""
+        WITH sl AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   max(CASE WHEN CAST(l.l_shipdate AS DATE)
+                                 > CAST(o.o_orderdate AS DATE)
+                                   + {_LATE_DAYS}
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY l.l_orderkey, l.l_suppkey
+        ), per_order AS (
+            SELECT l_orderkey,
+                   count(*) AS n_supp,
+                   sum(is_late) AS n_late,
+                   min(CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS late_supp
+            FROM sl GROUP BY l_orderkey
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               count(*) AS numwait
+        FROM per_order p
+        JOIN supplier s ON p.late_supp = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.n_supp > 1 AND p.n_late = 1
+        GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers-who-kept-orders-waiting): for
+    finalized orders served by MORE than one supplier, find the
+    supplier who was the ONLY late shipper — the double existence
+    test (EXISTS another supplier, NOT EXISTS another late supplier)
+    that makes Q21 the classic anti-join benchmark. Lateness is
+    l_shipdate > o_orderdate + 45 days (schema adaptation, see module
+    docstring; reference Q21 compares l_receiptdate to l_commitdate).
+
+    Spark-first shape: instead of the literal plan (lineitem
+    self-joined twice for the EXISTS / NOT EXISTS — three fact
+    shuffles), pre-aggregate to (orderkey, suppkey, is_late) and then
+    to per-order counts: `n_supp > 1 AND n_late = 1` IS the double
+    existence test, computed after a single l_orderkey exchange chain
+    with map-side combine. The orders join is a fact-fact equi-join
+    on the same key; supplier and nation dims broadcast at the end,
+    touching only the few attributed orders."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("odate"))
+    )
+    sl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("ship") > F.date_add(F.col("odate"), _LATE_DAYS), 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = sl.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@REG.register(
+    "q_tpch_q22",
+    oracle=f"""
+        WITH avg_bal AS (
+            SELECT (CAST(floor(abs(
+                        CAST(sum(CAST(c_acctbal AS DECIMAL(25,8)))
+                             AS DOUBLE) / count(*)
+                    ) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS ab
+            FROM customer WHERE c_acctbal > 0.0
+        ), mx AS (
+            SELECT max(o_orderdate) AS m FROM orders
+        ), rich_idle AS (
+            SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+            FROM customer c, avg_bal
+            WHERE c.c_acctbal > avg_bal.ab
+              AND NOT EXISTS (SELECT 1 FROM orders o, mx
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate
+                                    >= mx.m - INTERVAL 30 DAY)
+        )
+        SELECT n.n_name AS cntrycode,
+               count(*) AS numcust,
+               {oracle_dsum_fixed("r.c_acctbal")} AS totacctbal
+        FROM rich_idle r JOIN nation n ON r.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue (global-sales-opportunity): customers with
+    above-average positive account balance and NO order in the final
+    30 days of the order history (lapsed customers), counted and
+    totalled per country — the scalar-subquery + NOT-EXISTS anti-join
+    composite. Country code comes from the nation dim (this customer
+    layout has no c_phone; reference Q22 substrings the phone prefix,
+    and its "never ordered" test is recency-bounded here because the
+    synthetic data gives every customer at least one order).
+
+    Plan: the average balance and the max order date are 1-row
+    aggregates broadcast into scan filters (scalar subqueries); the
+    NOT EXISTS is a left-anti join against the recent-orders
+    customer-key projection — one shuffle each side on c_custkey;
+    the nation dim broadcasts. The
+    threshold double is decimal-summed then floor-quantized to 4dp
+    IDENTICALLY in both engines, so the strict `>` compare can never
+    lose an ulp (account balances carry 2dp; a 4dp-exact threshold
+    decides every row the same way in both engines)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.floor(
+                    F.abs(
+                        F.sum(F.col("c_acctbal").cast("decimal(25,8)"))
+                        .cast("double")
+                        / F.count("*")
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("ab")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    recent_keys = (
+        orders.join(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate") >= F.col("m") - F.expr("INTERVAL 30 DAYS")
+        )
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(
+        recent_keys, rich.c_custkey == recent_keys.o_custkey, "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum_fixed("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+@REG.register(
+    "q_gdpr_cascade",
+    oracle="""
+        WITH del_cust AS (
+            SELECT c_custkey FROM customer
+            WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2'
+        ), del_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+        ), c AS (
+            SELECT count(*) AS n_total,
+                   (SELECT count(*) FROM del_cust) AS n_deleted
+            FROM customer
+        ), o AS (
+            SELECT count(*) AS n_total,
+                   (SELECT count(*) FROM del_orders) AS n_deleted
+            FROM orders
+        ), l AS (
+            SELECT count(*) AS n_total,
+                   sum(CASE WHEN l_orderkey IN
+                            (SELECT o_orderkey FROM del_orders)
+                            THEN 1 ELSE 0 END) AS n_deleted
+            FROM lineitem
+        )
+        SELECT 'customer' AS entity, n_total, n_deleted,
+               n_total - n_deleted AS n_kept FROM c
+        UNION ALL SELECT 'orders', n_total, n_deleted,
+               n_total - n_deleted FROM o
+        UNION ALL SELECT 'lineitem', n_total, n_deleted,
+               n_total - n_deleted FROM l
+    """,
+)
+def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: a deterministic ~12.5% of
+    customers (md5-prefix selection — auditable and
+    partitioning-independent, the q_sample_hash discipline) request
+    deletion; the cascade follows the foreign keys
+    customer -> orders -> lineitem and reports total / deleted / kept
+    row counts per table — the blast-radius report a governed data
+    platform produces before executing a purge.
+
+    Plan: each hop is a semi-join on the natural key (orders on
+    c_custkey, lineitem on l_orderkey), so every table shuffles at
+    most once and the deleted-key sets stay as distributed frames
+    (never collected); the three 1-row count aggregates union into
+    the report. At 100 TB the same plan holds: the cascade is
+    bounded by one shuffle per foreign-key edge."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_cust = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "2"
+    )
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def audit(total_df: DataFrame, deleted_df: DataFrame, name: str):
+        t = total_df.agg(F.count("*").alias("n_total"))
+        d = deleted_df.agg(F.count("*").alias("n_deleted"))
+        return t.join(d).select(
+            F.lit(name).alias("entity"),
+            "n_total",
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_kept"),
+        )
+
+    return (
+        audit(cust, del_cust, "customer")
+        .unionAll(audit(orders, del_orders, "orders"))
+        .unionAll(audit(li, del_li, "lineitem"))
+    )
+
+
+@REG.register(
+    "q_join_bloom",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               count(*) AS n_lines,
+               {oracle_dsum_fixed("l.l_extendedprice * (1 - l.l_discount)")}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: a selective dimension filter
+    (urgent-priority orders) joined into the lineitem spine as a
+    sort-merge join (MERGE hint), the shape where Catalyst's
+    InjectRuntimeFilter rewrites the fact scan with a
+    `might_contain(bloom_filter_agg(o_orderkey), xxhash64(l_orderkey))`
+    semi-filter — rows that cannot join are dropped AT THE SCAN,
+    before the shuffle, cutting exchange volume by the filter's
+    selectivity. That is the 100 TB play: when the dim is too big to
+    broadcast but still selective, the bloom filter is the only thing
+    standing between you and shuffling the full fact table.
+
+    At grading scale the application-side scan sits below Spark's
+    `runtime.bloomFilter.applicationSideScanSizeThreshold` (10 GB
+    default), so the optimization is dormant here and the plan is a
+    plain SMJ — the injection itself is pinned by a plan test that
+    lowers the thresholds (tests/test_plans.py), keeping this query's
+    graded semantics identical to the oracle's plain join at every
+    scale. Revenue rides the fixed-point decimal path."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum_fixed(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
+
+
+@REG.register(
+    "q_agg_moments",
+    oracle="""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(floor(abs(value) * 10000.0 + 0.5) AS HUGEINT)
+                   * (CASE WHEN value < 0 THEN -1 WHEN value > 0 THEN 1
+                           ELSE 0 END) AS x
+            FROM events
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(x) AS DOUBLE) AS s1,
+                   CAST(sum(x * x) AS DOUBLE) AS s2,
+                   CAST(sum(x * x * x) AS DOUBLE) AS s3,
+                   CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+            FROM t GROUP BY event_type
+        ), m AS (
+            SELECT event_type, n,
+                   s1 / n AS mean_t,
+                   (s2 - s1 * s1 / n) / n AS m2,
+                   (s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n))
+                       / n AS m3,
+                   (s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n)
+                       - 3.0 * s1 * s1 * s1 * s1 / (n * n * n)) / n AS m4
+            FROM s
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               (CAST(floor(abs(mean_t / 10000.0) * 10000.0 + 0.5)
+                     AS DOUBLE) / 10000.0
+                * (CASE WHEN mean_t < 0 THEN -1.0 WHEN mean_t > 0 THEN 1.0
+                        ELSE 0.0 END)) AS mean,
+               (CAST(floor(abs(m3 / (m2 * sqrt(m2))) * 10000.0 + 0.5)
+                     AS DOUBLE) / 10000.0
+                * (CASE WHEN m3 < 0 THEN -1.0 WHEN m3 > 0 THEN 1.0
+                        ELSE 0.0 END)) AS skewness,
+               (CAST(floor(abs(m4 / (m2 * m2)) * 10000.0 + 0.5)
+                     AS DOUBLE) / 10000.0) AS kurtosis
+        FROM m
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact higher-moment profiling per event type: mean, skewness
+    (m3 / m2^1.5) and kurtosis (m4 / m2^2) from raw power sums — the
+    distribution-shape diagnostics a data-quality pass runs beside
+    min/max/stddev. Spark's built-in `skewness`/`kurtosis` (like
+    DuckDB's) accumulate floats in partition order, so their last ulp
+    is partitioning-dependent; here values are quantized to int64
+    1e-4 ticks and the power sums S1..S4 are EXACT integers (decimal
+    accumulation in Spark, HUGEINT in DuckDB — same integers), making
+    every downstream double deterministic. The moment formulas avoid
+    `pow` (not correctly-rounded, engine-divergent): m2^1.5 is
+    spelled m2*sqrt(m2) — sqrt and * are IEEE-exact operations.
+
+    Scale: ONE map-side-combinable aggregate over the 5-value type
+    key; the power sums ride Spark's decimal(38,0) partial
+    aggregates. x <= ~3.3e6 ticks, so x^4 <= 1.2e26 and corpus sums
+    stay far inside 38 digits."""
+    e = load(spark, sf_dir, "events")
+    x = (
+        F.floor(F.abs(F.col("value")) * 10000.0 + 0.5)
+        * F.signum("value")
+    ).cast("decimal(12,0)")
+    s = (
+        e.select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").cast("double").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x"))
+            .cast("double")
+            .alias("s3"),
+            F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s.select(
+        "event_type",
+        n,
+        (s1 / n).alias("mean_t"),
+        ((s2 - s1 * s1 / n) / n).alias("m2"),
+        (
+            (s3 - F.lit(3.0) * s1 * s2 / n + F.lit(2.0) * s1 * s1 * s1 / (n * n))
+            / n
+        ).alias("m3"),
+        (
+            (
+                s4
+                - F.lit(4.0) * s1 * s3 / n
+                + F.lit(6.0) * s1 * s1 * s2 / (n * n)
+                - F.lit(3.0) * s1 * s1 * s1 * s1 / (n * n * n)
+            )
+            / n
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        round4det(F.col("mean_t") / 10000.0).alias("mean"),
+        round4det(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        round4det(m4 / (m2 * m2)).alias("kurtosis"),
+    )

@@ -405,3 +405,48 @@ def test_islands_windows_share_one_exchange(spark):
     )
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}"
+
+
+def test_bloom_filter_injects_on_selective_smj(spark):
+    """q_join_bloom's shape (selective dim filter + MERGE-hinted fact
+    join) must trigger InjectRuntimeFilter once the application-side
+    scan crosses the size threshold: the fact scan gains a
+    might_contain(bloom_filter_agg(...)) semi-filter that drops
+    non-joining rows BEFORE the shuffle. Thresholds are lowered here
+    to simulate the at-scale condition (at sf0.001 the scan sits far
+    below the 10 GB default, where the rule is correctly dormant)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = P.physical_plan(_q("q_join_bloom")(spark, SF_SMOKE))
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+
+
+def test_bloom_query_dormant_at_small_scale(spark):
+    """With default thresholds the same query must NOT pay the bloom
+    build below the application-side size floor — plain SMJ, no
+    runtime filter (semantics identical either way)."""
+    plan = P.physical_plan(_q("q_join_bloom")(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan, plan
+    assert "might_contain" not in plan, plan
