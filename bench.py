@@ -66,6 +66,16 @@ EXTENDED = [
     "q_mix_budget",       # largest-remainder mix allocation
     "q_embed_stats",      # per-dim embedding moments
     "q_ngram_novelty",    # cross-corpus novelty scoring
+    "q_tpch_q21",         # sole-late-supplier double existence
+    "q_tpch_q22",         # scalar threshold + anti join
+    "q_join_bloom",       # runtime-filter-eligible SMJ
+    "q_agg_moments",      # exact skew/kurtosis power sums
+    "q_vocab_coverage",   # bucketed global vocab rank
+    "q_attribution",      # last-touch click attribution
+    "q_ts_cusum",         # clamped integer CUSUM scan
+    "q_ts_holt",          # level+trend recursive smoother
+    "q_gdpr_cascade",     # delete-cascade audit
+    "q_agg_bitmap",       # bitmap exact-NDV aggregation
 ]
 
 

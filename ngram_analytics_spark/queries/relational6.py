@@ -456,3 +456,48 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4det(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         round4det(m4 / (m2 * m2)).alias("kurtosis"),
     )
+
+
+@REG.register(
+    "q_agg_bitmap",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS ndv_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation
+    (`bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_count`, Spark 3.5+): each
+    (group, 32k-id bucket) builds a fixed-4KB bitmap of the ids it
+    saw, and the group's NDV is the sum of per-bucket popcounts —
+    buckets partition the id space, so no id is double-counted.
+
+    This is the 100 TB exact-NDV play: `count(DISTINCT x)` plans an
+    Expand + re-shuffle of every (group, id) pair and keeps raw ids
+    in the agg state; approx_count_distinct bounds the state but
+    gives up exactness. Bitmap aggregation keeps BOTH — partial
+    aggregates are fixed-size bitmaps merged by OR (map-side
+    combinable), the shuffle carries one bitmap per (group, bucket)
+    instead of the id stream, and the popcount sum is exact. The
+    DuckDB oracle is the plain COUNT(DISTINCT), certifying
+    exactness. n_events rides the same pass for free."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = (
+        e.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm"),
+            F.count("*").alias("n"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("ndv_users"),
+        F.sum("n").alias("n_events"),
+    )

@@ -284,6 +284,12 @@ NESTED_LOOP_OK = {
                              # allocation table (bounded by #languages,
                              # q_sort_nulls precedent) + 1-row totals
                              # broadcasts
+    "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
+                             # balance threshold + max order date)
+    "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
+    "q_vocab_coverage",      # 1-row corpus-total broadcast +
+                             # triangular join over the ~10-row log2
+                             # bucket table (q_sort_nulls precedent)
 }
 
 
@@ -450,3 +456,55 @@ def test_bloom_query_dormant_at_small_scale(spark):
     plan = P.physical_plan(_q("q_join_bloom")(spark, SF_SMOKE))
     assert "SortMergeJoin" in plan, plan
     assert "might_contain" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's OptimizeSkewedJoin must split a pathologically skewed
+    shuffle partition into parallel sub-partitions (SMJ marked
+    skew=true, AQEShuffleRead 'skewed') — the runtime complement to
+    the manual salting operators (q_join_salted): AQE handles skew
+    discovered at execution time, salting handles skew known in
+    advance. Thresholds are lowered so the tiny fixture's hot key
+    crosses the skew floor."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        left = (
+            spark.range(0, 200000)
+            .select((F.col("id") * 0 + 7).alias("k"), F.col("id").alias("v"))
+            .unionAll(
+                spark.range(0, 1000).select(
+                    (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right.hint("MERGE"), "k").groupBy().count()
+        assert j.collect()[0][0] == 200000 * 1 + 1000  # semantics intact
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
