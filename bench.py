@@ -76,6 +76,10 @@ EXTENDED = [
     "q_ts_holt",          # level+trend recursive smoother
     "q_gdpr_cascade",     # delete-cascade audit
     "q_agg_bitmap",       # bitmap exact-NDV aggregation
+    "q_tpch_q4",          # EXISTS priority check
+    "q_tpch_q14",         # promo share ratio
+    "q_tpch_q15",         # top-supplier max equality
+    "q_tpch_q19",         # disjunctive mixed predicate
 ]
 
 

@@ -29,6 +29,7 @@ from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
     dsum_fixed,
     oracle_dsum_fixed,
+    oracle_round4det,
     round4det,
 )
 from ngram_analytics_spark.registry import QueryRegistry
@@ -500,4 +501,230 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("ndv_users"),
         F.sum("n").alias("n_events"),
+    )
+
+
+@REG.register(
+    "q_tpch_q4",
+    oracle=f"""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND CAST(l.l_shipdate AS DATE)
+                  > CAST(o.o_orderdate AS DATE) + {_LATE_DAYS}
+        )
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue (order-priority checking): count orders per
+    priority that have AT LEAST ONE late line (l_shipdate more than
+    45 days after the order date; reference Q4 compares
+    l_commitdate < l_receiptdate — absent from this layout, same
+    adaptation as q_tpch_q21).
+
+    Plan: the EXISTS decorrelates to a LEFT SEMI join on the order
+    key with the lateness predicate as a residual non-equi term —
+    one shuffle per side on l_orderkey, then a 5-group
+    map-side-combined count. The semi join stops probing an order at
+    its first late line (no duplicate-elimination pass, unlike an
+    INNER join + distinct)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.ship > F.date_add(o.odate, _LATE_DAYS)),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@REG.register(
+    "q_tpch_q14",
+    oracle=f"""
+        WITH j AS (
+            SELECT date_trunc('month', l.l_shipdate) AS mon,
+                   p.p_type,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), a AS (
+            SELECT mon,
+                   {oracle_dsum_fixed(
+                       "CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END"
+                   )} AS promo_rev,
+                   {oracle_dsum_fixed("rev")} AS total_rev
+            FROM j GROUP BY mon
+        )
+        SELECT strftime(mon, '%Y-%m') AS mon,
+               promo_rev, total_rev,
+               {oracle_round4det("100.0 * promo_rev / total_rev")}
+                   AS promo_share
+        FROM a
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue (promotion effect): per ship month, the
+    percentage of revenue from PROMO-type parts — the conditional-
+    aggregate ratio composite (reference Q14 restricts to one month;
+    here every month reports, which exercises the same plan over more
+    groups).
+
+    Plan: the part dim (200 rows, type column only) broadcasts into
+    the lineitem scan — the fact table never shuffles for the join;
+    the month rollup is one map-side-combined aggregate. Both sums
+    ride the fixed-point decimal path and the ratio divides the two
+    4dp-exact doubles with the shared floor-round spelling, so the
+    percentage is cross-engine deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    a = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("mon")
+        .agg(
+            dsum_fixed(
+                F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                    0.0
+                ),
+                "promo_rev",
+            ),
+            dsum_fixed("rev", "total_rev"),
+        )
+    )
+    return a.select(
+        F.date_format("mon", "yyyy-MM").alias("mon"),
+        "promo_rev",
+        "total_rev",
+        round4det(
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")
+        ).alias("promo_share"),
+    )
+
+
+@REG.register(
+    "q_tpch_q15",
+    oracle="""
+        WITH srev AS (
+            SELECT l_suppkey,
+                   sum(CAST(floor(abs(l_extendedprice * (1 - l_discount))
+                                  * 10000.0 + 0.5) AS BIGINT)) AS rev_t
+            FROM lineitem GROUP BY l_suppkey
+        ), mx AS (
+            SELECT max(rev_t) AS m FROM srev
+        )
+        SELECT s.s_suppkey, s.s_name,
+               (CAST(r.rev_t AS DOUBLE) / 10000.0) AS total_revenue
+        FROM srev r
+        JOIN mx ON r.rev_t = mx.m
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue (top supplier): the supplier(s) whose total
+    revenue equals the global maximum — the view + scalar-max
+    equality composite (ties all surface, as in the reference).
+
+    Determinism: revenue quantizes to int64 1e-4 ticks at the ROW
+    level (revenue is nonnegative, so signum folds away), making both
+    the per-supplier sums and the global max exact integers — the
+    equality join cannot be flipped by a float ulp in either engine.
+    Plan: one l_suppkey rollup shuffle; the 1-row max broadcasts back
+    over the tiny per-supplier table; the supplier dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(
+            F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("rt"),
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum("rt").alias("rev_t"))
+    mx = srev.agg(F.max("rev_t").alias("m"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.join(F.broadcast(mx), srev.rev_t == F.col("m"))
+        .join(F.broadcast(s), srev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_t").cast("double") / 10000.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@REG.register(
+    "q_tpch_q19",
+    oracle=f"""
+        SELECT count(*) AS n_lines,
+               {oracle_dsum_fixed("l_extendedprice * (1 - l_discount)")}
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 25)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10)
+           OR (p.p_type = 'ECONOMY' AND p.p_size >= 20
+               AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue (discounted revenue): revenue matching an
+    OR-of-conjunctions predicate that mixes part attributes and line
+    attributes — the disjunctive-predicate composite that defeats
+    naive per-table pushdown (no single conjunct restricts either
+    table alone; brand/type/size clauses are adapted to this part
+    dim's value domain).
+
+    Plan: the 200-row part dim broadcasts; the mixed OR evaluates as
+    ONE codegen'd predicate on the joined row (Catalyst cannot split
+    it per table — correct, since each disjunct spans both). The
+    1-row global aggregate is map-side combined; no shuffle carries
+    more than the post-filter survivors."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & (F.col("p_size") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        dsum_fixed(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
     )
