@@ -933,3 +933,57 @@ def q_ts_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_pct"),
         round4det(F.col("sum_value") - v_lag).alias("val_dod"),
     )
+
+
+@REG.register(
+    "q_stream_live_lww",
+    oracle=f"""
+        SELECT user_id, count(*) AS n_events,
+               strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts,
+               arg_max(value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS last_value
+        FROM events GROUP BY user_id
+    """,
+)
+def q_stream_live_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-STATEFUL streaming under REAL Structured Streaming:
+    a last-write-wins per-user state cache (rows seen + value of the
+    latest (ts, event_id) event) maintained by a custom
+    `applyInPandasWithState` operator — the machinery behind
+    streaming materialized views and CDC latest-value caches, here
+    promoted from smoke test to the differential gate.
+
+    Certifiability: the state transition is a max over a totally
+    ordered key, so the FINAL state is independent of micro-batch
+    boundaries and arrival order; each batch emits the refreshed
+    state row (update mode), and the final answer is the emission
+    with the highest rows-seen count per user (strictly increasing
+    across that user's emissions) — selected by `max_by`, a batch
+    post-pass over the in-memory sink. The oracle is the equivalent
+    batch aggregate with the same lexicographic (epoch, event_id)
+    tie-break as q_ts_ohlc. State is one fixed-width row per user —
+    GC-bounded by the key domain, the scalable shape."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    st = S.lww_state(events)
+    name = "t_live_lww_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(st, name, output_mode="update")
+    snap = spark.table(name)
+    final = snap.groupBy("user_id").agg(
+        F.max("n_seen").alias("n_events"),
+        F.max_by("last_ts_us", "n_seen").alias("_ts_us"),
+        F.max_by("last_val", "n_seen").alias("last_value"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.date_format(
+            F.timestamp_micros(F.col("_ts_us")), TS_FMT_SPARK
+        ).alias("last_ts"),
+        "last_value",
+    )

@@ -259,3 +259,59 @@ def running_max_per_key(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def lww_state(events: DataFrame) -> DataFrame:
+    """Last-write-wins per-key state materialization via
+    applyInPandasWithState: GroupState carries (rows seen, latest
+    (ts, event_id) key, its value) per user and each micro-batch
+    emits the refreshed state row — the arbitrary-stateful building
+    block behind streaming materialized views / CDC latest-value
+    caches. The state transition is ORDER-INSENSITIVE across and
+    within batches (max over a totally ordered key), so the final
+    state is independent of how the source files split into
+    micro-batches — which is what makes it differentially
+    certifiable against a batch aggregate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        "user_id bigint, n_seen bigint, last_ts_us bigint, "
+        "last_val double"
+    )
+    state_schema = "n bigint, ts_us bigint, eid bigint, val double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, ts_us, eid, val = state.get
+        else:
+            n, ts_us, eid, val = 0, -1, -1, 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            t = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            e = pdf["event_id"].to_numpy()
+            i = int(np.lexsort((e, t))[-1])  # argmax of (ts, event_id)
+            if (int(t[i]), int(e[i])) > (ts_us, eid):
+                ts_us, eid = int(t[i]), int(e[i])
+                val = float(pdf["value"].iloc[i])
+        state.update((n, ts_us, eid, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "last_ts_us": [ts_us],
+                "last_val": [val],
+            }
+        )
+
+    # NoTimeout: ProcessingTimeTimeout deadlocks under availableNow.
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
