@@ -731,3 +731,62 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@REG.register(
+    "q_ts_seasonal",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, isodow(ts) AS dow,
+                   {_oracle_quantized("value", 1000000.0)} AS vt
+            FROM events
+        ), d AS (
+            SELECT event_type, dow, count(*) AS n, sum(vt) AS mass_t
+            FROM t GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(mass_t) AS tot_t FROM d GROUP BY 1
+        )
+        SELECT d.event_type, d.dow, d.n,
+               {oracle_round4det(
+                   "CAST(d.mass_t AS DOUBLE) / 1000000.0 / d.n"
+               )} AS mean_value,
+               {oracle_round4det(
+                   "CAST(d.mass_t AS DOUBLE) / CAST(t2.tot_t AS DOUBLE)"
+               )} AS mass_share
+        FROM d JOIN tot t2 ON d.event_type = t2.event_type
+    """,
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: event count,
+    mean value, and each weekday's share of the type's total value
+    mass — the seasonal-baseline table a forecasting or
+    anomaly-detection pipeline conditions on (the fixed-effects
+    complement of q_ts_holt's trend recursion).
+
+    Scale: one map-side-combinable aggregate on the (type, isodow)
+    key (35 groups), then a 5-row per-type totals dim joined broadcast
+    for the share — no window over the event log. Value mass rides
+    int64 1e-6 ticks, so sums are exact and mean/share divide exact
+    integers deterministically (ISO weekday: Spark's
+    `dayofweek`-shifted spelling matches DuckDB's `isodow`)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        # ISO weekday 1=Mon..7=Sun from Spark's 1=Sun..7=Sat dayofweek
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow"),
+        _quantized(F.col("value"), 1_000_000.0).alias("vt"),
+    )
+    d = e.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("vt").alias("mass_t")
+    )
+    tot = d.groupBy("event_type").agg(F.sum("mass_t").alias("tot_t"))
+    return d.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        round4det(
+            F.col("mass_t").cast("double") / F.lit(1_000_000.0) / F.col("n")
+        ).alias("mean_value"),
+        round4det(
+            F.col("mass_t").cast("double") / F.col("tot_t").cast("double")
+        ).alias("mass_share"),
+    )

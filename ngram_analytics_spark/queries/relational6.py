@@ -728,3 +728,75 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+@REG.register(
+    "q_agg_weighted_median",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 10000.0 + 0.5)
+                        AS BIGINT) AS vt,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ), c AS (
+            SELECT l_returnflag, vt, w,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY vt
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM t
+        )
+        SELECT l_returnflag,
+               min(tot) AS total_weight,
+               (CAST(min(CASE WHEN 2 * cum >= tot THEN vt END)
+                     AS DOUBLE) / 10000.0) AS wmedian
+        FROM c GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest price whose cumulative
+    quantity weight reaches half the group's total — the
+    quantity-weighted "typical price" (the op behind importance-
+    weighted quantiles in mixture weighting, where neither percentile
+    nor mean respects row weights).
+
+    Determinism: prices quantize to int64 1e-4 ticks and weights to
+    integers, so the running weight sums are exact and the selection
+    predicate `2*cum >= tot` compares exact integers — and although
+    each engine may order WITHIN a tie group of equal prices
+    differently, the selected price is order-invariant (every row of
+    the group carries the same price; the half-mass position falls at
+    a fixed total regardless of within-group order). Plan: ONE
+    l_returnflag exchange feeds both window frames and the final
+    3-group aggregate."""
+    t = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 10000.0 + 0.5)
+        .cast("long")
+        .alias("vt"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("vt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    c = t.select(
+        "l_returnflag",
+        "vt",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("tot").alias("total_weight"),
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("vt")))
+            .cast("double")
+            / 10000.0
+        ).alias("wmedian"),
+    )
