@@ -87,9 +87,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles), pre-aggregate to (orderkey, suppkey, is_late) and then
     to per-order counts: `n_supp > 1 AND n_late = 1` IS the double
     existence test, computed after a single l_orderkey exchange chain
-    with map-side combine. The orders join is a fact-fact equi-join
-    on the same key; supplier and nation dims broadcast at the end,
-    touching only the few attributed orders."""
+    with map-side combine. The orders edge is hinted SHUFFLE_HASH
+    (fact-fact, never broadcastable at scale — the q_join_multiway
+    discipline), which also makes the join's l_orderkey partitioning
+    satisfy BOTH downstream aggregations (hash({ok}) clusters
+    {ok, sk}), collapsing the plan to exactly two exchanges — one per
+    join input — with zero aggregation shuffles (the default
+    broadcast plan paid two extra agg exchanges). Supplier and nation
+    dims broadcast at the end, touching only the few attributed
+    orders."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
     )
@@ -99,7 +105,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.to_date("o_orderdate").alias("odate"))
     )
     sl = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(

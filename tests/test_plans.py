@@ -508,3 +508,22 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_q21_no_aggregation_shuffles_on_fact_chain(spark):
+    """q_tpch_q21's SHUFFLE_HASH fact edge means the (orderkey,
+    suppkey) and orderkey aggregations both reuse the join's
+    l_orderkey partitioning (hash on a subset of the grouping keys
+    satisfies the clustering requirement) — NEITHER may add an
+    exchange. Allowed exchanges: one per join input plus the final
+    few-row attributed-supplier rollup; the redundant
+    (l_orderkey, l_suppkey) agg exchange the broadcast plan paid must
+    be gone."""
+    plan = P.physical_plan(_q("q_tpch_q21")(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan, plan
+    import re
+
+    bad = re.search(r"hashpartitioning\(l_orderkey#\d+L, l_suppkey", plan)
+    assert not bad, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"expected <=3 hash exchanges, got {n}:\n{plan}"
