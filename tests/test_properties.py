@@ -262,3 +262,121 @@ def test_interval_overlap_join_equals_plain_join(spark, aiv, biv):
         if s1 <= s2 + l2 and s2 <= s1 + l1
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=10_000),  # value ticks
+            st.integers(min_value=1, max_value=50),      # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_matches_naive(spark, rows):
+    """The running-sum weighted-median formulation (q_agg_weighted_median
+    shape) must equal the naive definition: smallest v whose cumulative
+    weight over values <= v reaches half the total — for any weights,
+    ties, and group mixes."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(rows, "g string, vt long, w long")
+    wcum = (
+        W.partitionBy("g").orderBy("vt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = {
+        (r.g, r.wm)
+        for r in df.select(
+            "g", "vt",
+            F.sum("w").over(wcum).alias("cum"),
+            F.sum("w").over(W.partitionBy("g")).alias("tot"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("vt"))
+            ).alias("wm")
+        )
+        .collect()
+    }
+    want = set()
+    for g in {r[0] for r in rows}:
+        grp = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in grp)
+        cum = 0
+        for v, w in grp:
+            cum += w
+            if 2 * cum >= tot:
+                want.add((g, v))
+                break
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=80))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vocab_coverage_bucketed_rank_is_global_rank(spark, toks):
+    """The bucketed global-rank pattern (q_vocab_coverage) must emit
+    exactly the ranks 1..V in (count DESC, token ASC) order with a
+    non-decreasing coverage that ends at 1.0 — for any token
+    multiset."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(f"t{t:02d}",) for t in toks], "tok string"
+    )
+    vocab = df.groupBy("tok").agg(F.count("*").alias("cnt")).withColumn(
+        "_b", -F.floor(F.log2(F.col("cnt").cast("double"))).cast("long")
+    )
+    per_bucket = vocab.groupBy("_b").agg(
+        F.count("*").alias("_n"), F.sum("cnt").alias("_mass")
+    )
+    offsets = (
+        per_bucket.alias("x")
+        .join(per_bucket.alias("y"), F.col("y._b") < F.col("x._b"), "left")
+        .groupBy("x._b")
+        .agg(
+            F.coalesce(F.sum("y._n"), F.lit(0)).alias("_off_n"),
+            F.coalesce(F.sum("y._mass"), F.lit(0)).alias("_off_mass"),
+        )
+    )
+    w = W.partitionBy("_b").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    out = (
+        vocab.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("cnt").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .join(F.broadcast(offsets), "_b")
+        .join(F.broadcast(total))
+        .select(
+            (F.col("_off_n") + F.col("_r")).alias("rnk"),
+            "tok",
+            "cnt",
+            (
+                (F.col("_off_mass") + F.col("_cum")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cov"),
+        )
+        .collect()
+    )
+    by_rank = sorted(out, key=lambda r: r.rnk)
+    assert [r.rnk for r in by_rank] == list(range(1, len(by_rank) + 1))
+    # rank order == (cnt DESC, tok ASC) global order
+    assert [(r.tok) for r in by_rank] == [
+        t for _, t in sorted(
+            ((-r.cnt, r.tok) for r in out)
+        )
+    ]
+    covs = [r.cov for r in by_rank]
+    assert all(a <= b + 1e-12 for a, b in zip(covs, covs[1:]))
+    assert abs(covs[-1] - 1.0) < 1e-9
