@@ -987,3 +987,98 @@ def q_stream_live_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_ts"),
         "last_value",
     )
+
+
+#: dynamic session gaps per event type (seconds): interactive events
+#: time out fast, transactional ones keep the session alive longer.
+_DYN_GAPS = {"click": 300, "view": 600, "purchase": 1800}
+_DYN_GAP_DEFAULT = 900
+
+
+@REG.register(
+    "q_stream_session_dynamic",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE event_type
+                        WHEN 'click' THEN {_DYN_GAPS["click"]}
+                        WHEN 'view' THEN {_DYN_GAPS["view"]}
+                        WHEN 'purchase' THEN {_DYN_GAPS["purchase"]}
+                        ELSE {_DYN_GAP_DEFAULT} END AS gap_s
+            FROM events
+        ), ends AS (
+            SELECT user_id, ts, value, gap_s,
+                   max(ts + to_seconds(gap_s)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS max_prev_end
+            FROM g
+        ), flagged AS (
+            SELECT user_id, ts, value, gap_s,
+                   CASE WHEN max_prev_end IS NULL
+                             OR ts >= max_prev_end
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ends
+        ), numbered AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                          AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+               strftime(max(ts + to_seconds(gap_s)),
+                        '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+               count(*) AS n_events,
+               {oracle_dsum_fixed("value")} AS sum_value
+        FROM numbered
+        GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark 3.2+ `session_window` with a
+    gap EXPRESSION): each event extends its session by a gap chosen
+    from its own attributes — interactive clicks time out in 5
+    minutes, purchases keep the session alive 30 — the
+    per-event-class sessionization fixed-gap windows can't express.
+
+    Session semantics: an event starts a new session iff its ts is at
+    or past the running max of previous events' (ts + gap) — the
+    oracle states exactly that with a prefix-max window (prefix max
+    is associative, so it stays a parallel window frame, not a
+    recursion). Spark's native operator merges overlapping
+    [ts, ts+gap) intervals per user into the same sessions; the
+    window end is the max extent. Plan: one user_id exchange feeds
+    the session merge and the aggregation; works identically under
+    readStream + watermark (the fixed-gap live twin
+    q_stream_live_session certifies the streaming execution path)."""
+    e = load(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit(_DYN_GAPS["click"]))
+        .when(F.col("event_type") == "view", F.lit(_DYN_GAPS["view"]))
+        .when(
+            F.col("event_type") == "purchase", F.lit(_DYN_GAPS["purchase"])
+        )
+        .otherwise(F.lit(_DYN_GAP_DEFAULT))
+    )
+    gap_str = F.concat(gap.cast("string"), F.lit(" seconds"))
+    return (
+        e.groupBy(
+            F.session_window("ts", gap_str).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_fixed("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "sess_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "sess_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
