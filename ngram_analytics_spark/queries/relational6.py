@@ -806,3 +806,53 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("wmedian"),
     )
+
+
+@REG.register(
+    "q_fn_map2",
+    oracle="""
+        SELECT event_id,
+               2 * k + 1 AS doubled_plus,
+               'k_' || CAST(k % 10 AS VARCHAR) AS renamed_key,
+               CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS n_even,
+               11 * k AS zipped_sum,
+               2 AS n_concat
+        FROM (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+    """,
+)
+def q_fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order function family: transform_values /
+    transform_keys / map_filter / map_zip_with / map_concat over the
+    JSON-parsed props map — the lambda surface for MapType columns
+    (sibling of q_fn_map's construction/access family).
+
+    Oracle strategy: DuckDB has no MapType lambdas, so the oracle
+    derives every expected output ARITHMETICALLY from the underlying
+    json value — certifying the Spark lambdas against independently
+    computed results rather than a same-shaped query. All expressions
+    are JVM codegen (no UDFs); per-row, shuffle-free."""
+    e = load(spark, sf_dir, "events").select("event_id", "props")
+    m = F.from_json("props", "map<string,int>")
+    m10 = F.transform_values(m, lambda k, v: v * 10)
+    return e.select(
+        "event_id",
+        F.element_at(
+            F.transform_values(m, lambda k, v: v * 2 + 1), "k"
+        ).alias("doubled_plus"),
+        F.map_keys(
+            F.transform_keys(
+                m, lambda k, v: F.concat(k, F.lit("_"), (v % 10).cast("string"))
+            )
+        )[0].alias("renamed_key"),
+        F.size(F.map_filter(m, lambda k, v: v % 2 == 0)).alias("n_even"),
+        F.element_at(
+            F.map_zip_with(m, m10, lambda k, a, b: a + b), "k"
+        ).alias("zipped_sum"),
+        F.size(
+            F.map_concat(m, F.create_map(F.lit("x"), F.lit(1)))
+        ).alias("n_concat"),
+    )
