@@ -48,6 +48,7 @@ def asof_join(
     strict: bool = False,
     right_order: str | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: latest right at-or-before (``direction="backward"``,
     default) or earliest right at-or-after (``"forward"``) the left
@@ -64,6 +65,14 @@ def asof_join(
             order; its values must be non-null). This folds the right-
             side dedup into the merge window's sort — one fewer
             shuffle than a separate groupBy/max_by pass.
+        tolerance_seconds: maximum staleness (merge_asof ``tolerance``
+            semantics): a match farther than this from the left row's
+            time — behind it for backward, ahead for forward — has its
+            ``right_values`` nulled, exactly as if no match existed.
+            The bound is evaluated on the matched right TIME carried
+            through the merge, so it adds no join or shuffle. Seconds
+            for timestamp axes, axis units for numeric axes;
+            unsupported for ``direction="nearest"``.
 
     Both directions are the same union-merge plan; forward flips the
     window frame (current..unbounded-following, running ``first``) and
@@ -87,6 +96,10 @@ def asof_join(
     if direction == "nearest":
         if strict:
             raise ValueError("strict is unsupported for direction='nearest'")
+        if tolerance_seconds is not None:
+            raise ValueError(
+                "tolerance_seconds is unsupported for direction='nearest'"
+            )
         return _asof_nearest(
             left, right, left_key, right_key, left_time, right_time,
             right_values, right_order=right_order,
@@ -106,12 +119,14 @@ def asof_join(
     lt = left.withColumn("_k", F.col(left_key)).withColumn(
         "_t", F.col(left_time)
     ).withColumn("_side", F.lit(left_side))
+    with_tol = tolerance_seconds is not None
     rt = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(right_side).alias("_side"),
         *[F.col(c) for c in right_values],
         *([F.col(right_order).alias("_ord")] if right_order else []),
+        *([F.col(right_time).alias("_rt")] if with_tol else []),
     )
     for c in right_values:
         lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
@@ -135,13 +150,36 @@ def asof_join(
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    picked = list(right_values) + (["_rt"] if with_tol else [])
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in right_values],
-        *[pick(c).alias(c) for c in right_values],
+        *[c for c in unioned.columns if c not in picked],
+        *[pick(c).alias(c) for c in picked],
     )
-    return filled.filter(F.col("_side") == left_side).drop(
-        "_k", "_t", "_side", "_ord"
-    )
+    out = filled.filter(F.col("_side") == left_side)
+    if with_tol:
+        t_dtype = dict(unioned.dtypes)["_t"]
+        if t_dtype.startswith("timestamp"):
+            # cast normalizes TIMESTAMP_NTZ (session TZ is pinned UTC)
+            lt_num = (
+                F.unix_micros(F.col("_t").cast("timestamp")).cast("double")
+                / 1e6
+            )
+            rt_num = (
+                F.unix_micros(F.col("_rt").cast("timestamp")).cast("double")
+                / 1e6
+            )
+        else:
+            lt_num = F.col("_t").cast("double")
+            rt_num = F.col("_rt").cast("double")
+        staleness = (rt_num - lt_num) if fwd else (lt_num - rt_num)
+        ok = F.col("_rt").isNotNull() & (
+            staleness <= F.lit(float(tolerance_seconds))
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in picked],
+            *[F.when(ok, F.col(c)).alias(c) for c in right_values],
+        )
+    return out.drop("_k", "_t", "_side", "_ord", "_rt")
 
 
 def _asof_nearest(

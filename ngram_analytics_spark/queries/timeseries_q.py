@@ -1082,3 +1082,78 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+#: staleness bound for the tolerance as-of: a previous order more
+#: than 180 days back does not count as a repeat purchase.
+_ASOF_TOL_S = 180 * 86400
+
+
+@REG.register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   max_by(o_orderkey, o_orderkey) AS o_orderkey,
+                   max_by(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ), m AS (
+            SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+                   r.o_orderkey AS prev_orderkey,
+                   r.o_totalprice AS prev_price,
+                   r.o_orderdate AS prev_date
+            FROM orders l
+            ASOF LEFT JOIN o r
+              ON l.o_custkey = r.o_custkey
+             AND l.o_orderdate > r.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN prev_date IS NOT NULL
+                         AND epoch(o_orderdate) - epoch(prev_date)
+                             <= {_ASOF_TOL_S}.0
+                    THEN prev_orderkey END AS prev_orderkey,
+               CASE WHEN prev_date IS NOT NULL
+                         AND epoch(o_orderdate) - epoch(prev_date)
+                             <= {_ASOF_TOL_S}.0
+                    THEN prev_price END AS prev_price
+        FROM m
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas `merge_asof
+    tolerance` / feature-store freshness semantics): each order takes
+    the SAME customer's latest strictly-earlier order ONLY if it is
+    at most 180 days old — staler matches null out exactly like
+    missing ones. This is the repeat-purchase window report, and the
+    freshness contract that stops a point-in-time training join from
+    silently serving months-old features.
+
+    The bound is enforced INSIDE the union-merge (operators/asof.py
+    `tolerance_seconds`): the matched right time rides the same
+    running-window pick as the values, so the staleness predicate is
+    a row-local comparison — no extra join, no extra shuffle; the
+    plan is byte-for-byte the plain as-of plan plus one projection.
+    Same-date orders dedupe to the max orderkey inside the merge
+    window (`strict` + `right_order`, the q_join_asof discipline).
+    Oracle: DuckDB native strict ASOF LEFT JOIN with the same
+    epoch-seconds bound applied afterward."""
+    o = load(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = o.select(
+        F.col("o_custkey").alias("r_custkey"),
+        F.col("o_orderdate").alias("r_orderdate"),
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_totalprice").alias("prev_price"),
+    )
+    return asof_join(
+        left,
+        right,
+        left_key="o_custkey",
+        right_key="r_custkey",
+        left_time="o_orderdate",
+        right_time="r_orderdate",
+        right_values=["prev_orderkey", "prev_price"],
+        strict=True,
+        right_order="prev_orderkey",
+        tolerance_seconds=_ASOF_TOL_S,
+    ).select("o_orderkey", "o_custkey", "prev_orderkey", "prev_price")

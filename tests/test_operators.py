@@ -980,3 +980,69 @@ def test_asof_nearest_matches_pandas_random(spark):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """tolerance_seconds must null matches STRICTLY staler than the
+    bound, keep a match exactly AT the bound (inclusive, merge_asof
+    semantics), and leave no-match rows null — for both directions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    left = spark.createDataFrame(
+        [(1, ts()), (2, ts(hours=5)), (3, ts(days=3))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(hours=-1), 10.0),       # 3600 s back -> exactly at bound
+         (2, ts(hours=3), 20.0),        # 7200 s back -> too stale
+         (1, ts(minutes=30), 11.0),     # 1800 s AHEAD of k=1's t0
+         (2, ts(hours=7), 22.0),        # 7200 s ahead of k=2 -> too far
+         (9, ts(), 99.0)],              # other key -> no match for k=3
+        "k long, t timestamp, v double",
+    )
+    out = {
+        r.k: r.v
+        for r in asof_join(
+            left,
+            right.select(
+                F.col("k").alias("rk"), F.col("t").alias("rt"), "v"
+            ),
+            left_key="k",
+            right_key="rk",
+            left_time="t",
+            right_time="rt",
+            right_values=["v"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: None, 3: None}
+
+    fwd = {
+        r.k: r.v
+        for r in asof_join(
+            left,
+            right.select(
+                F.col("k").alias("rk"), F.col("t").alias("rt"), "v"
+            ),
+            left_key="k",
+            right_key="rk",
+            left_time="t",
+            right_time="rt",
+            right_values=["v"],
+            direction="forward",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    # forward: k=1 at t0 sees +30 min (within bound) -> 11.0;
+    # k=2 at +5h sees +7h = 2h ahead (past bound) -> null;
+    # k=3 has no right rows at all -> null
+    assert fwd == {1: 11.0, 2: None, 3: None}
