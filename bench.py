@@ -80,6 +80,13 @@ EXTENDED = [
     "q_tpch_q14",         # promo share ratio
     "q_tpch_q15",         # top-supplier max equality
     "q_tpch_q19",         # disjunctive mixed predicate
+    "q_stream_live_lww",  # arbitrary-stateful streaming LWW cache
+    "q_ts_seasonal",      # day-of-week seasonal profile
+    "q_agg_weighted_median",  # half-weight selection median
+    "q_stream_session_dynamic",  # dynamic-gap session windows
+    "q_fn_map2",          # map higher-order lambdas
+    "q_join_asof_tolerance",  # staleness-bounded as-of
+    "q_embed_cov",        # blocked integer Gram covariance
 ]
 
 

@@ -675,3 +675,130 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("xt")) < 1000, 1).otherwise(0)
         ).alias("n_near_zero"),
     )
+
+
+@REG.register(
+    "q_embed_cov",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id,
+                   CAST(t.i - 1 AS INTEGER) AS dim,
+                   (CAST(floor(abs(embedding[t.i]) * 1000000.0 + 0.5)
+                         AS BIGINT)
+                    * (CASE WHEN embedding[t.i] < 0 THEN -1
+                            WHEN embedding[t.i] > 0 THEN 1
+                            ELSE 0 END)) AS xt
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), pairs AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   sum(CAST(a.xt AS HUGEINT) * CAST(b.xt AS HUGEINT))
+                       AS sxy,
+                   count(*) AS n
+            FROM ex a JOIN ex b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+        ), means AS (
+            SELECT dim, CAST(sum(xt) AS DOUBLE) / 1000000.0
+                        / count(*) AS mu
+            FROM ex GROUP BY dim
+        )
+        SELECT p.i, p.j,
+               (CAST(floor(abs(
+                    CAST(p.sxy AS DOUBLE) / 1000000000000.0 / p.n
+                    - ma.mu * mb.mu
+                ) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                * (CASE WHEN CAST(p.sxy AS DOUBLE) / 1000000000000.0
+                             / p.n - ma.mu * mb.mu < 0 THEN -1.0
+                        WHEN CAST(p.sxy AS DOUBLE) / 1000000000000.0
+                             / p.n - ma.mu * mb.mu > 0 THEN 1.0
+                        ELSE 0.0 END)) AS cov
+        FROM pairs p
+        JOIN means ma ON p.i = ma.dim
+        JOIN means mb ON p.j = mb.dim
+    """,
+)
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle, all 64 dims): the
+    input to whitening / PCA and the dimension-correlation QA check
+    beside q_embed_stats' per-dim moments. cov(i,j) =
+    E[x_i x_j] - E[x_i] E[x_j], every expectation computed from EXACT
+    integer sums.
+
+    Scale design: the Gram matrix does NOT come from a dim x dim
+    self-join of exploded rows (quadratic row blowup: n_rows x 64^2
+    shuffled pairs). Each Arrow batch computes its LOCAL
+    sum-of-outer-products with one numpy matmul in `mapInPandas`
+    (values quantized to int64 1e-6 ticks first, so the integer
+    matmul is exact and batch-order-free) and emits 2080 partial
+    (i, j, sum) rows; one tiny groupBy merges the partials —
+    shuffle volume is O(batches x dim^2), independent of row count.
+    The per-dim means broadcast from the same tick discipline as
+    q_embed_stats. The oracle IS the quadratic self-join (HUGEINT
+    products), certifying the blocked kernel against the naive
+    definition."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy())
+            xt = (
+                np.floor(np.abs(x).astype("float64") * 1e6 + 0.5)
+                * np.sign(x)
+            ).astype("int64")
+            g = xt.T @ xt  # exact: |x|<=~3.3e6 ticks, n<=1e4 per batch
+            s = xt.sum(axis=0)
+            n = len(pdf)
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": g[iu, ju],
+                    "si": s[iu],
+                    "n": np.full(len(iu), n, dtype="int64"),
+                }
+            )
+
+    partials = e.mapInPandas(
+        gram, "i int, j int, sxy long, si long, n long"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").alias("n")
+    )
+    dims = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "dim",
+        (
+            F.floor(F.abs(F.col("x").cast("double")) * 1e6 + 0.5)
+            * F.signum(F.col("x").cast("double"))
+        )
+        .cast("long")
+        .alias("xt"),
+    )
+    means = dims.groupBy("dim").agg(
+        (F.sum("xt").cast("double") / F.lit(1e6) / F.count("*")).alias("mu")
+    )
+    ma = means.select(F.col("dim").alias("i"), F.col("mu").alias("mu_i"))
+    mb = means.select(F.col("dim").alias("j"), F.col("mu").alias("mu_j"))
+    raw = (
+        agg.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy").cast("double")
+                / F.lit(1e12)
+                / F.col("n")
+                - F.col("mu_i") * F.col("mu_j")
+            ).alias("c"),
+        )
+    )
+    return raw.select("i", "j", round4det(F.col("c")).alias("cov"))
