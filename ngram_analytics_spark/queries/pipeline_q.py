@@ -520,3 +520,105 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         round4det(novel.cast("double") / F.count("*")).alias("novelty"),
     )
+
+
+@REG.register(
+    "q_sink_dynamic_overwrite",
+    oracle=f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {oracle_dsum_fixed(
+                   "CASE WHEN o_orderpriority = '1-URGENT' "
+                   "THEN o_totalprice * 2.0 ELSE o_totalprice END", 2
+               )} AS price
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics): the orders table is laid out hive-partitioned by
+    priority, then a corrected feed for ONE partition (urgent orders,
+    prices restated 2x) is written with
+    `partitionOverwriteMode=dynamic` — replacing ONLY the partitions
+    present in the incoming frame and leaving the other four
+    untouched. This is the lakehouse backfill primitive: reprocess
+    one day/partition without rewriting (or even listing) the rest
+    of a 100 TB table; static overwrite mode would have dropped the
+    other partitions.
+
+    The read-back aggregate certifies both halves — untouched
+    partitions hash against the original rows, the restated one
+    against the 2x oracle — in exact integer cents. The mode is a
+    per-WRITE option (no session-level conf mutation)."""
+    out = _roundtrip_dir(spark, sf_dir, "dynpart")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # baseline layout: full static overwrite, hive-partitioned
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    # corrected feed for the urgent partition only
+    fix = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2.0
+    )
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum_fixed("o_totalprice", "price", digits=2),
+    )
+
+
+#: keyset pagination: page size and the page to fetch (1-indexed).
+_PAGE_SIZE = 100
+_PAGE_NO = 3
+
+
+@REG.register(
+    "q_paginate_keyset",
+    oracle=f"""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM orders
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        LIMIT {_PAGE_SIZE} OFFSET {(_PAGE_NO - 1) * _PAGE_SIZE}
+    """,
+)
+def q_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: fetch page 3 of the
+    (o_orderdate, o_orderkey)-ordered order list WITHOUT an OFFSET
+    scan. The boundary key — the last key of page 2 — comes from a
+    TakeOrderedAndProject top-(2*pagesize) (distributed top-k: each
+    partition keeps 200 rows, the driver merges 200*n_partitions
+    candidates, never a global sort), broadcast as a 1-row scalar;
+    the page itself is a pushdown-friendly `key > boundary` filter +
+    top-pagesize. At 100 TB OFFSET N ORDER BY pays the full top-N
+    materialization ON EVERY PAGE — keyset keeps page cost flat in
+    the page number, which is why every large-scale API paginates by
+    cursor. The oracle is the literal OFFSET spelling."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    k = F.concat(
+        F.lpad(F.unix_date(F.col("od")).cast("string"), 12, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    keyed = o.withColumn("_key", k)
+    boundary = (
+        keyed.orderBy("_key")
+        .limit(_PAGE_SIZE * (_PAGE_NO - 1))
+        .agg(F.max("_key").alias("_b"))
+    )
+    page = (
+        keyed.join(F.broadcast(boundary))
+        .filter(F.col("_key") > F.col("_b"))
+        .orderBy("_key")
+        .limit(_PAGE_SIZE)
+    )
+    return page.select(
+        "o_orderkey", F.date_format("od", "yyyy-MM-dd").alias("o_date")
+    )

@@ -290,6 +290,7 @@ NESTED_LOOP_OK = {
     "q_vocab_coverage",      # 1-row corpus-total broadcast +
                              # triangular join over the ~10-row log2
                              # bucket table (q_sort_nulls precedent)
+    "q_paginate_keyset",     # 1-row boundary-key scalar broadcast
 }
 
 
