@@ -87,6 +87,7 @@ EXTENDED = [
     "q_fn_map2",          # map higher-order lambdas
     "q_join_asof_tolerance",  # staleness-bounded as-of
     "q_embed_cov",        # blocked integer Gram covariance
+    "q_paginate_keyset",  # seek pagination (TakeOrdered boundary)
 ]
 
 

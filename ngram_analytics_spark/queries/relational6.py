@@ -856,3 +856,62 @@ def q_fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_concat(m, F.create_map(F.lit("x"), F.lit(1)))
         ).alias("n_concat"),
     )
+
+
+@REG.register(
+    "q_fn_json2",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_tup,
+               '{"et":"' || event_type || '","k":'
+                   || json_extract_string(props, '$.k') || '}' AS packed,
+               3 AS arr_len,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) * 100
+                   AS arr_first,
+               CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+        FROM events
+    """,
+)
+def q_fn_json2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended JSON scalar family: json_tuple extraction, to_json
+    packing (struct -> canonical JSON text), json_array_length /
+    get_json_object over a constructed array document, and a
+    validity probe — the JSON surface beyond q_fn_map_json's
+    path-extraction basics.
+
+    The packed column certifies Spark's to_json field order and
+    number formatting against a string the oracle assembles by hand;
+    the array columns certify array indexing on a document BUILT
+    in-plan (so the oracle can derive the expectations
+    arithmetically). All JVM codegen, per-row, shuffle-free."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    arr_doc = F.concat(
+        F.lit("["),
+        (k * 100).cast("string"),
+        F.lit(","),
+        (k * 200).cast("string"),
+        F.lit(","),
+        (k * 300).cast("string"),
+        F.lit("]"),
+    )
+    tup = e.select(
+        "event_id", "event_type", "props", F.json_tuple("props", "k")
+    ).withColumnRenamed("c0", "_kt")
+    return tup.select(
+        "event_id",
+        F.col("_kt").cast("int").alias("k_tup"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                k.alias("k"),
+            )
+        ).alias("packed"),
+        F.json_array_length(arr_doc).alias("arr_len"),
+        F.get_json_object(arr_doc, "$[0]").cast("int").alias("arr_first"),
+        F.when(F.get_json_object("props", "$.k").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_valid"),
+    )
