@@ -1157,3 +1157,62 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order="prev_orderkey",
         tolerance_seconds=_ASOF_TOL_S,
     ).select("o_orderkey", "o_custkey", "prev_orderkey", "prev_price")
+
+
+@REG.register("q_stream_live_session_dynamic")
+def q_stream_live_session_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-gap session windows under REAL Structured Streaming:
+    readStream -> watermark -> `session_window(ts, gap_expr)` (each
+    event extends its session by its own event-class timeout) ->
+    availableNow -> memory sink. The streaming session-merge state
+    machine handles variable extents exactly like fixed ones — the
+    watermark still closes any session once no event can extend it —
+    so the batch twin's prefix-max gaps-and-islands oracle certifies
+    the LIVE execution path bit-for-bit (hash-gate batch-stream
+    parity, the q_stream_live_session discipline; oracle shared via
+    the registry alias below)."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit(_DYN_GAPS["click"]))
+        .when(F.col("event_type") == "view", F.lit(_DYN_GAPS["view"]))
+        .when(
+            F.col("event_type") == "purchase", F.lit(_DYN_GAPS["purchase"])
+        )
+        .otherwise(F.lit(_DYN_GAP_DEFAULT))
+    )
+    gap_str = F.concat(gap.cast("string"), F.lit(" seconds"))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap_str).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_fixed("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "sess_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "sess_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "t_live_dsess_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+# live dynamic-gap twin shares the batch twin's oracle (batch-stream
+# parity is the correctness definition).
+REG.oracles["q_stream_live_session_dynamic"] = REG.oracles[
+    "q_stream_session_dynamic"
+]
