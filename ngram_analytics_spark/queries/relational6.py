@@ -917,3 +917,47 @@ def q_fn_json2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(arr_doc, "$[0]").cast("int").alias("arr_first"),
         F.when(k.isNotNull(), 1).otherwise(0).alias("is_valid"),
     )
+
+
+@REG.register(
+    "q_fn_str_to_map",
+    oracle="""
+        SELECT event_id,
+               'k=' || json_extract_string(props, '$.k')
+                   || ';type=' || event_type AS kv_text,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS k_back,
+               event_type AS type_back,
+               2 AS n_entries
+        FROM events
+    """,
+)
+def q_fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map round-trip: a `k=v;k=v` config string is built
+    in-plan, parsed back with `str_to_map`, and both entries plus the
+    entry count are re-extracted — the parser behind ingesting the
+    delimited key-value blobs (user agents, log contexts, legacy
+    configs) that predate JSON.
+
+    The oracle never calls a map function (DuckDB has no MapType):
+    it re-derives the built string and the expected extractions from
+    the underlying columns, certifying Spark's parse against
+    independently computed values (the q_fn_map2 discipline).
+    Per-row codegen, shuffle-free."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    kv_text = F.concat(
+        F.lit("k="),
+        F.get_json_object("props", "$.k"),
+        F.lit(";type="),
+        F.col("event_type"),
+    )
+    m = F.str_to_map(kv_text, F.lit(";"), F.lit("="))
+    return e.select(
+        "event_id",
+        kv_text.alias("kv_text"),
+        F.element_at(m, "k").cast("int").alias("k_back"),
+        F.element_at(m, "type").alias("type_back"),
+        F.size(m).alias("n_entries"),
+    )
