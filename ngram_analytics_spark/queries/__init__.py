@@ -108,6 +108,7 @@ def build_registry() -> QueryRegistry:
         relational4,
         relational5,
         relational6,
+        relational7,
         sampling_q,
         text_q,
         timeseries_q,
@@ -123,6 +124,7 @@ def build_registry() -> QueryRegistry:
         relational4,
         relational5,
         relational6,
+        relational7,
         llm_q,
         timeseries_q,
         udf_q,
