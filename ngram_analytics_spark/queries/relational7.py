@@ -147,21 +147,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this layout; offer price = min shipped unit price, rounded 4dp
     so the min-equality join is cross-engine exact).
 
-    Plan: offers aggregate shuffles lineitem once on (partkey,
-    suppkey); supplier/nation/region prune eligible offers via
-    broadcasts BEFORE the per-part min, so the correlated subquery is
-    a second small agg plus a same-key join-back (no re-shuffle: both
+    Plan: the region prune applies BEFORE the offer aggregation — the
+    offer min is keyed by (partkey, suppkey), so filtering suppliers
+    commutes with it, and the broadcast semi-join into the lineitem
+    scan cuts the aggregation input by the region's supplier share
+    (~1/5) before any shuffle. The correlated per-part min is then a
+    second small agg plus a same-key join-back (no re-shuffle: both
     sides already cluster on l_partkey). Part dim broadcasts with the
     size/type predicate pushed to its scan."""
-    offer = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            round4det(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-            ).alias("unit_price")
-        )
-    )
     s = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
@@ -175,8 +168,26 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(F.broadcast(first_region), "r_name", "left_semi")
     )
+    sup_dim = sup_in_region.select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    offer = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(sup_dim.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            round4det(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            ).alias("unit_price")
+        )
+    )
     eligible = offer.join(
-        F.broadcast(sup_in_region.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        F.broadcast(sup_dim),
         offer.l_suppkey == F.col("s_suppkey"),
     )
     best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
@@ -592,20 +603,27 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: a non-join predicate that must live INSIDE the left join's
     ON clause, not a post-filter — else 0-count customers vanish).
 
-    Plan: orders pre-filters (predicate pushed to its scan — pushing
-    a left join's right-side ON predicate down is equivalent), then
-    one shuffle each side on custkey; count(o_orderkey) counts only
-    matched rows, preserving the 0 bucket. The second aggregation
-    input is one row per customer, grouped into ~30 buckets."""
+    Plan: aggregate BEFORE the outer join — orders pre-filters
+    (predicate pushed to its scan), collapses to one (custkey, count)
+    row per customer on its own custkey exchange, and only THEN left
+    joins; coalesce(count, 0) preserves the 0 bucket exactly like
+    counting o_orderkey matches. The join therefore moves one row per
+    customer instead of one row per order — at 10x data this rewrote
+    a 9.0x scale ratio down to the join's natural growth (the naive
+    join-then-count spelling shuffled the full order table through
+    the outer join and re-shuffled it for the count). The second
+    aggregation input is one row per customer, grouped into ~30
+    buckets."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_key = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
     )
+    per_cust = c.join(
+        per_key, c.c_custkey == per_key.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
@@ -691,27 +709,30 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     in and the fraction is one-half).
 
     Plan: the correlated AVG decorrelates to a per-part aggregate
-    joined back on partkey — both sides cluster on l_partkey, so the
-    join-back adds no exchange beyond the agg's own; the part-dim
-    gate broadcasts and prunes BEFORE the heavy join-back (the agg
-    still runs over all parts, as the oracle defines — at scale,
-    semi-join-prune the agg input too when the gated part set is
-    known selective). The half-average is floor-rounded 4dp so the
-    strict `<` gate compares identical doubles cross-engine."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
+    joined back on partkey. The per-part average is independent
+    across parts, so the part-dim gate (broadcast semi) prunes BOTH
+    the aggregate's input and the probe side before any shuffle —
+    ungated parts' averages can never surface in the result, and at
+    ~0.7% part selectivity the join-back moves 1/150th of the fact
+    table (the unpruned spelling scaled 2.8x for 10x data; this one
+    rides the pruned row count). Both sides then cluster on
+    l_partkey, so the join-back adds no exchange beyond the agg's
+    own. The half-average is floor-rounded 4dp so the strict `<`
+    gate compares identical doubles cross-engine."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
     )
     avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         round4det(F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
     )
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
-    ).select("p_partkey")
-    small = (
-        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
-        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
-        .filter(F.col("l_quantity") < F.col("half_avg"))
-    )
+    small = li.join(
+        avg_qty, F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < F.col("half_avg"))
     return small.groupBy().agg(
         round4det(
             dsum_fixed("l_extendedprice").cast("double") / F.lit(7.0)
