@@ -445,3 +445,179 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 32)
     )
+
+
+#: BM25 constants: exact binary fractions (1.25 = 5/4, 0.75 = 3/4) so
+#: every multiply is bit-identical cross-engine; query terms are fixed
+#: common-vocabulary literals; per-term scores quantize to 1e-6 ticks
+#: so the cross-term sum is an order-independent integer add.
+_BM25_K1 = 1.25
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "table", "window")
+_BM25_TOPK = 10
+
+
+@REG.register(
+    "q_text_bm25",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, len({TOKENS}) AS dl FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({TOKENS}) AS term FROM documents)
+            WHERE term IN {tuple(_BM25_TERMS)}
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(
+                       ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+                       * ((t.tf * ({_BM25_K1} + 1.0))
+                          / (t.tf + {_BM25_K1}
+                             * ((1.0 - {_BM25_B})
+                                + {_BM25_B} * (d.dl / s.avgdl))))
+                       * 1000000.0 + 0.5) AS BIGINT) AS ticks
+            FROM tf t
+            JOIN df ON t.term = df.term
+            JOIN dl d ON t.doc_id = d.doc_id
+            CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               (CAST(sum(ticks) AS DOUBLE) / 1000000.0) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY sum(ticks) DESC, doc_id ASC
+        LIMIT {_BM25_TOPK}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document ranking for a fixed term query — the
+    retrieval scorer behind RAG corpus search and data-curation
+    relevance filters (Robertson/Sparck-Jones probabilistic model,
+    k1={k1}, b={b}). The idf is the log-free rational form
+    (N - df + 0.5)/(df + 0.5): monotone-equivalent to the standard
+    ln(1 + .) spelling per term, chosen because ln differs in the
+    last ulp between JVM Math.log and libm (the q_doc_lm_score
+    bit-identity discipline); with it every factor is an IEEE basic
+    op on integer-derived inputs, so scores are bit-identical
+    cross-engine with NO rounding tolerance. Per-term scores then
+    quantize to 1e-6-tick int64 so the cross-term sum is
+    order-independent and the top-k boundary is a pure integer
+    comparison (score ties break on doc_id).
+
+    Scale shape: term postings filter AT THE SCAN (3 of ~60 tokens
+    per doc survive the explode filter); tf aggregates on (doc,
+    term); df and the corpus stats are vocabulary-bounded broadcasts;
+    the final top-k is TakeOrderedAndProject (per-partition heads,
+    never a global sort). The posting-list shuffle is the same
+    (doc, term) shape q_text_tfidf_exact certifies at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (
+        F.col("df") + 0.5
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * ((1.0 - _BM25_B) + _BM25_B * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl.withColumnRenamed("doc_id", "_did"),
+              F.col("doc_id") == F.col("_did"))
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tf_part * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("ticks"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("ticks").alias("t"))
+        .orderBy(F.col("t").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id", (F.col("t").cast("double") / 1000000.0).alias("score")
+        )
+    )
+
+
+q_text_bm25.__doc__ = q_text_bm25.__doc__.format(k1=_BM25_K1, b=_BM25_B)
+
+
+@REG.register(
+    "q_vocab_spectrum",
+    oracle=f"""
+        WITH tc AS (
+            SELECT term, count(*) AS cnt
+            FROM (SELECT unnest({TOKENS}) AS term FROM documents)
+            GROUP BY term
+        ), total AS (
+            SELECT sum(cnt) AS mass FROM tc
+        )
+        SELECT cnt AS freq,
+               count(*) AS n_terms,
+               CAST(count(*) * cnt AS BIGINT) AS mass_at_freq,
+               (CAST(floor(count(*) * cnt * 1000000 / t.mass) AS BIGINT))
+                   AS ppm_of_corpus
+        FROM tc CROSS JOIN total t
+        GROUP BY cnt, t.mass
+    """,
+)
+def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum (frequency-of-frequencies): for
+    each occurrence count, how many distinct terms occur exactly that
+    often and what corpus share they carry — the lexical-statistics
+    profile (hapax/dis legomena at freq 1/2, Zipf tail shape) used to
+    size tokenizer vocabularies and detect synthetic/templated text
+    (a natural corpus has a heavy hapax mass; boilerplate collapses
+    the spectrum). Good-Turing smoothing consumes exactly this table.
+
+    Scale shape: one term-count aggregation on the token key (the
+    q_ngram_topk shuffle shape), then a second aggregation over the
+    vocabulary-sized result, plus a 1-row totals broadcast. The share
+    column is integer ppm (count*cnt*1e6 / mass in BIGINT) — no float
+    division to drift cross-engine."""
+    tc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = tc.groupBy().agg(F.sum("cnt").alias("mass"))
+    return (
+        tc.groupBy("cnt")
+        .agg(F.count("*").alias("n_terms"))
+        .join(F.broadcast(total))
+        .select(
+            F.col("cnt").alias("freq"),
+            "n_terms",
+            (F.col("n_terms") * F.col("cnt")).cast("long").alias(
+                "mass_at_freq"
+            ),
+            F.floor(
+                F.col("n_terms") * F.col("cnt") * F.lit(1000000)
+                / F.col("mass")
+            ).cast("long").alias("ppm_of_corpus"),
+        )
+    )

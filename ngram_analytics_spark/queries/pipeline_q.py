@@ -622,3 +622,155 @@ def q_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select(
         "o_orderkey", F.date_format("od", "yyyy-MM-dd").alias("o_date")
     )
+
+
+# end-to-end funnel: quality window + lexical-diversity floor, then
+# exact dedup keep-first, then eval-split decontamination (same
+# 4-gram/modulus constants as q_decontam).
+_E2E_MIN_TOK = 20
+_E2E_MAX_TOK = 90
+_E2E_UNIQ = 0.2
+
+
+@REG.register(
+    "q_pipeline_e2e",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   len({TOKENS}) AS n_tok,
+                   CAST(len(list_distinct({TOKENS})) AS DOUBLE)
+                       / len({TOKENS}) AS uniq_ratio,
+                   (doc_id % {_DECON_MOD} = 0) AS is_eval
+            FROM documents
+        ), flagged AS (
+            SELECT *,
+                   (NOT is_eval) AS s_train,
+                   (NOT is_eval
+                    AND n_tok BETWEEN {_E2E_MIN_TOK} AND {_E2E_MAX_TOK}
+                    AND uniq_ratio >= {_E2E_UNIQ}) AS s_quality
+            FROM base
+        ), keeper AS (
+            SELECT doc_id,
+                   (doc_id = min(doc_id) OVER (
+                        PARTITION BY sha256(lower(trim(text))))) AS first_copy
+            FROM flagged WHERE s_quality
+        ), sh AS (
+            SELECT doc_id, unnest({ngrams_sql(TOKENS, _DECON_N)}) AS g
+            FROM documents
+        ), eval_sh AS (
+            SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0
+        ), contaminated AS (
+            SELECT DISTINCT s.doc_id
+            FROM sh s JOIN eval_sh e ON s.g = e.g
+            WHERE s.doc_id % {_DECON_MOD} != 0
+        ), staged AS (
+            SELECT f.lang, f.n_tok, f.s_train, f.s_quality,
+                   (f.s_quality AND COALESCE(k.first_copy, FALSE))
+                       AS s_unique,
+                   (f.s_quality AND COALESCE(k.first_copy, FALSE)
+                    AND c.doc_id IS NULL) AS s_clean
+            FROM flagged f
+            LEFT JOIN keeper k ON f.doc_id = k.doc_id
+            LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+        )
+        SELECT lang,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE s_train) AS n_train,
+               count(*) FILTER (WHERE s_quality) AS n_quality,
+               count(*) FILTER (WHERE s_unique) AS n_unique,
+               count(*) FILTER (WHERE s_clean) AS n_clean,
+               CAST(COALESCE(sum(n_tok) FILTER (WHERE s_clean), 0)
+                    AS BIGINT) AS clean_tokens
+        FROM staged GROUP BY lang
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus-prep funnel: the survival report a full
+    pretraining data pipeline emits per language — raw corpus ->
+    eval-split holdout -> quality screen (token-count window +
+    lexical-diversity floor, the q_text_quality screen) -> exact
+    dedup keep-first (q_dedup_exact semantics, computed AMONG quality
+    survivors so an earlier dropped copy cannot shadow a surviving
+    one) -> eval decontamination (any shared 4-gram with the holdout,
+    q_decontam semantics) -> final kept-token yield. This certifies
+    that the individually-graded stages COMPOSE: each stage's
+    predicate is evaluated over the previous stage's survivor set,
+    not independently.
+
+    Scale shape: one documents scan computes every per-doc flag at
+    scan stage; the dedup keeper is ONE window over the
+    normalized-hash key (only quality survivors shuffle); the
+    decontamination side is the q_decontam broadcast (eval shingles
+    are tiny vs the crawl, so the train corpus never shuffles for
+    it); the funnel report is one map-side-combined aggregation on
+    lang. Three narrow joins back on doc_id ride broadcast at test SF
+    and hash-partition cleanly at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    flagged = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tok.alias("n_tok"),
+        (~is_eval).alias("s_train"),
+        (
+            ~is_eval
+            & n_tok.between(_E2E_MIN_TOK, _E2E_MAX_TOK)
+            & (uniq_ratio >= _E2E_UNIQ)
+        ).alias("s_quality"),
+    )
+    keeper = (
+        flagged.filter("s_quality")
+        .select(
+            F.col("doc_id").alias("_kid"),
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    W.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
+                )
+            ).alias("first_copy"),
+        )
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(ngram_col(F.split("text", " "), _DECON_N)).alias("g"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(eval_sh), "g")
+        .select(F.col("doc_id").alias("_cid"))
+        .distinct()
+    )
+    staged = (
+        flagged.join(keeper, F.col("doc_id") == F.col("_kid"), "left")
+        .join(contaminated, F.col("doc_id") == F.col("_cid"), "left")
+        .select(
+            "lang",
+            "n_tok",
+            "s_train",
+            "s_quality",
+            (
+                F.col("s_quality") & F.coalesce("first_copy", F.lit(False))
+            ).alias("s_unique"),
+            (
+                F.col("s_quality")
+                & F.coalesce("first_copy", F.lit(False))
+                & F.col("_cid").isNull()
+            ).alias("s_clean"),
+        )
+    )
+    return staged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("s_train"), 1)).alias("n_train"),
+        F.count(F.when(F.col("s_quality"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("s_unique"), 1)).alias("n_unique"),
+        F.count(F.when(F.col("s_clean"), 1)).alias("n_clean"),
+        F.coalesce(
+            F.sum(F.when(F.col("s_clean"), F.col("n_tok"))), F.lit(0)
+        ).cast("long").alias("clean_tokens"),
+    )
