@@ -122,7 +122,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN supplier s ON o.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
-            WHERE r.r_name = (SELECT min(r_name) FROM region)
+            WHERE r.r_name = (SELECT min(r2.r_name)
+                              FROM supplier s2
+                              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey)
         ), best AS (
             SELECT l_partkey, min(unit_price) AS best_price
             FROM eligible GROUP BY l_partkey
@@ -162,11 +165,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     r = load(spark, sf_dir, "region")
-    first_region = r.groupBy().agg(F.min("r_name").alias("r_name"))
-    sup_in_region = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(first_region), "r_name", "left_semi")
+    sup_geo = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    # first region AMONG regions that have suppliers (data-robust at
+    # tiny SF where the lexicographic minimum may be supplier-less)
+    first_region = sup_geo.groupBy().agg(F.min("r_name").alias("r_name"))
+    sup_in_region = sup_geo.join(
+        F.broadcast(first_region), "r_name", "left_semi"
     )
     sup_dim = sup_in_region.select(
         "s_suppkey", "s_name", "s_acctbal", "n_name"
@@ -270,20 +276,25 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation sn ON s.s_nationkey = sn.n_nationkey
             JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE r.r_name = (SELECT min(r_name) FROM region)
+            WHERE r.r_name = (SELECT min(r2.r_name)
+                              FROM customer c2
+                              JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+                              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey)
               AND p.p_type = 'ECONOMY'
         )
         SELECT o_year,
                {oracle_dsum_fixed(
                    "CASE WHEN supp_nation = "
-                   "(SELECT min(n_name) FROM nation) "
+                   "(SELECT min(n2.n_name) FROM supplier s2 JOIN nation n2"
+                   " ON s2.s_nationkey = n2.n_nationkey) "
                    "THEN volume ELSE 0.0 END"
                )} AS nation_volume,
                {oracle_dsum_fixed("volume")} AS total_volume,
                {oracle_round4det(
                    "(" + oracle_dsum_fixed(
                        "CASE WHEN supp_nation = "
-                       "(SELECT min(n_name) FROM nation) "
+                       "(SELECT min(n2.n_name) FROM supplier s2 JOIN nation n2"
+                   " ON s2.s_nationkey = n2.n_nationkey) "
                        "THEN volume ELSE 0.0 END"
                    ) + ") / NULLIF(" + oracle_dsum_fixed("volume") + ", 0)"
                )} AS mkt_share
@@ -306,16 +317,28 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared floor-round spelling — cross-engine deterministic."""
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    first_region = r.groupBy().agg(F.min("r_name").alias("fr"))
-    first_nation = n.groupBy().agg(F.min("n_name").alias("fn"))
-    cust = (
+    cust_geo = (
         load(spark, sf_dir, "customer")
         .join(
             F.broadcast(n.select("n_nationkey", "n_regionkey")),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    # picks are data-robust at tiny SF: first region AMONG regions
+    # with customers, first nation AMONG nations with suppliers
+    first_region = cust_geo.groupBy().agg(F.min("r_name").alias("fr"))
+    first_nation = (
+        load(spark, sf_dir, "supplier")
         .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy()
+        .agg(F.min("n_name").alias("fn"))
+    )
+    cust = (
+        cust_geo.join(
             F.broadcast(first_region),
             F.col("r_name") == F.col("fr"),
             "left_semi",
@@ -453,7 +476,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
-            WHERE n.n_name = (SELECT min(n_name) FROM nation)
+            WHERE n.n_name = (SELECT min(n2.n_name)
+                              FROM supplier s2
+                              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey)
             GROUP BY l.l_partkey
         ), total AS (
             SELECT sum(value_t) AS grand_t FROM val
@@ -478,14 +503,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold to flip cross-engine (note amounts are positive,
     so the |x| quantization commutes with the sums)."""
     n = load(spark, sf_dir, "nation")
-    first_nation = n.groupBy().agg(F.min("n_name").alias("fn"))
+    sup_nat = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    # first nation AMONG nations that have suppliers (data-robust at
+    # tiny SF where the lexicographic minimum may be supplier-less)
+    first_nation = sup_nat.groupBy().agg(F.min("n_name").alias("fn"))
     sup = (
-        load(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(n.select("n_nationkey", "n_name")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
+        sup_nat.join(
             F.broadcast(first_nation),
             F.col("n_name") == F.col("fn"),
             "left_semi",

@@ -528,3 +528,59 @@ def test_q21_no_aggregation_shuffles_on_fact_chain(spark):
     assert not bad, plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 3, f"expected <=3 hash exchanges, got {n}:\n{plan}"
+
+
+def test_q1_single_exchange_and_pushdown(spark):
+    """TPC-H Q1 is the canonical scan-bound rollup: the date predicate
+    must reach the parquet scan and the 6-group aggregation must be
+    the ONLY exchange (constant-size partial state per task)."""
+    df = _q("q_tpch_q1")(spark, SF_SMOKE)
+    assert P.num_exchanges(df) <= 1, P.physical_plan(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """TPC-H Q6's whole point is that at scale it is bounded by
+    scanning one year of 4 columns: every predicate column must show
+    up in PushedFilters and the plan must hold zero join nodes."""
+    df = _q("q_tpch_q6")(spark, SF_SMOKE)
+    pushed = P.pushed_filters(df)
+    for col in ("l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "Join" not in P.physical_plan(df)
+
+
+def test_q13_aggregates_before_outer_join(spark):
+    """TPC-H Q13 must aggregate orders to one row per customer BEFORE
+    the outer join (the join-then-count spelling scaled 9.0x for 10x
+    data). Pin: the HashAggregate on o_custkey sits below the join,
+    i.e. the plan has no aggregation keyed on the join output side's
+    c_custkey other than the final bucket count."""
+    plan = P.physical_plan(_q("q_tpch_q13")(spark, SF_SMOKE))
+    import re
+
+    # the orders-side pre-aggregation exists...
+    assert re.search(r"HashAggregate.*o_custkey", plan), plan
+    # ...and no aggregation groups on the customer key after the join
+    # (the naive spelling's groupBy(c_custkey) signature).
+    assert not re.search(r"HashAggregate.*keys=\[c_custkey", plan), plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's final top-k must compile to TakeOrderedAndProject
+    (per-partition heads), never a global Sort + Limit."""
+    df = _q("q_text_bm25")(spark, SF_SMOKE)
+    assert P.is_take_ordered(df), P.physical_plan(df)
+
+
+def test_pipeline_e2e_funnel_is_monotone(spark):
+    """The e2e funnel's stage counts must be monotone non-increasing
+    per language (each stage filters the previous stage's survivors)
+    and kept tokens must be positive whenever n_clean > 0."""
+    rows = _q("q_pipeline_e2e")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_total >= r.n_train >= r.n_quality >= r.n_unique >= r.n_clean >= 0
+        ), r
+        assert (r.clean_tokens > 0) == (r.n_clean > 0), r
