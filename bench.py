@@ -88,6 +88,20 @@ EXTENDED = [
     "q_join_asof_tolerance",  # staleness-bounded as-of
     "q_embed_cov",        # blocked integer Gram covariance
     "q_paginate_keyset",  # seek pagination (TakeOrdered boundary)
+    "q_tpch_q1",          # pricing summary scan rollup
+    "q_tpch_q2",          # regional min-cost supplier
+    "q_tpch_q6",          # pushed-predicate filter-agg
+    "q_tpch_q8",          # national market share snowflake
+    "q_tpch_q9",          # product profit by nation x year
+    "q_tpch_q11",         # scalar-threshold important stock
+    "q_tpch_q12",         # ship-speed x priority counts
+    "q_tpch_q13",         # order-count distribution histogram
+    "q_tpch_q16",         # distinct-supplier part classes
+    "q_tpch_q17",         # half-average quantity gate
+    "q_tpch_q20",         # part-volume share semi-join
+    "q_pipeline_e2e",     # end-to-end corpus-prep funnel
+    "q_text_bm25",        # BM25 top-k retrieval
+    "q_vocab_spectrum",   # frequency-of-frequencies profile
 ]
 
 
