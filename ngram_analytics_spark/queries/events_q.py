@@ -790,3 +790,87 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mass_t").cast("double") / F.col("tot_t").cast("double")
         ).alias("mass_share"),
     )
+
+
+#: rolling-reach window width in days (trailing, inclusive).
+_REACH_DAYS = 7
+
+
+@REG.register(
+    "q_ts_rolling_ndv",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DISTINCT event_type,
+                   CAST(ts AS DATE) AS day,
+                   user_id
+            FROM events
+        ), spine AS (
+            SELECT DISTINCT event_type, day FROM daily
+        )
+        SELECT s.event_type,
+               strftime(s.day, '%Y-%m-%d') AS day,
+               count(DISTINCT d.user_id) AS reach_{_REACH_DAYS}d
+        FROM spine s
+        JOIN daily d
+          ON d.event_type = s.event_type
+         AND d.day BETWEEN s.day - {_REACH_DAYS - 1} AND s.day
+        GROUP BY s.event_type, s.day
+    """,
+)
+def q_ts_rolling_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-count (trailing {d}-day reach): per event type
+    and day, how many DISTINCT users were active in the trailing
+    {d}-day window — the cohort-reach / rolling-MAU shape that plain
+    window frames cannot express (COUNT(DISTINCT) over a moving frame
+    is not frame-decomposable: a user active on 3 days must count
+    once, so partial counts cannot subtract as days slide out).
+
+    Spark-first shape: instead of the oracle's range self-join (every
+    spine day re-scans {d} days of activity — quadratic in window
+    width), each distinct (type, day, user) activity row EXPLODES to
+    the {d} target days it can influence (sequence + explode — a
+    fixed x{d} map-side fanout, NO join), is clipped to days that
+    actually occur for that type (broadcast semi against the tiny
+    spine), and one final aggregation counts distinct users per
+    (type, target day). Cost is {d} x |daily activity| rows through
+    one exchange — linear in data, independent of how many spine days
+    each activity row spans at 100 TB. The same lattice trick as
+    q_dedup_paragraph's chunk mass and q_text_chunk's stride lattice.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    spine = daily.select(
+        F.col("event_type").alias("s_type"), F.col("day").alias("s_day")
+    ).distinct()
+    fanout = daily.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), _REACH_DAYS - 1)
+            )
+        ).alias("target_day"),
+    )
+    clipped = fanout.join(
+        F.broadcast(spine),
+        (fanout.event_type == F.col("s_type"))
+        & (fanout.target_day == F.col("s_day")),
+        "left_semi",
+    )
+    return clipped.groupBy("event_type", "target_day").agg(
+        F.count_distinct("user_id").alias(f"reach_{_REACH_DAYS}d")
+    ).select(
+        "event_type",
+        F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+        f"reach_{_REACH_DAYS}d",
+    )
+
+
+q_ts_rolling_ndv.__doc__ = q_ts_rolling_ndv.__doc__.format(d=_REACH_DAYS)

@@ -862,3 +862,96 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_days"),
         )
     )
+
+
+#: skew profile: how many hot keys to report.
+_SKEW_TOPN = 10
+
+
+@REG.register(
+    "q_skew_profile",
+    oracle=f"""
+        WITH kc AS (
+            SELECT o_custkey AS key, count(*) AS cnt
+            FROM orders GROUP BY o_custkey
+        ), tot AS (
+            SELECT sum(cnt) AS rows_total, count(*) AS keys_total
+            FROM kc
+        ), ranked AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+            FROM kc
+        )
+        SELECT r.rnk, r.key, r.cnt,
+               CAST(floor(r.cnt * 1000000 / t.rows_total) AS BIGINT)
+                   AS ppm_of_rows,
+               CAST(floor(sum(r.cnt) OVER (
+                        ORDER BY r.rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) * 1000000 / t.rows_total) AS BIGINT) AS cum_ppm,
+               t.keys_total, t.rows_total
+        FROM ranked r CROSS JOIN tot t
+        WHERE r.rnk <= {_SKEW_TOPN}
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew profiler: the top-{n} hottest values
+    of a prospective shuffle key (orders.o_custkey) with each key's
+    row share and the cumulative hot-key mass in integer ppm, plus
+    the global key/row totals — the diagnostic a pipeline runs BEFORE
+    choosing between a plain shuffle, salting (q_join_salted /
+    q_agg_salted) or AQE skew splitting for a 100 TB join. A top key
+    holding >>1/n_partitions of the rows is the straggler signature.
+
+    Plan: per-key counts are one map-side-combined aggregation; the
+    top-{n} selection is TakeOrderedAndProject over the key-count
+    table (per-partition heads — the full key histogram is never
+    globally sorted); totals are a 1-row broadcast; rank and the
+    cumulative mass come from a triangular self-join over the {n}
+    retained rows (the q_vocab_coverage pattern — no unpartitioned
+    window anywhere in the plan). Shares are floor-ppm integers — no
+    float division to drift cross-engine."""
+    kc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = kc.groupBy().agg(
+        F.sum("cnt").alias("rows_total"), F.count("*").alias("keys_total")
+    )
+    top = kc.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
+        _SKEW_TOPN
+    )
+    t2 = top.select(
+        F.col("key").alias("k2"), F.col("cnt").alias("c2")
+    )
+    # triangular join: every row pairs with itself and its superiors
+    # in (cnt DESC, key ASC) order — count = rank, sum = running mass
+    tri = top.join(
+        F.broadcast(t2),
+        (F.col("c2") > F.col("cnt"))
+        | ((F.col("c2") == F.col("cnt")) & (F.col("k2") <= F.col("key"))),
+    ).groupBy("key", "cnt").agg(
+        F.count("*").alias("rnk"), F.sum("c2").alias("cum_cnt")
+    )
+    return (
+        tri.join(F.broadcast(tot))
+        .select(
+            "rnk",
+            "key",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000 / F.col("rows_total"))
+            .cast("long")
+            .alias("ppm_of_rows"),
+            F.floor(
+                F.col("cum_cnt") * 1000000 / F.col("rows_total")
+            )
+            .cast("long")
+            .alias("cum_ppm"),
+            "keys_total",
+            "rows_total",
+        )
+    )
+
+
+q_skew_profile.__doc__ = q_skew_profile.__doc__.replace("{n}", str(_SKEW_TOPN))

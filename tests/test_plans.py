@@ -290,6 +290,15 @@ NESTED_LOOP_OK = {
     "q_vocab_coverage",      # 1-row corpus-total broadcast +
                              # triangular join over the ~10-row log2
                              # bucket table (q_sort_nulls precedent)
+    "q_tpch_q8",             # 1-row first-nation scalar broadcast into
+                             # the share aggregation
+    "q_tpch_q11",            # 1-row grand-total broadcast under the
+                             # integer share inequality
+    "q_text_bm25",           # 1-row corpus-stats (N, avgdl) broadcast
+    "q_vocab_spectrum",      # 1-row corpus-mass broadcast
+    "q_skew_profile",        # 1-row totals broadcast + triangular
+                             # rank join over the 10 retained hot keys
+                             # (q_sort_nulls precedent)
     "q_paginate_keyset",     # 1-row boundary-key scalar broadcast
 }
 
