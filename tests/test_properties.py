@@ -380,3 +380,116 @@ def test_vocab_coverage_bucketed_rank_is_global_rank(spark, toks):
     covs = [r.cov for r in by_rank]
     assert all(a <= b + 1e-12 for a, b in zip(covs, covs[1:]))
     assert abs(covs[-1] - 1.0) < 1e-9
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # event_type id
+            st.integers(0, 20),   # day offset
+            st.integers(0, 8),    # user id
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_rolling_ndv_lattice_equals_range_join(spark, events):
+    """q_ts_rolling_ndv's explode-lattice rewrite must equal the
+    definitional trailing-window range join: for every (type, day)
+    with activity, |{users active in [day-6, day]}|."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        Row(
+            event_type=f"t{t}",
+            day=base + datetime.timedelta(days=d),
+            user_id=u,
+        )
+        for (t, d, u) in events
+    ]
+    df = spark.createDataFrame(rows).distinct()
+
+    # naive: per spine day, range-join the activity table
+    daily = {(r.event_type, r.day, r.user_id) for r in df.collect()}
+    spine = {(t, d) for (t, d, _) in daily}
+    expected = {}
+    for t, d in spine:
+        users = {
+            u
+            for (t2, d2, u) in daily
+            if t2 == t and 0 <= (d - d2).days <= 6
+        }
+        expected[(t, d)] = len(users)
+
+    # engine path: the lattice rewrite (same shape as the query)
+    spine_df = df.select(
+        F.col("event_type").alias("s_type"), F.col("day").alias("s_day")
+    ).distinct()
+    fanout = df.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+    )
+    got = {
+        (r.event_type, r.target_day): r.ndv
+        for r in fanout.join(
+            F.broadcast(spine_df),
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("target_day") == F.col("s_day")),
+            "left_semi",
+        )
+        .groupBy("event_type", "target_day")
+        .agg(F.count_distinct("user_id").alias("ndv"))
+        .collect()
+    }
+    assert got == expected
+
+
+@given(
+    keys=st.lists(st.integers(0, 15), min_size=1, max_size=80),
+)
+@settings(**SETTINGS)
+def test_skew_profile_triangular_rank_matches_sort(spark, keys):
+    """q_skew_profile's triangular rank join must reproduce the plain
+    (cnt DESC, key ASC) sort order and exact cumulative sums over the
+    retained top rows."""
+    from collections import Counter
+
+    topn = 5
+    counts = Counter(keys)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    expected = []
+    cum = 0
+    for i, (k, c) in enumerate(ordered, start=1):
+        cum += c
+        expected.append((i, k, c, cum))
+
+    kc = (
+        spark.createDataFrame(
+            [Row(key=k) for k in keys], schema="key long"
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = kc.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(topn)
+    t2 = top.select(F.col("key").alias("k2"), F.col("cnt").alias("c2"))
+    tri = (
+        top.join(
+            F.broadcast(t2),
+            (F.col("c2") > F.col("cnt"))
+            | (
+                (F.col("c2") == F.col("cnt"))
+                & (F.col("k2") <= F.col("key"))
+            ),
+        )
+        .groupBy("key", "cnt")
+        .agg(F.count("*").alias("rnk"), F.sum("c2").alias("cum"))
+    )
+    got = sorted(
+        (r.rnk, r.key, r.cnt, r.cum) for r in tri.collect()
+    )
+    assert got == expected
