@@ -774,3 +774,45 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("s_clean"), F.col("n_tok"))), F.lit(0)
         ).cast("long").alias("clean_tokens"),
     )
+
+
+@REG.register(
+    "q_source_xml",
+    oracle=f"""
+        SELECT s.s_nationkey, count(*) AS n_supp,
+               {oracle_dsum_fixed("s.s_acctbal", 2)} AS bal
+        FROM supplier s
+        GROUP BY s.s_nationkey
+    """,
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 native XML data source —
+    no external spark-xml package): supplier written with a rowTag,
+    read back with an EXPLICIT schema (same silent-retype discipline
+    as q_source_csv), then aggregated per nation with balances in
+    exact signed integer cents — if XML text formatting lost a digit
+    or re-typed a column, the hash gate catches it.
+
+    Scale shape: XML is a line-less nested format, but Spark's reader
+    still splits files and parses rows distributed; the aggregation
+    is the usual map-side-combined rollup. Writers shard per task
+    exactly like csv/json — no driver funnel."""
+    out = _roundtrip_dir(spark, sf_dir, "xml")
+    s = load(spark, sf_dir, "supplier")
+    s.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(
+        out
+    )
+    schema = (
+        "s_suppkey bigint, s_name string, s_nationkey int,"
+        " s_acctbal double"
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        dsum_fixed("s_acctbal", "bal", digits=2),
+    )
