@@ -1216,3 +1216,49 @@ def q_stream_live_session_dynamic(
 REG.oracles["q_stream_live_session_dynamic"] = REG.oracles[
     "q_stream_session_dynamic"
 ]
+
+
+@REG.register(
+    "q_stream_live_reach",
+    oracle="""
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS ndv_users
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_stream_live_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct counting under REAL Structured
+    Streaming: daily distinct users per event type — the streaming
+    twin of q_ts_rolling_ndv's daily layer. Streaming aggregation
+    cannot run COUNT(DISTINCT) (distinct aggregates are unsupported
+    over unbounded state), so the exact pattern is CHAINED stateful
+    operators: dropDuplicates on (type, day, user) feeds a plain
+    streaming count — dedup state holds one row per distinct triple,
+    the count state one row per (type, day). The emitted counts are
+    arrival-order independent, so the result certifies against the
+    batch COUNT(DISTINCT) oracle (the approx path for unbounded key
+    domains is approx_count_distinct; this is the exact twin for
+    bounded ones).
+
+    availableNow + complete-mode memory sink, the module's live-twin
+    convention (single-batch convergence to the batch answer)."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    daily = events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).dropDuplicates(["event_type", "day", "user_id"])
+    agg = daily.groupBy("event_type", "day").agg(
+        F.count("*").alias("ndv_users")
+    )
+    name = "t_live_reach_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "ndv_users",
+    )
