@@ -478,3 +478,59 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4det(dup.cast("double") / F.count("*")).alias("dup_ratio"),
         )
     )
+
+
+@REG.register(
+    "q_fn_collation",
+    oracle="""
+        SELECT lower(c_mktsegment) AS segment,
+               count(*) AS n_cust,
+               count(*) FILTER (
+                   WHERE lower(c_mktsegment) IN ('building', 'machinery')
+               ) AS n_target,
+               count(*) FILTER (
+                   WHERE contains(lower(c_name), 'er#00')
+               ) AS n_name_hit
+        FROM customer
+        GROUP BY lower(c_mktsegment)
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 collations): grouping,
+    set membership and substring search under UTF8_LCASE — the engine
+    resolves case-insensitivity inside the comparison operators
+    instead of rewriting every expression with lower().
+
+    Determinism note: a collated GROUP BY key keeps an arbitrary
+    representative casing per group (whichever row the partial agg saw
+    first), so the OUTPUT key is normalized with lower() explicitly —
+    collation drives the comparisons, normalization drives the
+    display. The oracle spells the same semantics with lower()
+    rewrites (DuckDB's NOCASE collation exists but ICU-vs-UTF8_LCASE
+    edge cases differ; lower() is the cross-engine common ground for
+    this ASCII domain).
+
+    Plan: pure scan-stage expressions + one map-side-combined
+    aggregate on the 5-value segment domain — collation adds no
+    operator, only a comparison strategy."""
+    seg = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    name = F.collate(F.col("c_name"), "UTF8_LCASE")
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(seg.alias("k"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.count(
+                F.when(seg.isin("Building", "MACHINERY"), 1)
+            ).alias("n_target"),
+            F.count(F.when(name.contains("ER#00"), 1)).alias(
+                "n_name_hit"
+            ),
+        )
+        .select(
+            F.lower(F.col("k")).alias("segment"),
+            "n_cust",
+            "n_target",
+            "n_name_hit",
+        )
+    )
