@@ -802,3 +802,113 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.select("i", "j", round4det(F.col("c")).alias("cov"))
+
+
+#: one ridge-regression gradient step: exact-binary hyperparameters
+#: (lr = 1/2, lambda = 1/4, w0_j = 1/64) so every multiply is
+#: bit-identical cross-engine; cross-row sums ride integer ticks.
+_SGD_LR = 0.5
+_SGD_LAM = 0.25
+_SGD_W0 = 0.015625  # 1/64
+
+
+@REG.register(
+    "q_ml_sgd_step",
+    oracle=f"""
+        WITH rows_q AS (
+            SELECT vec_id,
+                   CAST(label AS DOUBLE) AS y,
+                   list_transform(embedding, x ->
+                       CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000.0
+                                  + 0.5) AS BIGINT)
+                       * (CASE WHEN x < 0 THEN -1
+                               WHEN x > 0 THEN 1 ELSE 0 END)
+                   ) AS xt
+            FROM embeddings
+        ), resid AS (
+            SELECT vec_id, xt,
+                   ({_SGD_W0} * (CAST(list_sum(xt) AS DOUBLE)
+                                 / 1000000.0) - y) AS r
+            FROM rows_q
+        ), contrib AS (
+            SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+                   (CAST(floor(abs(r * xt[t.i]) + 0.5) AS BIGINT)
+                    * (CASE WHEN r * xt[t.i] < 0 THEN -1
+                            WHEN r * xt[t.i] > 0 THEN 1
+                            ELSE 0 END)) AS ct
+            FROM resid, UNNEST(range(1, len(xt) + 1)) AS t(i)
+        ), grad AS (
+            SELECT dim,
+                   (CAST(sum(ct) AS DOUBLE) / 1000000.0 / count(*)
+                    + {_SGD_LAM} * {_SGD_W0}) AS g
+            FROM contrib GROUP BY dim
+        )
+        SELECT dim,
+               {{g4}} AS grad,
+               {{w4}} AS w_new
+        FROM grad
+    """.format(
+        g4=oracle_round4det("g"),
+        w4=oracle_round4det(f"({_SGD_W0} - {_SGD_LR} * g)"),
+    ),
+)
+def q_ml_sgd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE distributed ridge-regression gradient step over the
+    embedding corpus (w' = w - lr * (X^T(Xw - y)/n + lambda*w)) — the
+    training-as-aggregation primitive behind distributed linear
+    probes and logistic heads: predictions are row-local folds,
+    residual-weighted feature sums are one map-side-combinable
+    aggregation on the 64-value dim key, and the driver never sees a
+    vector (the q_ml_kmeans_step discipline).
+
+    Determinism: components quantize to 1e-6-tick int64, so each
+    row's prediction is an EXACT integer fold (array order, both
+    engines); hyperparameters are exact binary fractions (lr=1/2,
+    lambda=1/4, w0=1/64), so residuals are bit-identical doubles;
+    per-(row, dim) gradient contributions re-quantize to integer
+    ticks, making the cross-row sum order-independent. Only the final
+    display values floor-round to 4dp."""
+    e = load(spark, sf_dir, "embeddings")
+    rows_q = e.select(
+        "vec_id",
+        F.col("label").cast("double").alias("y"),
+        F.transform(F.col("embedding"), lambda c: (
+            F.floor(
+                F.abs(c.cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+            )
+            * F.signum(c.cast("double"))
+        ).cast("long")).alias("xt"),
+    )
+    pred_t = F.aggregate(
+        F.col("xt"), F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    resid = rows_q.select(
+        "vec_id",
+        "xt",
+        (
+            F.lit(_SGD_W0) * (pred_t.cast("double") / F.lit(1_000_000.0))
+            - F.col("y")
+        ).alias("r"),
+    )
+    rx = F.col("r") * F.col("x_t")
+    contrib = resid.select(
+        "r", F.posexplode("xt").alias("dim", "x_t")
+    ).select(
+        "dim",
+        (F.floor(F.abs(rx) + F.lit(0.5)) * F.signum(rx)).cast("long").alias(
+            "ct"
+        ),
+    )
+    grad = contrib.groupBy("dim").agg(
+        (
+            F.sum("ct").cast("double") / F.lit(1_000_000.0) / F.count("*")
+            + F.lit(_SGD_LAM) * F.lit(_SGD_W0)
+        ).alias("g")
+    )
+    return grad.select(
+        "dim",
+        round4det(F.col("g")).alias("grad"),
+        round4det(F.lit(_SGD_W0) - F.lit(_SGD_LR) * F.col("g")).alias(
+            "w_new"
+        ),
+    )

@@ -143,3 +143,64 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(count_tokens, "doc_id long, n_tokens int")
+
+
+@REG.register(
+    "q_udtf_poly",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(t.i - 1 AS INTEGER) AS pos,
+               toks[t.i] AS w0,
+               toks[t.i + 1] AS w1,
+               toks[t.i + 2] AS w2
+        FROM (SELECT doc_id, {TOKENS} AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+    """,
+)
+def q_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is computed at
+    analysis time by a static `analyze` method from a constant
+    argument (n=3 -> columns pos, w0, w1, w2) instead of a fixed
+    returnType — the table-function counterpart of generic operators
+    whose arity depends on configuration (n-gram width, unpivot
+    column count). The engine calls analyze() once during planning,
+    so downstream resolution, pruning and codegen see a concrete
+    schema; eval() then streams one tuple per window position.
+
+    Scale note: like q_udtf this is a per-row LATERAL expansion —
+    no shuffle introduced; the Python boundary is the cost, which is
+    the point of the exercise (the production n-gram path is the
+    JVM-side q_ngram_* family)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class PolyNGram:
+        @staticmethod
+        def analyze(
+            tokens: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            width = n.value
+            if not isinstance(width, int) or width < 1:
+                raise ValueError("n must be a positive integer literal")
+            st = StructType().add("pos", IntegerType())
+            for i in range(width):
+                st = st.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, tokens, n):
+            if tokens is not None:
+                for i in range(len(tokens) - n + 1):
+                    yield (i, *tokens[i : i + n])
+
+    spark.udtf.register("poly_ngram_udtf", udtf(PolyNGram))
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_poly"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.w0, t.w1, t.w2
+        FROM documents_poly d,
+             LATERAL poly_ngram_udtf(split(d.text, ' '), 3) t
+        """
+    )
