@@ -102,6 +102,13 @@ EXTENDED = [
     "q_pipeline_e2e",     # end-to-end corpus-prep funnel
     "q_text_bm25",        # BM25 top-k retrieval
     "q_vocab_spectrum",   # frequency-of-frequencies profile
+    "q_ts_rolling_ndv",   # trailing-window distinct reach lattice
+    "q_skew_profile",     # hot-key shuffle diagnostic
+    "q_source_xml",       # native XML round-trip
+    "q_stream_live_reach",  # chained-stateful streaming exact NDV
+    "q_fn_collation",     # UTF8_LCASE comparison semantics
+    "q_udtf_poly",        # polymorphic UDTF (analyze-time schema)
+    "q_ml_sgd_step",      # ridge gradient step as aggregation
 ]
 
 

@@ -54,12 +54,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
+    # abspath: a relative sf_dir would otherwise create a symlink that
+    # resolves relative to the scratch dir (broken), and the broken
+    # link fails os.path.exists yet still collides on re-create.
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.sha1(src.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"nas-stream-{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.remove(link)
+    if not os.path.lexists(link):
         os.symlink(src, link)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
