@@ -204,3 +204,63 @@ def q_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL poly_ngram_udtf(split(d.text, ' '), 3) t
         """
     )
+
+
+@REG.register(
+    "q_fn_sql_udf",
+    oracle="""
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'large' END AS band,
+               count(*) AS n_lines,
+               (CAST(SUM(CAST(floor(abs(l_extendedprice * (1 - l_discount))
+                                    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 10000.0) AS revenue
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL user-defined functions (Spark 4 `CREATE FUNCTION ... RETURN
+    <expr>`): banding and discounted-price logic declared ONCE as
+    catalog-level SQL UDFs and reused across queries — unlike Python
+    UDFs these are INLINED into the plan at analysis time, so the
+    whole aggregate stays inside whole-stage codegen with zero
+    serialization boundary (the fast path the UDF hierarchy always
+    prefers when the logic is expressible). Revenue rides the
+    fixed-point tick spelling inside the UDF body itself, so the
+    shared definition carries the determinism discipline to every
+    caller.
+
+    Oracle: the same expressions written inline — identical semantics
+    by UDF inlining, which is exactly the property under test."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'small'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'large' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_ticks(
+            p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(floor(abs(p * (1 - d)) * 10000.0 + 0.5) AS BIGINT)
+        """
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS band,
+               count(*) AS n_lines,
+               (CAST(SUM(disc_price_ticks(l_extendedprice, l_discount))
+                     AS DOUBLE) / 10000.0) AS revenue
+        FROM lineitem_sqludf
+        GROUP BY 1
+        """
+    )

@@ -593,3 +593,30 @@ def test_pipeline_e2e_funnel_is_monotone(spark):
             r.n_total >= r.n_train >= r.n_quality >= r.n_unique >= r.n_clean >= 0
         ), r
         assert (r.clean_tokens > 0) == (r.n_clean > 0), r
+
+
+def test_sql_udf_stays_in_codegen(spark):
+    """SQL UDFs must inline — the plan may contain no Python eval node
+    (BatchEvalPython / ArrowEvalPython) and must keep the partial
+    aggregation phase, proving the UDF body fused into codegen."""
+    df = _q("q_fn_sql_udf")(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_cache_reuse_plans_inmemory_scan(spark):
+    """Engine capability: a cached DataFrame's second consumer must
+    plan an InMemoryTableScan instead of re-reading parquet — the
+    multi-branch reuse pattern (q_pipeline_e2e-style funnels at
+    interactive scale) depends on it."""
+    from ngram_analytics_spark.catalog import load
+
+    df = load(spark, SF_SMOKE, "orders").filter("o_totalprice > 1000")
+    df.cache()
+    try:
+        df.count()  # materialize
+        branch = df.groupBy("o_orderstatus").count()
+        assert "InMemoryTableScan" in P.physical_plan(branch)
+    finally:
+        df.unpersist()
