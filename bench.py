@@ -109,6 +109,7 @@ EXTENDED = [
     "q_fn_collation",     # UTF8_LCASE comparison semantics
     "q_udtf_poly",        # polymorphic UDTF (analyze-time schema)
     "q_ml_sgd_step",      # ridge gradient step as aggregation
+    "q_fn_sql_udf",       # inlined SQL UDFs (codegen-resident)
 ]
 
 
