@@ -110,6 +110,7 @@ EXTENDED = [
     "q_udtf_poly",        # polymorphic UDTF (analyze-time schema)
     "q_ml_sgd_step",      # ridge gradient step as aggregation
     "q_fn_sql_udf",       # inlined SQL UDFs (codegen-resident)
+    "q_ml_gd_loop",       # 3-step unrolled in-engine GD training
 ]
 
 

@@ -912,3 +912,194 @@ def q_ml_sgd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_new"
         ),
     )
+
+
+#: unrolled full-batch gradient-descent loop: steps, learning rate,
+#: ridge penalty, initial weight (all exact binary fractions).
+_GDL_STEPS = 3
+_GDL_LR = 0.5
+_GDL_LAM = 0.25
+_GDL_W0_T = 15625  # 1/64 in 1e-6 ticks
+
+
+def _gdl_oracle() -> str:
+    """Generate the 3-step chained-CTE oracle from the same constants
+    the Spark side uses (the q_graph_pagerank unroll discipline)."""
+    tick = (
+        "(CAST(floor(abs({v}) + 0.5) AS BIGINT)"
+        " * (CASE WHEN ({v}) < 0 THEN -1"
+        " WHEN ({v}) > 0 THEN 1 ELSE 0 END))"
+    )
+    steps = []
+    for k in range(1, _GDL_STEPS + 1):
+        prev = f"w{k - 1}"
+        term = tick.format(
+            v=f"CAST(w.wt AS DOUBLE) * e.xtv / 1000000.0"
+        )
+        contrib = tick.format(v="r.r * e.xtv")
+        wnew = tick.format(
+            v=(
+                f"1000000.0 * ((CAST(w.wt AS DOUBLE) / 1000000.0)"
+                f" - {_GDL_LR} * (g.gpart"
+                f" + {_GDL_LAM} * (CAST(w.wt AS DOUBLE) / 1000000.0)))"
+            )
+        )
+        steps.append(
+            f"""pred{k} AS (
+            SELECT e.vec_id, e.y, SUM({term}) AS pt
+            FROM exd e JOIN {prev} w USING (dim)
+            GROUP BY e.vec_id, e.y
+        ), resid{k} AS (
+            SELECT vec_id, (CAST(pt AS DOUBLE) / 1000000.0 - y) AS r
+            FROM pred{k}
+        ), grad{k} AS (
+            SELECT e.dim,
+                   (CAST(SUM({contrib}) AS DOUBLE)
+                    / 1000000.0 / COUNT(*)) AS gpart
+            FROM exd e JOIN resid{k} r USING (vec_id)
+            GROUP BY e.dim
+        ), w{k} AS (
+            SELECT g.dim, {wnew} AS wt
+            FROM grad{k} g JOIN {prev} w USING (dim)
+        )"""
+        )
+    qt = (
+        "CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        " * (CASE WHEN x < 0 THEN -1 WHEN x > 0 THEN 1 ELSE 0 END)"
+    )
+    selects = ", ".join(
+        f"(CAST(w{k}.wt AS DOUBLE) / 1000000.0) AS w_step{k}"
+        for k in range(1, _GDL_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN w{k} ON w{k}.dim = w1.dim"
+        for k in range(2, _GDL_STEPS + 1)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT vec_id, CAST(label AS DOUBLE) AS y,
+                   list_transform(embedding, x -> {qt}) AS xt
+            FROM embeddings
+        ), exd AS (
+            SELECT vec_id, y, CAST(t.i - 1 AS INTEGER) AS dim,
+                   xt[t.i] AS xtv
+            FROM ex, UNNEST(range(1, len(xt) + 1)) AS t(i)
+        ), w0 AS (
+            SELECT DISTINCT dim, CAST({_GDL_W0_T} AS BIGINT) AS wt
+            FROM exd
+        ), {", ".join(steps)}
+        SELECT w1.dim, {selects}
+        FROM w1 {joins}
+    """
+
+
+@REG.register("q_ml_gd_loop", oracle=_gdl_oracle())
+def q_ml_gd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE in-engine training: three unrolled full-batch ridge
+    gradient-descent steps over the embedding corpus, reporting the
+    weight vector after each step — the multi-pass optimization loop
+    (pagerank's unroll discipline applied to ML) where every step's
+    OUTPUT feeds the next step's broadcast. Per step: predictions are
+    per-row tick sums after a 64-row broadcast weight join, residuals
+    join back on vec_id, gradients aggregate on the dim key — two
+    data shuffles per step, weights never leave the cluster.
+
+    Determinism across steps: weights RE-QUANTIZE to 1e-6-tick int64
+    at every step boundary, so step k+1 consumes bit-identical
+    weights in both engines no matter how step k's sums were
+    partitioned; all scalar arithmetic is IEEE basics over
+    integer-derived operands spelled identically in the chained-CTE
+    oracle (generated from the same constants by _gdl_oracle)."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def tickround(c):
+        return (F.floor(F.abs(c) + F.lit(0.5)) * F.signum(c)).cast("long")
+
+    exd = e.select(
+        "vec_id",
+        F.col("label").cast("double").alias("y"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda c: (
+                    F.floor(
+                        F.abs(c.cast("double")) * F.lit(1_000_000.0)
+                        + F.lit(0.5)
+                    )
+                    * F.signum(c.cast("double"))
+                ).cast("long"),
+            )
+        ).alias("dim", "xtv"),
+    )
+    w = exd.select("dim").distinct().select(
+        "dim", F.lit(_GDL_W0_T).cast("long").alias("wt")
+    )
+    snapshots = []
+    for _ in range(_GDL_STEPS):
+        pred = (
+            exd.join(F.broadcast(w), "dim")
+            .select(
+                "vec_id",
+                "y",
+                tickround(
+                    F.col("wt").cast("double")
+                    * F.col("xtv")
+                    / F.lit(1_000_000.0)
+                ).alias("tt"),
+            )
+            .groupBy("vec_id", "y")
+            .agg(F.sum("tt").alias("pt"))
+        )
+        resid = pred.select(
+            "vec_id",
+            (
+                F.col("pt").cast("double") / F.lit(1_000_000.0)
+                - F.col("y")
+            ).alias("r"),
+        )
+        grad = (
+            exd.join(resid, "vec_id")
+            .select("dim", tickround(F.col("r") * F.col("xtv")).alias("ct"))
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum("ct").cast("double")
+                    / F.lit(1_000_000.0)
+                    / F.count("*")
+                ).alias("gpart")
+            )
+        )
+        w = grad.join(F.broadcast(w), "dim").select(
+            "dim",
+            tickround(
+                F.lit(1_000_000.0)
+                * (
+                    (F.col("wt").cast("double") / F.lit(1_000_000.0))
+                    - F.lit(_GDL_LR)
+                    * (
+                        F.col("gpart")
+                        + F.lit(_GDL_LAM)
+                        * (
+                            F.col("wt").cast("double")
+                            / F.lit(1_000_000.0)
+                        )
+                    )
+                )
+            ).alias("wt"),
+        )
+        snapshots.append(w)
+    out = snapshots[0].select(
+        "dim",
+        (F.col("wt").cast("double") / F.lit(1_000_000.0)).alias("w_step1"),
+    )
+    for k, snap in enumerate(snapshots[1:], start=2):
+        out = out.join(
+            snap.select(
+                "dim",
+                (F.col("wt").cast("double") / F.lit(1_000_000.0)).alias(
+                    f"w_step{k}"
+                ),
+            ),
+            "dim",
+        )
+    return out
