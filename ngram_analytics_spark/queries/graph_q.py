@@ -206,3 +206,116 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(
         emb.select("vec_id"), _edges(spark, sf_dir), iters=5
     ).select(F.col("node"), F.col("rank"))
+
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    """Chained-CTE unroll of synchronous min-tie majority label
+    propagation (same constants as the Spark side)."""
+    steps = []
+    for r in range(1, _LP_ROUNDS + 1):
+        steps.append(
+            f"""cnt{r} AS (
+            SELECT u.src AS node, l.lab, count(*) AS c
+            FROM und u JOIN l{r - 1} l ON u.dst = l.node
+            GROUP BY u.src, l.lab
+        ), pick{r} AS (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM cnt{r}
+            ) WHERE rn = 1
+        ), l{r} AS (
+            SELECT l.node, COALESCE(p.lab, l.lab) AS lab
+            FROM l{r - 1} l LEFT JOIN pick{r} p ON l.node = p.node
+        )"""
+        )
+    return f"""
+        WITH {_EDGES_CTE.strip().rstrip()}, und AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT dst, src FROM e
+        ), l0 AS (
+            SELECT vec_id AS node, CAST(label AS BIGINT) AS lab
+            FROM embeddings
+        ), {", ".join(steps)}
+        SELECT l0.node, l0.lab AS label_init,
+               l{_LP_ROUNDS}.lab AS label_final
+        FROM l0 JOIN l{_LP_ROUNDS} ON l0.node = l{_LP_ROUNDS}.node
+    """
+
+
+@REG.register("q_graph_label_prop", oracle=_label_prop_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community / label propagation over the 3-NN similarity graph:
+    three synchronous rounds where every node adopts the MAJORITY
+    label among its (undirected) neighbors, ties broken by smallest
+    label, isolated nodes keeping their own — the semi-supervised
+    label-spreading pass a pipeline uses to extend sparse quality or
+    domain annotations across a near-duplicate graph. Entirely
+    integer-valued, so results are bit-identical on any engine or
+    partitioning (the pagerank discipline).
+
+    Plan: the undirected edge set derives once from the
+    checkpoint-backed kNN kernel (union of both directions +
+    distinct); per round ONE join of edges to current labels on the
+    neighbor key and one (node, label) count — the majority pick is
+    max(struct(count, -label)), an ordinary map-side-combinable
+    aggregate equivalent to the oracle's (c DESC, lab ASC) first-row
+    window but with constant-size state instead of a per-node sort.
+    Three rounds = the pagerank unroll shape: 2 shuffles per round,
+    labels never leave the cluster.
+
+    Materialization discipline (the operators/graph.py connected-
+    components lesson): each round's label table is referenced TWICE
+    by the next round (majority count + keep-own fallback join), so
+    an unmaterialized lineage doubles per round — 2^rounds
+    re-executions; eager localCheckpoint on the per-round labels and
+    the undirected edge set caps the plan at one execution per
+    round. The sf1 scale ratio (8.2x, BASELINE.md) is the shared
+    exact kNN kernel growing quadratically by design below the LSH
+    dispatch bound, not the propagation rounds."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("label").cast("long").alias("lab"),
+    )
+    init = labels
+    for _ in range(_LP_ROUNDS):
+        cnt = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nlab"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = cnt.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("nlab")).alias("neg"))
+            ).alias("m")
+        ).select("node", (-F.col("m.neg")).alias("plab"))
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("plab", "lab").alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return init.select(
+        "node", F.col("lab").alias("label_init")
+    ).join(
+        labels.select("node", F.col("lab").alias("label_final")), "node"
+    )
