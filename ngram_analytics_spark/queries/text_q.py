@@ -12,7 +12,7 @@ All token arrays come from whitespace-splitting ``documents.text``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
@@ -608,4 +608,96 @@ def q_text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("term"),
             ),
         ).alias("top_term"),
+    )
+
+
+@REG.register(
+    "q_text_keywords",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS p,
+                   toks[t.i] AS w,
+                   (toks[t.i] IN ('{_SW_SQL}')) AS is_stop
+            FROM (SELECT doc_id, {TOKENS} AS toks FROM documents),
+                 UNNEST(range(1, len(toks) + 1)) AS t(i)
+        ), runs AS (
+            SELECT doc_id, p, w,
+                   p - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY p
+                   ) AS grp
+            FROM pos WHERE NOT is_stop
+        ), phr AS (
+            SELECT doc_id, p, w,
+                   count(*) OVER (PARTITION BY doc_id, grp) AS plen
+            FROM runs
+        ), wscore AS (
+            SELECT doc_id, w,
+                   count(*) AS freq,
+                   sum(plen) AS deg
+            FROM phr GROUP BY doc_id, w
+        ), ranked AS (
+            SELECT doc_id, w, freq, deg,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(floor(deg * 1000000 / freq) AS BIGINT)
+                                DESC,
+                                w ASC
+                   ) AS rn
+            FROM wscore
+        )
+        SELECT doc_id, w AS keyword, freq, deg,
+               (CAST(floor(deg * 1000000 / freq) AS BIGINT)) AS score_ppm
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction: per document, the top word by
+    degree/frequency, where phrases are maximal stopword-free token
+    runs (the gaps-and-islands pattern applied to token positions),
+    a word's degree is the summed length of every phrase containing
+    it (its within-phrase co-occurrence mass, self included) and
+    frequency is its occurrence count — Rapid Automatic Keyword
+    Extraction's word-scoring core, the cheap unsupervised keyword
+    signal pipelines attach before embedding-based tagging.
+
+    Determinism: the score is integer ppm (floor(deg*1e6/freq)) and
+    the per-doc argmax breaks ties on the word — pure integer/string
+    ordering. Plan: one explode with positions, phrase islands via
+    the shared (doc-partitioned) row_number discipline, word scores
+    as a (doc, word) aggregate, and a per-doc top-1 window — every
+    window keys on doc_id (no unpartitioned windows), every shuffle
+    on doc-local keys."""
+    pos = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("p", "w"),
+        )
+        .filter(~F.col("w").isin(*_STOPWORDS))
+    )
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    runs = pos.withColumn(
+        "grp", F.col("p") - F.row_number().over(wp)
+    )
+    phr = runs.withColumn(
+        "plen",
+        F.count("*").over(Window.partitionBy("doc_id", "grp")),
+    )
+    wscore = phr.groupBy("doc_id", "w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    score = F.floor(F.col("deg") * 1000000 / F.col("freq")).cast("long")
+    wr = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("w").asc()
+    )
+    return (
+        wscore.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            "freq",
+            "deg",
+            score.alias("score_ppm"),
+        )
     )
