@@ -1262,3 +1262,97 @@ def q_stream_live_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "ndv_users",
     )
+
+
+@REG.register(
+    "q_ts_twap",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, value,
+                   lead(ts) OVER w AS nts,
+                   lead(value) OVER w AS nval
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), seg AS (
+            SELECT user_id,
+                   (epoch_us(nts) - epoch_us(ts)) AS dt_us,
+                   (CAST(floor(abs((value + nval) * 0.5
+                                   * (CAST(epoch_us(nts) - epoch_us(ts)
+                                           AS DOUBLE) / 1000000.0))
+                               * 10000.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN (value + nval) < 0 THEN -1
+                            WHEN (value + nval) > 0 THEN 1
+                            ELSE 0 END)) AS area_t
+            FROM seq WHERE nts IS NOT NULL
+        )
+        SELECT user_id,
+               sum(dt_us) AS span_us,
+               (CAST(sum(area_t) AS DOUBLE) / 10000.0) AS area,
+               (CAST(floor(CAST(sum(area_t) AS DOUBLE)
+                           / (CAST(sum(dt_us) AS DOUBLE) / 1000000.0)
+                           + 0.5) AS BIGINT)) AS twap_t
+        FROM seg
+        GROUP BY user_id
+        HAVING sum(dt_us) > 0
+    """,
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user over irregular samples:
+    trapezoidal integration of the value series — each adjacent pair
+    contributes (v_i + v_{i+1})/2 * dt — divided by the covered
+    timespan. The time-weighting is what a plain AVG gets wrong on
+    irregular telemetry/price ticks (a value held for an hour must
+    outweigh one held for a second); this is the standard
+    financial/observability downsampling kernel.
+
+    Determinism: segment areas quantize to 1e-4-tick int64 at the
+    row level (the sum is order-independent), dt is exact integer
+    epoch MICROseconds (unix_micros / epoch_us — DuckDB's epoch()
+    keeps fractional seconds while unix_timestamp truncates, a
+    2-second-class divergence caught at sf0.01), the lead window
+    orders by (ts, event_id) — the
+    q_ts_islands tie lesson — and the final TWAP is reported in
+    integer ticks (one deterministic double division + half-up
+    floor). Plan: ONE user_id exchange feeds the lead window, then a
+    map-side-combined per-user aggregate; values positive in this
+    dataset but the signed-tick spelling is kept for generality."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("value").over(w).alias("nval"),
+    ).filter(F.col("nts").isNotNull())
+    dt_us = F.unix_micros("nts") - F.unix_micros("ts")
+    vsum = F.col("value") + F.col("nval")
+    area = vsum * F.lit(0.5) * (
+        dt_us.cast("double") / F.lit(1_000_000.0)
+    )
+    area_t = (
+        F.floor(F.abs(area) * F.lit(10000.0) + F.lit(0.5))
+        * F.signum(vsum)
+    ).cast("long")
+    seg = seq.select(
+        "user_id", dt_us.alias("dt_us"), area_t.alias("area_t")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt_us").alias("span_us"),
+            (F.sum("area_t").cast("double") / F.lit(10000.0)).alias(
+                "area"
+            ),
+            F.floor(
+                F.sum("area_t").cast("double")
+                / (F.sum("dt_us").cast("double") / F.lit(1_000_000.0))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("twap_t"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
