@@ -111,6 +111,10 @@ EXTENDED = [
     "q_ml_sgd_step",      # ridge gradient step as aggregation
     "q_fn_sql_udf",       # inlined SQL UDFs (codegen-resident)
     "q_ml_gd_loop",       # 3-step unrolled in-engine GD training
+    "q_text_keywords",    # RAKE phrase-island keyword scores
+    "q_ts_twap",          # trapezoidal time-weighted average
+    "q_fn_xpath",         # parse-once from_xml + xpath accessor
+    "q_udf_cogroup",      # two-table keyed pandas (cogroup)
 ]
 
 
