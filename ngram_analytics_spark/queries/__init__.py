@@ -36,8 +36,8 @@ from ngram_analytics_spark.registry import QueryRegistry
 # q_text_bm25, q_vocab_spectrum, q_ts_rolling_ndv, q_skew_profile,
 # q_source_xml, q_stream_live_reach, q_fn_collation, q_udtf_poly,
 # q_ml_sgd_step, q_fn_sql_udf, q_ml_gd_loop, q_graph_label_prop,
-# q_text_keywords, q_fn_xpath, q_udf_cogroup, and q_ts_twap — lead
-# the round-5 rotation).  The
+# q_text_keywords, q_fn_xpath, q_udf_cogroup, q_ts_twap,
+# q_rfm_segment, and q_basket_lift — lead the round-5 rotation).  The
 # remaining 6 slots re-certify: q_cte and q_anomaly_mad (official r3
 # hash-FAIL, hardened this round to integer-tick arithmetic), and the
 # q_sim_pairs / q_dedup_embed / _cluster / _canonical family whose

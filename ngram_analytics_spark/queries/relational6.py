@@ -961,3 +961,241 @@ def q_fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_back"),
         F.size(m).alias("n_entries"),
     )
+
+
+#: RFM scoring thresholds are dataset-derived quintile boundaries
+#: (percentile_disc -> exact data values, engine-safe) broadcast as a
+#: 1-row dim; spelled identically in the oracle.
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+@REG.register(
+    "q_rfm_segment",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_d,
+                   count(*) AS freq,
+                   sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT)) AS spend_c
+            FROM orders GROUP BY o_custkey
+        ), anchor AS (
+            SELECT max(last_d) AS today FROM cust
+        ), feat AS (
+            SELECT o_custkey,
+                   (a.today - last_d) AS rec_days,
+                   freq, spend_c
+            FROM cust CROSS JOIN anchor a
+        ), th AS (
+            SELECT
+                {", ".join(
+                    f"quantile_disc(rec_days, {q}) AS r{i}, "
+                    f"quantile_disc(freq, {q}) AS f{i}, "
+                    f"quantile_disc(spend_c, {q}) AS m{i}"
+                    for i, q in enumerate(_RFM_QS, start=1)
+                )}
+            FROM feat
+        ), scored AS (
+            SELECT o_custkey,
+                   (CASE WHEN rec_days <= r1 THEN 5
+                         WHEN rec_days <= r2 THEN 4
+                         WHEN rec_days <= r3 THEN 3
+                         WHEN rec_days <= r4 THEN 2 ELSE 1 END) AS r,
+                   (CASE WHEN freq <= f1 THEN 1
+                         WHEN freq <= f2 THEN 2
+                         WHEN freq <= f3 THEN 3
+                         WHEN freq <= f4 THEN 4 ELSE 5 END) AS f,
+                   (CASE WHEN spend_c <= m1 THEN 1
+                         WHEN spend_c <= m2 THEN 2
+                         WHEN spend_c <= m3 THEN 3
+                         WHEN spend_c <= m4 THEN 4 ELSE 5 END) AS m
+            FROM feat CROSS JOIN th
+        )
+        SELECT r, f, m, count(*) AS n_cust,
+               min(o_custkey) AS sample_cust
+        FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores 1-5 per customer, segment census) — the classic
+    marketing-analytics composite. Quintile boundaries are
+    percentile_disc values (EXACT data points, so both engines bucket
+    on identical thresholds — the cont-interpolation midpoint hazard
+    from q_anomaly_mad never arises), monetary is exact integer
+    cents, recency is integer days from the dataset's own anchor
+    (max order date — no wall-clock dependence).
+
+    Plan: one per-customer rollup (custkey exchange), a 1-row anchor
+    and a 1-row 12-threshold dim broadcast back, scoring at scan
+    stage, and a ≤125-group census — nothing in the plan grows
+    faster than the customer rollup at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    spend_c = F.sum(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").alias("freq"),
+        spend_c.alias("spend_c"),
+    )
+    anchor = cust.groupBy().agg(F.max("last_d").alias("today"))
+    feat = cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("today", "last_d").cast("long").alias("rec_days"),
+        "freq",
+        "spend_c",
+    )
+    th = feat.groupBy().agg(
+        *[
+            c
+            for i, q in enumerate(_RFM_QS, start=1)
+            for c in (
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY rec_days)").alias(f"r{i}"),
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY freq)").alias(f"f{i}"),
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY spend_c)").alias(f"m{i}"),
+            )
+        ]
+    )
+    s = feat.join(F.broadcast(th))
+    r = (
+        F.when(F.col("rec_days") <= F.col("r1"), 5)
+        .when(F.col("rec_days") <= F.col("r2"), 4)
+        .when(F.col("rec_days") <= F.col("r3"), 3)
+        .when(F.col("rec_days") <= F.col("r4"), 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("freq") <= F.col("f1"), 1)
+        .when(F.col("freq") <= F.col("f2"), 2)
+        .when(F.col("freq") <= F.col("f3"), 3)
+        .when(F.col("freq") <= F.col("f4"), 4)
+        .otherwise(5)
+    )
+    m = (
+        F.when(F.col("spend_c") <= F.col("m1"), 1)
+        .when(F.col("spend_c") <= F.col("m2"), 2)
+        .when(F.col("spend_c") <= F.col("m3"), 3)
+        .when(F.col("spend_c") <= F.col("m4"), 4)
+        .otherwise(5)
+    )
+    return (
+        s.select("o_custkey", r.alias("r"), f_.alias("f"), m.alias("m"))
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.min("o_custkey").alias("sample_cust"),
+        )
+    )
+
+
+@REG.register(
+    "q_basket_lift",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+        ), bc AS (
+            SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand
+        ), pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_ab
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+        )
+        SELECT p.brand_a, p.brand_b, p.n_ab,
+               CAST(floor(p.n_ab * 1000000.0 / n.n_orders)
+                    AS BIGINT) AS support_ppm,
+               CAST(floor(CAST(p.n_ab AS DOUBLE) * n.n_orders
+                          * 1000000.0 / (ca.n_b * cb.n_b))
+                    AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN bc ca ON p.brand_a = ca.p_brand
+        JOIN bc cb ON p.brand_b = cb.p_brand
+        CROSS JOIN n
+        WHERE p.n_ab >= 5
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: support and lift for brand
+    pairs co-purchased within an order (lift = P(a,b)/(P(a)P(b)) —
+    >1e6 ppm means the brands attract each other) — the co-occurrence
+    analytics a recommender or assortment planner runs, and the
+    ITEM-level sibling of q_text_collocation's token-level PMI.
+
+    Plan (A/B-measured at sf1): the naive spelling — distinct
+    (order, brand) self-joined on the order key — re-ran the
+    5.5M-row basket subtree once per consumer (13.7 s);
+    checkpointing the shared table traded recompute for block churn
+    and was unstable (14-122 s across runs). The stable shape is
+    three INDEPENDENT single-consumer subtrees, each executed
+    exactly once with full pruning: (1) pairs — baskets collapse to
+    one brand SET per order (collect_set; order-insensitive because
+    pairs derive as a<b) and a per-row array-combinations lambda
+    emits <=C(|brands|,2) structs per order, no self-join at all;
+    (2) brand marginals from the pruned join + distinct; (3) the
+    order count from lineitem alone (every line has a part, so no
+    join needed). Marginals broadcast back; ppm divisions are
+    floor-integer (no float threshold)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n = li.select("l_orderkey").distinct().groupBy().agg(
+        F.count("*").alias("n_orders")
+    )
+    bc = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_b"))
+    )
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("bs"))
+    )
+    combos = F.expr(
+        "flatten(transform(bs, x ->"
+        " transform(filter(bs, y -> y > x),"
+        " y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        g.select(F.explode(combos).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = bc.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a_tot")
+    )
+    cb = bc.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b_tot")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .join(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.floor(
+                F.col("n_ab") * F.lit(1000000.0) / F.col("n_orders")
+            )
+            .cast("long")
+            .alias("support_ppm"),
+            F.floor(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                * F.lit(1000000.0)
+                / (F.col("n_a_tot") * F.col("n_b_tot"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
