@@ -299,6 +299,10 @@ NESTED_LOOP_OK = {
     "q_skew_profile",        # 1-row totals broadcast + triangular
                              # rank join over the 10 retained hot keys
                              # (q_sort_nulls precedent)
+    "q_rfm_segment",         # 1-row anchor + 1-row quintile-threshold
+                             # dim broadcasts into the customer rollup
+    "q_basket_lift",         # 1-row order-count broadcast under the
+                             # ppm projection
     "q_paginate_keyset",     # 1-row boundary-key scalar broadcast
 }
 
