@@ -115,6 +115,8 @@ EXTENDED = [
     "q_ts_twap",          # trapezoidal time-weighted average
     "q_fn_xpath",         # parse-once from_xml + xpath accessor
     "q_udf_cogroup",      # two-table keyed pandas (cogroup)
+    "q_rfm_segment",      # RFM quintile segmentation census
+    "q_basket_lift",      # brand-pair support/lift mining
 ]
 
 
