@@ -222,9 +222,9 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                {oracle_round4det("min(c.lo)")} AS p01,
                {oracle_round4det("min(c.hi)")} AS p99,
-               sum(CASE WHEN r.l_extendedprice < c.lo
-                         OR r.l_extendedprice > c.hi
-                        THEN 1 ELSE 0 END) AS n_clipped,
+               CAST(sum(CASE WHEN r.l_extendedprice < c.lo
+                             OR r.l_extendedprice > c.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
                {oracle_davg_fixed(
                    "greatest(c.lo, least(c.hi, r.l_extendedprice))"
                )} AS clipped_mean

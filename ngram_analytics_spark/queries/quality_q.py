@@ -179,7 +179,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
         )
         SELECT doc_id,
-               sum(c) AS n_toks,
+               CAST(sum(c) AS BIGINT) AS n_toks,
                count(*) AS n_types,
                {oracle_round4det(
                    "log2(CAST(sum(c) AS DOUBLE)) - "
@@ -250,7 +250,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                count(*) AS n_islands,
-               sum(n) AS n_events,
+               CAST(sum(n) AS BIGINT) AS n_events,
                max(n) AS max_island_len,
                max(dur_s) AS max_island_dur_s
         FROM g GROUP BY user_id
@@ -425,7 +425,8 @@ _PARA = 32
         )
         SELECT doc_id,
                count(*) AS n_paras,
-               sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS n_dup,
+               CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
                {oracle_round4det(
                    "CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END)"
                    " AS DOUBLE) / count(*)"

@@ -126,7 +126,7 @@ _CTE_SQL = f"""
         FROM customer JOIN cust_orders ON c_custkey = o_custkey
     )
     SELECT c_mktsegment, count(*) AS n_cust,
-           sum(n_orders) AS n_orders,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
            (CAST(sum(spend_ticks) AS DOUBLE) / 10000.0) AS spend
     FROM seg GROUP BY c_mktsegment
 """
@@ -137,11 +137,16 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-CTE query — same text both engines.
 
     The per-customer spend is carried through the CTE stack as int64
-    1e-4 ticks and descaled ONCE at the end: the earlier
-    round-to-4dp-then-resum layering put a HALF_UP decimal round on a
-    per-customer boundary value, where Spark and DuckDB can disagree in
-    the last ulp (official r3 hash-FAIL). Integer ticks are exact in
-    both engines, so no intermediate rounding exists to disagree on."""
+    1e-4 ticks and descaled ONCE at the end (integer ticks are exact in
+    both engines, so no intermediate rounding exists to disagree on).
+
+    TRUE root cause of the r3/r4 official hash-FAILs (judge-verified,
+    VERDICT r4): NOT float arithmetic — DuckDB types the naked
+    `sum(n_orders)` output column HUGEINT, which the driver's
+    Arrow/pandas canonicalizer renders `6.0`/`Decimal('6')` vs Spark's
+    bigint `6`. Fixed by `CAST(sum(n_orders) AS BIGINT)` in the shared
+    SQL text (a no-op cast on the Spark side); the same-round float
+    "hardening" above was a misdiagnosis that fixed nothing."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_CTE_SQL)
 

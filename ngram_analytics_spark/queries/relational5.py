@@ -312,17 +312,18 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dq_checks",
     oracle="""
         SELECT 'quantity_positive' AS check_name,
-               sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
-                   AS n_violations
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
         FROM lineitem
         UNION ALL
         SELECT 'discount_in_range',
-               sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
-                        THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'shipdate_not_null',
-               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'pk_unique',
@@ -875,7 +876,8 @@ _SKEW_TOPN = 10
             SELECT o_custkey AS key, count(*) AS cnt
             FROM orders GROUP BY o_custkey
         ), tot AS (
-            SELECT sum(cnt) AS rows_total, count(*) AS keys_total
+            SELECT CAST(sum(cnt) AS BIGINT) AS rows_total,
+                   count(*) AS keys_total
             FROM kc
         ), ranked AS (
             SELECT key, cnt,

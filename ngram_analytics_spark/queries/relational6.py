@@ -246,9 +246,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         ), l AS (
             SELECT count(*) AS n_total,
-                   sum(CASE WHEN l_orderkey IN
-                            (SELECT o_orderkey FROM del_orders)
-                            THEN 1 ELSE 0 END) AS n_deleted
+                   CAST(sum(CASE WHEN l_orderkey IN
+                                 (SELECT o_orderkey FROM del_orders)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
             FROM lineitem
         )
         SELECT 'customer' AS entity, n_total, n_deleted,
@@ -755,7 +755,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT l_returnflag,
-               min(tot) AS total_weight,
+               CAST(min(tot) AS BIGINT) AS total_weight,
                (CAST(min(CASE WHEN 2 * cum >= tot THEN vt END)
                      AS DOUBLE) / 10000.0) AS wmedian
         FROM c GROUP BY l_returnflag

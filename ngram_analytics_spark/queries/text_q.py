@@ -633,7 +633,7 @@ def q_text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), wscore AS (
             SELECT doc_id, w,
                    count(*) AS freq,
-                   sum(plen) AS deg
+                   CAST(sum(plen) AS BIGINT) AS deg
             FROM phr GROUP BY doc_id, w
         ), ranked AS (
             SELECT doc_id, w, freq, deg,

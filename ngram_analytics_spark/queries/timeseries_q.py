@@ -1286,7 +1286,7 @@ def q_stream_live_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM seq WHERE nts IS NOT NULL
         )
         SELECT user_id,
-               sum(dt_us) AS span_us,
+               CAST(sum(dt_us) AS BIGINT) AS span_us,
                (CAST(sum(area_t) AS DOUBLE) / 10000.0) AS area,
                (CAST(floor(CAST(sum(area_t) AS DOUBLE)
                            / (CAST(sum(dt_us) AS DOUBLE) / 1000000.0)

@@ -45,8 +45,20 @@ def spark_result(df):
 
 
 def duck_result(con, sql):
-    cur = con.execute(sql)
-    return [d[0] for d in cur.description], cur.fetchall()
+    """Fetch the oracle via Arrow so engine-level output TYPES survive.
+
+    The driver's canonicalizer fetches through pandas/Arrow, where a
+    DuckDB HUGEINT column (naked integer ``sum()``) renders as ``6.0``
+    / ``Decimal('6')`` while Spark's bigint renders ``6`` — the single
+    root cause of all 10 round-4 hash-fails.  ``fetchall()`` coerced
+    both sides to Python ``int`` and masked the divergence locally;
+    Arrow keeps the HUGEINT as Decimal so the strict comparator goes
+    RED here before the driver ever sees it (VERDICT r4 items 1/3).
+    """
+    tbl = con.execute(sql).arrow()
+    cols = list(tbl.column_names)
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
 
 
 def compare(scols, srows, dcols, drows) -> list[str]:
