@@ -549,10 +549,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                       <= CAST(o.o_orderdate AS DATE) + 60 THEN 'MEDIUM'
                  ELSE 'SLOW'
                END AS ship_class,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority
+                                  NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE CAST(l.l_shipdate AS DATE) >= DATE '1999-01-01'
@@ -712,7 +716,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH avg_qty AS (
             SELECT l_partkey,
-                   {oracle_round4det("0.5 * avg(l_quantity)")} AS half_avg
+                   (0.5 * {oracle_davg_fixed("l_quantity")}) AS half_avg
             FROM lineitem GROUP BY l_partkey
         )
         SELECT {oracle_round4det(
@@ -743,8 +747,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the unpruned spelling scaled 2.8x for 10x data; this one
     rides the pruned row count). Both sides then cluster on
     l_partkey, so the join-back adds no exchange beyond the agg's
-    own. The half-average is floor-rounded 4dp so the strict `<`
-    gate compares identical doubles cross-engine."""
+    own. The half-average rides the fixed-point path (int64 tick sum,
+    order-free, tie-safe 4dp round, exact *0.5) so the strict `<`
+    gate compares identical doubles cross-engine even for
+    non-integral quantities."""
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
     ).select("p_partkey")
@@ -754,7 +760,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
     )
     avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        round4det(F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+        # fixed-point avg (int64 tick sum, order-free) then exact *0.5:
+        # plain avg()'s double summation is order-dependent and the
+        # strict < gate below would flip on non-integral quantities
+        (F.lit(0.5) * davg_fixed("l_quantity")).alias("half_avg")
     )
     small = li.join(
         avg_qty, F.col("l_partkey") == F.col("a_partkey")
@@ -774,7 +783,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
         ), shipped AS (
             SELECT l_partkey, l_suppkey,
-                   sum(CAST(l_quantity AS BIGINT)) AS qty
+                   sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
               AND CAST(l_shipdate AS DATE) < DATE '2001-01-01'
@@ -818,7 +827,10 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(red), F.col("l_partkey") == red.p_partkey, "left_semi")
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+        # explicit floor BEFORE the cast on BOTH sides: DuckDB
+        # CAST(double AS BIGINT) ROUNDS while Spark cast("long")
+        # TRUNCATES — identical only because floor() commutes
+        F.sum(F.floor("l_quantity").cast("long")).alias("qty")
     )
     part_total = shipped.groupBy(
         F.col("l_partkey").alias("t_partkey")
