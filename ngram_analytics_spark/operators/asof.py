@@ -158,8 +158,10 @@ def asof_join(
     out = filled.filter(F.col("_side") == left_side)
     if with_tol:
         t_dtype = dict(unioned.dtypes)["_t"]
-        if t_dtype.startswith("timestamp"):
+        if t_dtype.startswith("timestamp") or t_dtype == "date":
             # cast normalizes TIMESTAMP_NTZ (session TZ is pinned UTC)
+            # and lifts DATE to midnight-UTC seconds — a bare
+            # date.cast("double") fails at analysis (r4 latent bug)
             lt_num = (
                 F.unix_micros(F.col("_t").cast("timestamp")).cast("double")
                 / 1e6
@@ -168,9 +170,18 @@ def asof_join(
                 F.unix_micros(F.col("_rt").cast("timestamp")).cast("double")
                 / 1e6
             )
-        else:
+        elif t_dtype.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal")
+        ):
             lt_num = F.col("_t").cast("double")
             rt_num = F.col("_rt").cast("double")
+        else:
+            raise ValueError(
+                f"unsupported as-of time-axis dtype {t_dtype!r} for "
+                "tolerance_seconds: expected a timestamp, date, or "
+                "numeric column"
+            )
         staleness = (rt_num - lt_num) if fwd else (lt_num - rt_num)
         ok = F.col("_rt").isNotNull() & (
             staleness <= F.lit(float(tolerance_seconds))

@@ -1046,3 +1046,43 @@ def test_asof_tolerance_bounds_staleness(spark):
     # k=2 at +5h sees +7h = 2h ahead (past bound) -> null;
     # k=3 has no right rows at all -> null
     assert fwd == {1: 11.0, 2: None, 3: None}
+
+
+def test_asof_tolerance_date_axis_and_dtype_validation(spark):
+    """tolerance_seconds on a DATE time axis (r4 latent bug: the bare
+    date.cast('double') failed at ANALYSIS) — dates lift to
+    midnight-UTC seconds, so a day of staleness is 86400 s; a string
+    axis raises a clear ValueError instead of a Spark analysis error."""
+    import datetime as dt
+
+    import pytest
+
+    from ngram_analytics_spark.operators.asof import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10)), (2, d(2024, 1, 10))], "k long, t date"
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 9), 10.0),    # 1 day back  -> within 2-day bound
+         (2, d(2024, 1, 5), 20.0)],   # 5 days back -> too stale
+        "k long, rt date, v double",
+    )
+    out = {
+        r.k: r.v
+        for r in asof_join(
+            left, right,
+            left_key="k", right_key="k",
+            left_time="t", right_time="rt",
+            right_values=["v"],
+            tolerance_seconds=2 * 86400,
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: None}
+
+    sleft = spark.createDataFrame([(1, "b")], "k long, t string")
+    sright = spark.createDataFrame([(1, "a", 1.0)], "k long, t string, v double")
+    with pytest.raises(ValueError, match="unsupported as-of time-axis"):
+        asof_join(
+            sleft, sright, "k", "k", "t", "t", ["v"], tolerance_seconds=5
+        )
