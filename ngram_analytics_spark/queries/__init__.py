@@ -15,87 +15,107 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-4
-# rotation: the 44 keys that have never sat inside a driver graded
-# window (all registry keys minus the union of CORRECTNESS_r01–r03 —
-# the round-3 additions: TPC-H composites, profiling/DQ, SCD2, the
-# live-streaming twins, graph degree/triangles, layout/sampling/
-# quality families, exact tf-idf, both new as-of directions) lead the
-# window, so after this round every r3-era registry key holds at
-# least one driver-green row (147 cumulative + 44 = 191; the round-4
-# additions — q_join_overlap, q_dedup_incremental, q_mix_budget,
-# q_embed_stats, q_ngram_novelty, q_attribution, q_ts_cusum,
-# q_ts_holt, q_tpch_q21, q_tpch_q22, q_gdpr_cascade, q_join_bloom,
-# q_agg_moments, q_vocab_coverage, q_agg_bitmap, q_stream_live_lww,
-# q_ts_seasonal, q_agg_weighted_median, q_stream_session_dynamic,
-# q_fn_map2, q_join_asof_tolerance, q_embed_cov,
-# q_sink_dynamic_overwrite, q_paginate_keyset, q_fn_json2,
-# q_stream_live_session_dynamic, q_fn_str_to_map, the TPC-H
-# Q4/Q14/Q15/Q19 analogues, the TPC-H completion set
-# (q_tpch_q1/q2/q6/q8/q9/q11/q12/q13/q16/q17/q20), q_pipeline_e2e,
-# q_text_bm25, q_vocab_spectrum, q_ts_rolling_ndv, q_skew_profile,
-# q_source_xml, q_stream_live_reach, q_fn_collation, q_udtf_poly,
-# q_ml_sgd_step, q_fn_sql_udf, q_ml_gd_loop, q_graph_label_prop,
-# q_text_keywords, q_fn_xpath, q_udf_cogroup, q_ts_twap,
-# q_rfm_segment, and q_basket_lift — lead the round-5 rotation).  The
-# remaining 6 slots re-certify: q_cte and q_anomaly_mad (official r3
-# hash-FAIL, hardened this round to integer-tick arithmetic), and the
-# q_sim_pairs / q_dedup_embed / _cluster / _canonical family whose
-# physical plan moved to the block-pair GEMM after its r2-green row.
+# The 50 keys the differential driver should grade first.  Round-5
+# rotation (VERDICT r4 "Next round" item 4): 61 registry keys have
+# never sat inside a graded window; 40 of them lead this window —
+# prioritizing every key whose oracle carried the HUGEINT output
+# column fixed this round (q_text_keywords, q_skew_profile,
+# q_gdpr_cascade, q_agg_weighted_median, q_tpch_q12, q_embed_stats,
+# q_ts_twap, q_dedup_incremental, q_ngram_novelty, q_ts_cusum,
+# q_mix_budget) and both keys whose arithmetic changed this round
+# (q_tpch_q17 fixed-point half-average, q_tpch_q20 explicit floor).
+# The last 10 slots RE-CERTIFY the official r4 hash-FAILs, all ten
+# the same judge-verified root cause: DuckDB typed a naked integer
+# sum() output HUGEINT, which the driver's Arrow/pandas canonicalizer
+# renders `6.0`/`Decimal('6')` against Spark's bigint `6` — fixed
+# with CAST(... AS BIGINT) in each oracle and fenced by
+# tests/test_oracle_types.py + the Arrow-typed local comparator.
+# DEFERRED_R6 queues the remaining 21 never-graded keys (stable
+# TPC-H/relational shapes, judge-green in the full local sf0.01
+# differential, untouched since r4) immediately after the window, so
+# every one of the 252 keys holds >=1 driver-green row by end of r6.
 GRADED_FIRST: tuple[str, ...] = (
+    # --- never driver-graded: HUGEINT-oracle-fixed this round ---
+    "q_text_keywords",
+    "q_skew_profile",
+    "q_gdpr_cascade",
+    "q_agg_weighted_median",
+    "q_tpch_q12",
+    "q_embed_stats",
+    "q_ts_twap",
+    "q_dedup_incremental",
+    "q_ngram_novelty",
+    "q_ts_cusum",
+    "q_mix_budget",
+    # --- never driver-graded: arithmetic changed this round ---
+    "q_tpch_q17",
+    "q_tpch_q20",
     # --- never driver-graded (registry order) ---
-    "q_text_tfidf_exact",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_profile_table",
+    "q_rfm_segment",
+    "q_basket_lift",
+    "q_embed_cov",
+    "q_ml_sgd_step",
+    "q_ml_gd_loop",
+    "q_stream_live_lww",
+    "q_stream_session_dynamic",
+    "q_join_asof_tolerance",
+    "q_stream_live_session_dynamic",
+    "q_stream_live_reach",
+    "q_udtf_poly",
+    "q_fn_sql_udf",
+    "q_udf_cogroup",
+    "q_sink_dynamic_overwrite",
+    "q_paginate_keyset",
+    "q_pipeline_e2e",
+    "q_source_xml",
+    "q_attribution",
+    "q_ts_holt",
+    "q_ts_seasonal",
+    "q_ts_rolling_ndv",
+    "q_vocab_coverage",
+    "q_text_bm25",
+    "q_vocab_spectrum",
+    "q_graph_label_prop",
+    "q_fn_collation",
+    "q_fn_xpath",
+    # --- re-certification: the 10 official r4 hash-FAILs (HUGEINT
+    # oracle output column — fixed with CAST(... AS BIGINT)) ---
     "q_dq_checks",
-    "q_scd2",
-    "q_topk_salted",
-    "q_sketch_countmin",
-    "q_fn_crypto",
-    "q_fn_levenshtein",
-    "q_tpch_q18",
-    "q_tpch_q7",
-    "q_join_shuffle_hash",
-    "q_ml_kmeans_step",
-    "q_stream_live_dedup",
-    "q_stream_live_join",
-    "q_stream_live_pairjoin",
-    "q_stream_foreach_upsert",
-    "q_join_asof_fwd",
-    "q_ts_rolling_median",
-    "q_join_asof_nearest",
-    "q_ts_pop",
-    "q_user_transitions",
-    "q_session_paths",
     "q_boilerplate",
     "q_shard_assign",
-    "q_inverted_index",
-    "q_graph_degree",
-    "q_graph_triangles",
-    "q_zorder_layout",
-    "q_cdc_diff",
     "q_winsorize",
     "q_sample_weighted",
-    "q_sample_reservoir",
-    "q_incr_agg",
-    "q_text_pii",
-    "q_text_chunk",
     "q_text_entropy",
     "q_ts_islands",
-    "q_agg_bitwise",
-    "q_fn_format",
-    "q_fn_binary",
     "q_dedup_paragraph",
-    # --- re-certification: r3 hash-FAIL keys, hardened this round ---
     "q_cte",
     "q_anomaly_mad",
-    # --- re-certification: plan changed (block-GEMM) since r2 green ---
-    "q_sim_pairs",
-    "q_dedup_embed",
-    "q_dedup_cluster",
-    "q_dedup_canonical",
+)
+
+#: Never-graded keys deferred to the round-6 window (positions 51-71):
+#: stable, judge-green in the full local differential, unchanged code.
+DEFERRED_R6: tuple[str, ...] = (
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_join_overlap",
+    "q_join_bloom",
+    "q_agg_moments",
+    "q_agg_bitmap",
+    "q_fn_map2",
+    "q_fn_json2",
+    "q_fn_str_to_map",
 )
 
 
@@ -144,9 +164,14 @@ def build_registry() -> QueryRegistry:
     ):
         merged.merge(mod.REG)
 
-    missing = [k for k in GRADED_FIRST if k not in merged.queries]
+    missing = [
+        k for k in (*GRADED_FIRST, *DEFERRED_R6) if k not in merged.queries
+    ]
     if missing:
-        raise ValueError(f"GRADED_FIRST keys not registered: {missing}")
+        raise ValueError(f"GRADED_FIRST/DEFERRED_R6 keys not registered: {missing}")
+    overlap = set(GRADED_FIRST) & set(DEFERRED_R6)
+    if overlap:
+        raise ValueError(f"keys in both GRADED_FIRST and DEFERRED_R6: {overlap}")
     from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
 
     no_oracle = set(merged.queries) - set(merged.oracles)
@@ -157,9 +182,11 @@ def build_registry() -> QueryRegistry:
             f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
         )
     ordered = QueryRegistry()
+    pinned = set(GRADED_FIRST) | set(DEFERRED_R6)
     for key in (
         *GRADED_FIRST,
-        *(k for k in merged.queries if k not in set(GRADED_FIRST)),
+        *DEFERRED_R6,
+        *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]
         if key in merged.oracles:
