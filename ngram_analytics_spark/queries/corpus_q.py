@@ -130,8 +130,8 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT g.doc_id,
                count(*) AS n_spans,
-               sum(CASE WHEN df.df >= {_SPAN_DF} THEN 1 ELSE 0 END)
-                   AS n_boiler,
+               CAST(sum(CASE WHEN df.df >= {_SPAN_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
                {oracle_round4det(
                    f"CAST(sum(CASE WHEN df.df >= {_SPAN_DF} THEN 1 ELSE 0 END)"
                    " AS DOUBLE) / count(*)"
@@ -187,7 +187,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ((doc_id % {_SHARD_MOD}) * {_SHARD_MUL})
                    % {_SHARD_SPACE} % {_N_SHARDS} AS shard,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(doc_id) AS min_doc,
                max(doc_id) AS max_doc
         FROM documents
@@ -620,4 +620,57 @@ def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("mass")
             ).cast("long").alias("ppm_of_corpus"),
         )
+    )
+
+
+_SQ_SHORT = 120  # chars below which a document counts as "short"
+
+
+@REG.register(
+    "q_source_quality",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT lang) AS n_langs,
+               CAST(floor(sum(CASE WHEN n_chars < {_SQ_SHORT}
+                                   THEN 1 ELSE 0 END) * 1000000.0
+                          / count(*)) AS BIGINT) AS short_ppm,
+               CAST(floor(sum(CAST(len({TOKENS}) AS BIGINT)) * 10000.0
+                          / count(*)) AS BIGINT) AS toks_per_doc_t4
+        FROM documents
+        GROUP BY source
+    """,
+)
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) corpus quality report: doc count,
+    total characters, language spread, short-document rate, and mean
+    tokens per doc — the rollup behind source-level keep/drop rules
+    (C4/Gopher-style pipelines filter whole domains whose aggregate
+    stats are pathological, before any per-document scoring runs).
+
+    One scan, one map-side-combined aggregate keyed on source; the
+    distinct-lang count rides the same exchange (Spark plans
+    count(distinct) as a two-phase expand over the grouped key —
+    still source-keyed, no extra wide shuffle). Ratios are floor-ppm /
+    1e-4 ticks over integer sums — no float surface."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.floor(
+            F.sum(
+                F.when(F.col("n_chars") < _SQ_SHORT, 1).otherwise(0)
+            ).cast("double")
+            * F.lit(1_000_000.0)
+            / F.count("*").cast("double")
+        ).cast("long").alias("short_ppm"),
+        F.floor(
+            F.sum(
+                F.size(F.split("text", " ")).cast("long")
+            ).cast("double")
+            * F.lit(10_000.0)
+            / F.count("*").cast("double")
+        ).cast("long").alias("toks_per_doc_t4"),
     )

@@ -319,3 +319,92 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         labels.select("node", F.col("lab").alias("label_final")), "node"
     )
+
+
+_JN_TOPK = 25
+
+
+@REG.register(
+    "q_graph_jaccard_nbrs",
+    oracle=f"""
+        WITH {_EDGES_CTE}, u AS (
+            SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2
+            FROM e
+        ), adj AS (
+            SELECT s1 AS node, s2 AS nbr FROM u
+            UNION ALL
+            SELECT s2 AS node, s1 AS nbr FROM u
+        ), deg AS (
+            SELECT node, count(*) AS d FROM adj GROUP BY node
+        ), common AS (
+            SELECT x.node AS a, y.node AS b, count(*) AS n_common
+            FROM adj x JOIN adj y
+              ON x.nbr = y.nbr AND x.node < y.node
+            GROUP BY x.node, y.node
+        ), scored AS (
+            SELECT c.a, c.b, c.n_common, da.d AS deg_a, db.d AS deg_b,
+                   CAST(floor(c.n_common * 1000000.0
+                              / (da.d + db.d - c.n_common)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM common c
+            JOIN deg da ON c.a = da.node
+            JOIN deg db ON c.b = db.node
+        )
+        SELECT a, b, n_common, deg_a, deg_b, jaccard_ppm
+        FROM scored
+        ORDER BY jaccard_ppm DESC, a ASC, b ASC
+        LIMIT {_JN_TOPK}
+    """,
+)
+def q_graph_jaccard_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the undirected 3-NN graph
+    (link prediction / redundancy mining): node pairs sharing at least
+    one neighbor score |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — high scorers
+    are structurally interchangeable vectors (same semantic
+    neighborhood) even when the pair itself is not an edge; top-{_JN_TOPK}
+    reported with full tiebreak (score DESC, then ids).
+
+    Plan: candidate pairs come from the WEDGE join (two adjacency
+    copies joined on the shared neighbor, id-ordered to halve the
+    output) — fan-out per node is bounded by the kNN degree (<= 2k
+    undirected), NOT all-pairs; degrees attach by two keyed joins and
+    the top-k is a TakeOrdered boundary, no global sort materialized.
+    Integer floor-ppm scoring — no float surface."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("s1"),
+            F.greatest("src", "dst").alias("s2"),
+        )
+        .distinct()
+    )
+    adj = u.select(
+        F.col("s1").alias("node"), F.col("s2").alias("nbr")
+    ).unionAll(u.select(F.col("s2").alias("node"), F.col("s1").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    # distinct output names on each side: a same-named `nbr == nbr`
+    # self-join predicate relies on Spark's fragile auto-disambiguation
+    x = adj.select(F.col("node").alias("a"), "nbr")
+    y = adj.select(F.col("node").alias("b"), F.col("nbr").alias("nbr_y"))
+    common = (
+        x.join(y, (F.col("nbr") == F.col("nbr_y")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        common.join(deg.select(F.col("node").alias("a"),
+                               F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("d").alias("deg_b")), "b")
+        .select(
+            "a", "b", "n_common", "deg_a", "deg_b",
+            F.floor(
+                F.col("n_common").cast("double") * F.lit(1_000_000.0)
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+                .cast("double")
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_JN_TOPK)

@@ -634,8 +634,8 @@ def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / count(*)) AS mean_raw,
                (CAST(sum(xt * xt) AS DOUBLE) / 1000000000000.0
                 / count(*)) AS msq_raw,
-               sum(CASE WHEN abs(xt) < 1000 THEN 1 ELSE 0 END)
-                   AS n_near_zero
+               CAST(sum(CASE WHEN abs(xt) < 1000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_near_zero
         FROM dims GROUP BY dim
     """,
 )
@@ -1103,3 +1103,120 @@ def q_ml_gd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
         )
     return out
+
+
+# --------------------------------------------------------- containment dedup
+
+_CONT_N = 4          # word-shingle width
+_CONT_DF_MIN = 2     # a shingle must appear in >=2 docs to pair anything
+_CONT_DF_MAX = 20    # rare-shingle cutoff: bounds candidate fan-out
+_CONT_MIN_SH = 3     # ignore docs with fewer distinct shingles
+_CONT_PPM = 500_000  # containment >= 0.5 flags a
+
+
+@REG.register(
+    "q_dedup_containment",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct({ngrams_sql(TOKENS, _CONT_N)}) AS st
+            FROM documents
+        ), d2 AS (
+            SELECT doc_id, st FROM d WHERE len(st) >= {_CONT_MIN_SH}
+        ), post AS (
+            SELECT doc_id, unnest(st) AS sh FROM d2
+        ), rare AS (
+            SELECT sh FROM post GROUP BY sh
+            HAVING count(*) BETWEEN {_CONT_DF_MIN} AND {_CONT_DF_MAX}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM post a
+            JOIN rare r ON a.sh = r.sh
+            JOIN post b ON b.sh = a.sh
+            WHERE a.doc_id != b.doc_id
+        )
+        SELECT c.a_id, c.b_id,
+               len(da.st) AS size_a,
+               len(list_intersect(da.st, db.st)) AS n_common,
+               CAST(floor(len(list_intersect(da.st, db.st)) * 1000000.0
+                          / len(da.st)) AS BIGINT) AS containment_ppm
+        FROM cand c
+        JOIN d2 da ON c.a_id = da.doc_id
+        JOIN d2 db ON c.b_id = db.doc_id
+        WHERE floor(len(list_intersect(da.st, db.st)) * 1000000.0
+                    / len(da.st)) >= {_CONT_PPM}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: flag document A when >=50% of A's
+    distinct {_CONT_N}-gram shingles also appear in document B — the
+    quote/subset-duplication case (A excerpted inside B) that symmetric
+    Jaccard under-scores because B's extra content dilutes the union.
+    A training-corpus pipeline runs this AFTER near-dup removal to
+    catch partially-copied documents.
+
+    Plan (no all-pairs anywhere): distinct shingles explode once;
+    candidate (A, B) pairs come from a postings SELF-JOIN restricted to
+    RARE shingles (document frequency in [{_CONT_DF_MIN},
+    {_CONT_DF_MAX}]), so per-shingle fan-out is bounded by the df
+    cutoff squared; the exact intersection is then recomputed from the
+    two docs' full shingle ARRAYS carried by key-join onto the small
+    candidate set — the expensive exact work scales with candidates,
+    not with corpus^2. All shuffles key on shingle or doc_id.
+
+    Determinism: shingle sets are distinct arrays, counts are
+    integers, and the ratio is floor-ppm — no float surface."""
+    from ngram_analytics_spark.operators import spread
+
+    # documents scans as one row group -> one task; spread() runs the
+    # per-row shingle kernel plan-wide (the q_dedup_jaccard discipline)
+    d2 = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                ngram_col(F.split("text", " "), _CONT_N)
+            ).alias("st"),
+        )
+        .filter(F.size("st") >= _CONT_MIN_SH)
+    )
+    post = d2.select("doc_id", F.explode("st").alias("sh"))
+    rare = (
+        post.groupBy("sh")
+        .agg(F.count("*").alias("dfc"))
+        .filter(
+            (F.col("dfc") >= _CONT_DF_MIN) & (F.col("dfc") <= _CONT_DF_MAX)
+        )
+        .select("sh")
+    )
+    rp = post.join(rare, "sh")
+    cand = (
+        rp.select("sh", F.col("doc_id").alias("a_id"))
+        .join(rp.select("sh", F.col("doc_id").alias("b_id")), "sh")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets_a = d2.select(
+        F.col("doc_id").alias("a_id"), F.col("st").alias("st_a")
+    )
+    sets_b = d2.select(
+        F.col("doc_id").alias("b_id"), F.col("st").alias("st_b")
+    )
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    ppm = F.floor(
+        common.cast("double") * F.lit(1_000_000.0)
+        / F.size("st_a").cast("double")
+    )
+    return (
+        cand.join(sets_a, "a_id")
+        .join(sets_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size("st_a").alias("size_a"),
+            common.alias("n_common"),
+            ppm.cast("long").alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= _CONT_PPM)
+    )

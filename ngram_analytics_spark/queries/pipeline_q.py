@@ -406,9 +406,12 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                count(*) AS n_new,
-               sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS n_kept,
-               sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS n_dup_corpus,
-               sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS n_dup_within
+               CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_corpus,
+               CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_within
         FROM cls GROUP BY lang
     """,
 )
@@ -475,7 +478,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n.doc_id,
                count(*) AS n_bigrams,
-               sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END) AS n_novel,
+               CAST(sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
                {oracle_round4det(
                    "CAST(sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END)"
                    " AS DOUBLE) / count(*)"
@@ -815,4 +819,77 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"),
         dsum_fixed("s_acctbal", "bal", digits=2),
+    )
+
+
+# ------------------------------------------------------ length bucketing
+
+_LB_BATCH = 64   # sequences per inference micro-batch
+_LB_SHARDS = 8   # parallel assignment shards per bucket (scale knob)
+_LB_CASE = (
+    "CASE WHEN tok <= 16 THEN 16 WHEN tok <= 32 THEN 32 "
+    "WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128 "
+    "WHEN tok <= 256 THEN 256 WHEN tok <= 512 THEN 512 "
+    "ELSE 1024 END"
+)
+
+
+@REG.register(
+    "q_length_buckets",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id, tok, {_LB_CASE} AS bucket,
+                   doc_id % {_LB_SHARDS} AS shard
+            FROM t
+        )
+        SELECT bucket, shard,
+               count(*) AS n_docs,
+               (count(*) + {_LB_BATCH - 1}) // {_LB_BATCH} AS n_batches,
+               count(*) - ((count(*) - 1) // {_LB_BATCH}) * {_LB_BATCH}
+                   AS last_fill,
+               CAST(sum(tok) AS BIGINT) AS total_toks,
+               CAST(max(tok) * count(*) - sum(tok) AS BIGINT) AS pad_waste
+        FROM b
+        GROUP BY bucket, shard
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning for inference/training: documents
+    land in power-of-two token buckets (16..1024) and a deterministic
+    shard (doc_id mod {_LB_SHARDS}), and each (bucket, shard) cell
+    reports its micro-batch census — batch count at {_LB_BATCH}
+    sequences/batch, last-batch fill, and the padding waste an
+    equal-length batcher saves (pad-to-bucket-max minus actual
+    tokens). The bucket ladder is an integer CASE (no log2 — banned
+    transcendental, FIXTURES.md).
+
+    Batch ids are assigned per (bucket, shard), NOT per bucket: a
+    bucket-partitioned window would concentrate each bucket on one
+    task at 100 TB (the unpartitioned-window hazard, just coarser);
+    sharding bounds every cell and the shard count is the scale knob.
+    Plan: one scan, one map-side-combined aggregate on (bucket,
+    shard) — the census needs no window at all."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    b = t.select(
+        "doc_id",
+        "tok",
+        F.expr(_LB_CASE).alias("bucket"),
+        (F.col("doc_id") % _LB_SHARDS).alias("shard"),
+    )
+    n = F.count("*")
+    return b.groupBy("bucket", "shard").agg(
+        n.alias("n_docs"),
+        ((n + (_LB_BATCH - 1)) / _LB_BATCH).cast("long").alias("n_batches"),
+        (n - ((n - 1) / _LB_BATCH).cast("long") * _LB_BATCH).alias(
+            "last_fill"
+        ),
+        F.sum("tok").alias("total_toks"),
+        (F.max("tok") * n - F.sum("tok")).alias("pad_waste"),
     )

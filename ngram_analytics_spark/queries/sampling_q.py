@@ -55,7 +55,7 @@ def _uniform_sql(key: str) -> str:
         )
         SELECT lang,
                count(*) AS n_kept,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                {oracle_davg("wt")} AS avg_weight
         FROM w
         WHERE {_uniform_sql("doc_id")} < wt
@@ -187,10 +187,11 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mix_budget",
     oracle="""
         WITH t AS (
-            SELECT lang, sum(n_chars) AS avail
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
             FROM documents GROUP BY lang
         ), tot AS (
-            SELECT sum(avail) AS tot, sum(avail) // 2 AS b FROM t
+            SELECT CAST(sum(avail) AS BIGINT) AS tot,
+                   CAST(sum(avail) // 2 AS BIGINT) AS b FROM t
         ), base AS (
             SELECT lang, avail, tot, b,
                    (b * avail) // tot AS alloc0,
@@ -259,6 +260,106 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(r)).select(
         "lang",
         F.col("avail").alias("avail_tokens"),
+        (
+            F.col("alloc0")
+            + F.when(F.col("rk") < F.col("rr"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )
+
+
+@REG.register(
+    "q_sample_temperature",
+    oracle="""
+        WITH t AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+            FROM documents GROUP BY lang
+        ), w AS (
+            SELECT lang, avail,
+                   CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS wt
+            FROM t
+        ), tot AS (
+            SELECT CAST(sum(wt) AS BIGINT) AS wtot,
+                   CAST(CAST(sum(avail) AS BIGINT) // 2 AS BIGINT) AS b
+            FROM w
+        ), base AS (
+            SELECT lang, avail, wt, wtot, b,
+                   (b * wt) // wtot AS alloc0,
+                   (b * wt) % wtot AS rem
+            FROM w, tot
+        ), ranked AS (
+            SELECT x.lang, x.avail, x.wt, x.alloc0, x.b,
+                   count(y.lang) AS rk
+            FROM base x LEFT JOIN base y
+              ON y.rem > x.rem OR (y.rem = x.rem AND y.lang < x.lang)
+            GROUP BY x.lang, x.avail, x.wt, x.alloc0, x.b
+        ), r AS (
+            SELECT CAST(min(b) - sum(alloc0) AS BIGINT) AS rr FROM base
+        )
+        SELECT lang, avail AS avail_tokens, wt AS weight_t,
+               alloc0 + CASE WHEN rk < rr THEN 1 ELSE 0 END
+                   AS alloc_tokens
+        FROM ranked, r
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mix allocation (T5/mC4 style): per-language
+    sampling weights proportional to availability^alpha with
+    alpha=0.5, flattening the head so low-resource languages are
+    up-sampled relative to raw-proportional mixing (q_mix_budget's
+    alpha=1). alpha is pinned at 1/2 because sqrt is IEEE-754
+    CORRECTLY ROUNDED on both engines, while a general pow(x, 0.7)
+    is not guaranteed bit-identical across libm implementations —
+    the same hazard class as ln/log (FIXTURES.md determinism rules).
+
+    Weights floor to integer units, then the budget (half the corpus)
+    splits by LARGEST-REMAINDER exactly as q_mix_budget: allocations
+    are integers summing to the budget exactly, hash-certifiable with
+    one float op (the correctly-rounded sqrt). int64 bounds: b*wt <
+    2^63 up to ~1e12-char corpora per the weight being sqrt-compressed;
+    past that descale wt by 1000 first.
+
+    Plan: one corpus rollup, 1-row totals broadcast, triangular rank
+    join bounded by #languages (q_mix_budget precedent)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(F.sum("n_chars").alias("avail"))
+    w = t.select(
+        "lang",
+        "avail",
+        F.floor(F.sqrt(F.col("avail").cast("double"))).alias("wt"),
+    )
+    tot = w.agg(
+        F.sum("wt").alias("wtot"),
+        F.expr("sum(avail) div 2").alias("b"),
+    )
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail",
+        "wt",
+        F.expr("(b * wt) div wtot").alias("alloc0"),
+        ((F.col("b") * F.col("wt")) % F.col("wtot")).alias("rem"),
+        "b",
+    )
+    y = base.select(
+        F.col("rem").alias("_rem_y"), F.col("lang").alias("_lang_y")
+    )
+    ranked = (
+        base.join(
+            y,
+            (F.col("_rem_y") > F.col("rem"))
+            | (
+                (F.col("_rem_y") == F.col("rem"))
+                & (F.col("_lang_y") < F.col("lang"))
+            ),
+            "left",
+        )
+        .groupBy("lang", "avail", "wt", "alloc0", "b")
+        .agg(F.count("_lang_y").alias("rk"))
+    )
+    r = base.agg((F.min("b") - F.sum("alloc0")).alias("rr"))
+    return ranked.crossJoin(F.broadcast(r)).select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.col("wt").alias("weight_t"),
         (
             F.col("alloc0")
             + F.when(F.col("rk") < F.col("rr"), 1).otherwise(0)
