@@ -284,6 +284,9 @@ NESTED_LOOP_OK = {
                              # allocation table (bounded by #languages,
                              # q_sort_nulls precedent) + 1-row totals
                              # broadcasts
+    "q_sample_temperature",  # same machinery as q_mix_budget: 1-row
+                             # totals broadcast + lang-domain
+                             # triangular rank join
     "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
                              # balance threshold + max order date)
     "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
