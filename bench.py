@@ -122,6 +122,11 @@ EXTENDED = [
     "q_source_quality",   # per-source corpus quality rollup
     "q_length_buckets",   # length-bucketed batch planning
     "q_graph_jaccard_nbrs",  # neighbor-set Jaccard link prediction
+    "q_fn_explode_outer",  # null-preserving outer explode
+    "q_sql_group_by_all",  # GROUP BY ALL same-text parity
+    "q_stream_live_leaderboard",  # stateful streaming leaderboard
+    "q_funnel_windowed",  # conversion-window funnel
+    "q_ts_downsample",    # max-deviation plot downsampling
 ]
 
 

@@ -881,3 +881,102 @@ def q_ts_rolling_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ts_rolling_ndv.__doc__ = q_ts_rolling_ndv.__doc__.format(d=_REACH_DAYS)
+
+
+_FW_WINDOW_S = 3600  # conversion window: next stage within 1 hour
+
+
+@REG.register(
+    "q_funnel_windowed",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_v FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_c
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_v
+              AND e.ts <= v.t_v + INTERVAL {_FW_WINDOW_S} SECOND
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_p
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+              AND e.ts <= c.t_c + INTERVAL {_FW_WINDOW_S} SECOND
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users,
+               CAST(1000000 AS BIGINT) AS conv_ppm FROM v
+        UNION ALL
+        SELECT '2_click', count(*),
+               CAST(floor(count(*) * 1000000.0
+                          / (SELECT count(*) FROM v)) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', count(*),
+               CAST(floor(count(*) * 1000000.0
+                          / (SELECT count(*) FROM c)) AS BIGINT) FROM p
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: q_funnel's ordered view -> click ->
+    purchase chain with the product-analytics REALISM constraint that
+    each stage must land within {_FW_WINDOW_S} s of the previous one —
+    unbounded funnels credit conversions that happen days later, which
+    every funnel tool bounds by a window. Per-stage user counts plus
+    step conversion in floor-ppm.
+
+    Plan shape: identical to q_funnel — three per-user min-aggregations
+    chained by equi-joins, all keyed on user_id (stages 2 and 3 reuse
+    the first exchange's partitioning); the window bound is a row-local
+    filter on the joined frame, adding zero shuffles. Stage counts are
+    1-row aggregates; the ppm ratios broadcast those 1-row frames."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {_FW_WINDOW_S} SECOND")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_v")) & (F.col("ts") <= F.col("t_v") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_c")) & (F.col("ts") <= F.col("t_c") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    nv = v.agg(F.count("*").alias("nv"))
+    nc = c.agg(F.count("*").alias("nc"))
+    s1 = nv.select(
+        F.lit("1_view").alias("stage"),
+        F.col("nv").alias("n_users"),
+        F.lit(1_000_000).cast("long").alias("conv_ppm"),
+    )
+    s2 = (
+        nc.crossJoin(F.broadcast(nv))
+        .select(
+            F.lit("2_click").alias("stage"),
+            F.col("nc").alias("n_users"),
+            F.floor(F.col("nc").cast("double") * 1e6 / F.col("nv"))
+            .cast("long")
+            .alias("conv_ppm"),
+        )
+    )
+    s3 = (
+        p.agg(F.count("*").alias("np"))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.lit("3_purchase").alias("stage"),
+            F.col("np").alias("n_users"),
+            F.floor(F.col("np").cast("double") * 1e6 / F.col("nc"))
+            .cast("long")
+            .alias("conv_ppm"),
+        )
+    )
+    return s1.unionAll(s2).unionAll(s3)

@@ -761,3 +761,64 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_off_bnl") + F.col("_rnl")).alias("pos_nl"),
         )
     )
+
+
+@REG.register(
+    "q_fn_explode_outer",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) > 8) AS longs
+            FROM documents
+            WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(len(longs) AS INT) AS n_long,
+               unnest(CASE WHEN len(longs) = 0
+                           THEN [CAST(NULL AS VARCHAR)]
+                           ELSE longs END) AS tok
+        FROM t
+    """,
+)
+def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode (null-preserving generator): docs whose filtered
+    token array is EMPTY survive as one NULL-token row instead of
+    vanishing — the LATERAL VIEW OUTER semantics a pipeline needs when
+    the exploded attribute is optional but the parent row must be kept
+    (inner explode silently drops parents, the classic row-loss bug).
+
+    The generator runs inside the scan stage (no shuffle). DuckDB has
+    no outer unnest, so the oracle lifts empty lists to [NULL] before
+    unnesting — spelling out exactly the semantics under test."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 8)
+    return d.select(
+        "doc_id",
+        F.size(longs).alias("n_long"),
+        F.explode_outer(longs).alias("tok"),
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderpriority,
+           year(CAST(o_orderdate AS DATE)) AS yr,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS price_floor_sum
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+@REG.register("q_sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark >= 3.4 / DuckDB dialect parity): every
+    non-aggregate select item becomes a grouping key, the exact same
+    SQL text running on BOTH engines (the q_cte discipline) — the
+    ergonomic form analysts actually write, certified to plan as an
+    ordinary hash aggregate. floor() before the BIGINT cast per the
+    truncate-vs-round convention; the sum is CAST to BIGINT so the
+    oracle cannot emit HUGEINT."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)

