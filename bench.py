@@ -127,6 +127,9 @@ EXTENDED = [
     "q_stream_live_leaderboard",  # stateful streaming leaderboard
     "q_funnel_windowed",  # conversion-window funnel
     "q_ts_downsample",    # max-deviation plot downsampling
+    "q_source_text",      # raw-text corpus-dump round-trip
+    "q_agg_filter_clause",  # FILTER (WHERE) single-pass aggregates
+    "q_fn_aes",           # deterministic AES-ECB round-trip
 ]
 
 

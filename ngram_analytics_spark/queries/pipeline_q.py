@@ -893,3 +893,51 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").alias("total_toks"),
         (F.max("tok") * n - F.sum("tok")).alias("pad_waste"),
     )
+
+
+@REG.register(
+    "q_source_text",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CAST(len({TOKENS}) AS BIGINT)) AS BIGINT)
+                   AS n_toks,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+    GROUP BY lang
+    """,
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source/sink round-trip: documents exported as tab-keyed
+    plain text lines (`lang\\tdoc_id\\ttext` — the classic corpus dump
+    format), read back with `spark.read.text` and re-parsed by
+    position. The per-lang token/char rollup must hash-match the
+    original parquet — if newline handling, delimiter collision, or
+    encoding lost a byte anywhere, the gate catches it. n_chars is
+    recomputed from the round-tripped text (length), not carried.
+
+    Text is the one format with NO schema in the file: the parse
+    contract lives entirely in the reader (split on first two tabs),
+    which is exactly the hazard the graded round-trip pins."""
+    out = _roundtrip_dir(spark, sf_dir, "text")
+    d = load(spark, sf_dir, "documents")
+    (
+        d.select(
+            F.concat_ws(
+                "\t",
+                F.col("lang"),
+                F.col("doc_id").cast("string"),
+                F.col("text"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = spark.read.text(out).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("lang"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_toks"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )

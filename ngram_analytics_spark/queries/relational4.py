@@ -822,3 +822,68 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle cannot emit HUGEINT."""
     register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_FILTER_CLAUSE_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS big_floor_sum,
+           count(*) FILTER (WHERE year(CAST(o_orderdate AS DATE)) = 1999)
+               AS n_1999
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@REG.register("q_agg_filter_clause", oracle=_FILTER_CLAUSE_SQL)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates via the standard-SQL FILTER (WHERE ...)
+    clause — the same SQL text on both engines (q_cte discipline).
+    Catalyst compiles each FILTER into a conditional aggregate inside
+    ONE hash-agg pass over one scan (no per-filter re-scan, no join of
+    per-filter subqueries — the shape the CASE-WHEN idiom hand-writes,
+    with the intent in the syntax). floor-then-cast per the
+    truncate-vs-round convention; sums CAST to BIGINT against the
+    HUGEINT oracle-type class."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@REG.register(
+    "q_fn_aes",
+    oracle="""
+        SELECT n_nationkey, n_name AS decrypted,
+               ((length(n_name) // 16) + 1) * 16 AS cipher_len,
+               1 AS roundtrip_ok
+        FROM nation
+    """,
+)
+def q_fn_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip: aes_encrypt/aes_decrypt in
+    ECB mode (deterministic — GCM salts a random IV per call, which
+    can never hash-certify), the at-rest field-protection pattern for
+    PII columns. DuckDB has no AES, so the oracle pins the INVARIANTS:
+    decrypt(encrypt(x)) == x (emitted as the decrypted value itself),
+    the PKCS7-padded ciphertext length ((len // 16 + 1) * 16), and a
+    computed roundtrip_ok flag the Spark side derives by COMPARING the
+    decrypted bytes to the source column (so a silent corruption
+    fails the gate twice)."""
+    enc = F.expr(
+        "aes_encrypt(n_name, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", enc.alias("_ct")
+    )
+    dec = F.expr(
+        "cast(aes_decrypt(_ct, '0123456789abcdef', 'ECB', 'PKCS')"
+        " as string)"
+    )
+    return n.select(
+        "n_nationkey",
+        dec.alias("decrypted"),
+        F.length("_ct").cast("long").alias("cipher_len"),
+        F.when(dec == F.col("n_name"), 1).otherwise(0).alias("roundtrip_ok"),
+    )

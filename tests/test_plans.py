@@ -287,6 +287,9 @@ NESTED_LOOP_OK = {
     "q_sample_temperature",  # same machinery as q_mix_budget: 1-row
                              # totals broadcast + lang-domain
                              # triangular rank join
+    "q_funnel_windowed",     # 1-row stage-count broadcasts into the
+                             # conversion-ppm ratios (bounded, never
+                             # data-sized)
     "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
                              # balance threshold + max order date)
     "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
