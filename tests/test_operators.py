@@ -1086,3 +1086,82 @@ def test_asof_tolerance_date_axis_and_dtype_validation(spark):
         asof_join(
             sleft, sright, "k", "k", "t", "t", ["v"], tolerance_seconds=5
         )
+
+
+def test_containment_recall_vs_brute_force(spark):
+    """q_dedup_containment's rare-shingle candidate generation must
+    find every brute-force containment pair that shares at least one
+    RARE shingle (df in [2, 20]) — i.e. the df cutoff is the ONLY
+    recall loss, exactly as the declared semantics state. At sf0.001
+    the all-pairs kernel is affordable; this documents that no pair is
+    lost to the combinations/symmetry restructure itself."""
+    from ngram_analytics_spark.operators.ngram import ngram_col
+    from ngram_analytics_spark.queries.llm_q import (
+        _CONT_DF_MAX,
+        _CONT_DF_MIN,
+        _CONT_MIN_SH,
+        _CONT_PPM,
+        q_dedup_containment,
+    )
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in q_dedup_containment(spark, SF_SMOKE).collect()
+    }
+
+    d2 = (
+        load(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(ngram_col(F.split("text", " "), 4)).alias("st"),
+        )
+        .filter(F.size("st") >= _CONT_MIN_SH)
+    )
+    post = d2.select("doc_id", F.explode("st").alias("sh"))
+    rare = (
+        post.groupBy("sh")
+        .agg(F.count("*").alias("dfc"))
+        .filter(
+            (F.col("dfc") >= _CONT_DF_MIN) & (F.col("dfc") <= _CONT_DF_MAX)
+        )
+        .select("sh")
+    )
+    rare_docs = post.join(rare, "sh").select("doc_id", "sh")
+    a = d2.select(F.col("doc_id").alias("a_id"), F.col("st").alias("st_a"))
+    b = d2.select(F.col("doc_id").alias("b_id"), F.col("st").alias("st_b"))
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(
+                common.cast("double")
+                * F.lit(1_000_000.0)
+                / F.size("st_a").cast("double")
+            ).cast("long").alias("ppm"),
+            F.size(
+                F.array_intersect("st_a", "st_b")
+            ).alias("nc"),
+        )
+        .filter(F.col("ppm") >= _CONT_PPM)
+    )
+    # pairs of the brute-force result that share >= 1 rare shingle
+    ra = rare_docs.select(F.col("doc_id").alias("a_id"), "sh")
+    rb = rare_docs.select(
+        F.col("doc_id").alias("rb_id"), F.col("sh").alias("sh_b")
+    )
+    expected = {
+        (r.a_id, r.b_id)
+        for r in brute.join(ra, "a_id")
+        .join(
+            rb,
+            (F.col("b_id") == F.col("rb_id")) & (F.col("sh") == F.col("sh_b")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+        .collect()
+    }
+    assert expected <= got
+    assert got  # non-degenerate: the smoke corpus has containment pairs
