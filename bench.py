@@ -130,6 +130,7 @@ EXTENDED = [
     "q_source_text",      # raw-text corpus-dump round-trip
     "q_agg_filter_clause",  # FILTER (WHERE) single-pass aggregates
     "q_fn_aes",           # deterministic AES-ECB round-trip
+    "q_ml_power_iter",    # Gram power iteration (top eigenvector)
 ]
 
 

@@ -680,16 +680,24 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.register(
     "q_embed_cov",
     oracle="""
-        WITH ex AS (
+        WITH exd AS (
+            -- CAST TO DOUBLE before quantizing: DuckDB keeps FLOAT *
+            -- literal in FLOAT32, so float32 products landing on x.5
+            -- round away from the Spark/numpy float64 path (~8/500
+            -- rows at sf0.01). Survived here only because the final
+            -- cov rounds to 4dp; fixed for exactness (r5).
             SELECT vec_id,
                    CAST(t.i - 1 AS INTEGER) AS dim,
-                   (CAST(floor(abs(embedding[t.i]) * 1000000.0 + 0.5)
-                         AS BIGINT)
-                    * (CASE WHEN embedding[t.i] < 0 THEN -1
-                            WHEN embedding[t.i] > 0 THEN 1
-                            ELSE 0 END)) AS xt
+                   CAST(embedding[t.i] AS DOUBLE) AS x
             FROM embeddings,
                  UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), ex AS (
+            SELECT vec_id, dim,
+                   (CAST(floor(abs(x) * 1000000.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN x < 0 THEN -1
+                            WHEN x > 0 THEN 1
+                            ELSE 0 END)) AS xt
+            FROM exd
         ), pairs AS (
             SELECT a.dim AS i, b.dim AS j,
                    sum(CAST(a.xt AS HUGEINT) * CAST(b.xt AS HUGEINT))
@@ -1259,4 +1267,170 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm.cast("long").alias("containment_ppm"),
         )
         .filter(F.col("containment_ppm") >= _CONT_PPM)
+    )
+
+
+# ----------------------------------------------------- power iteration
+
+def _pi_step_sql(vname: str, k: int) -> str:
+    """One power-iteration step as oracle CTE text: tick-quantized
+    matvec (order-free int64 sum), tick-quantized squared-norm, IEEE
+    sqrt, renormalized 1e-6-tick vector — every float op spelled
+    identically to the Spark side."""
+    q = (
+        "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)"
+        " * (CASE WHEN {x} < 0 THEN -1 WHEN {x} > 0 THEN 1 ELSE 0 END)"
+    )
+    p = f"(g.gd * (CAST(v.vt AS DOUBLE) / 1000000.0))"
+    w = f"w{k}"
+    n = f"n{k}"
+    return f"""
+        {w} AS (
+            SELECT g.i AS dim,
+                   (CAST(sum({q.format(x=p)}) AS DOUBLE)
+                    / 1000000.0) AS wd
+            FROM gfull g JOIN {vname} v ON g.j = v.dim
+            GROUP BY g.i
+        ), {n} AS (
+            SELECT sqrt(CAST(sum({q.format(x="(wd * wd)")}) AS DOUBLE)
+                        / 1000000.0) AS nrm
+            FROM {w}
+        ), v{k} AS (
+            SELECT w.dim,
+                   {q.format(x="(w.wd / n.nrm)")} AS vt
+            FROM {w} w, {n} n
+        )"""
+
+
+_PI_ORACLE = f"""
+    WITH exd AS (
+        -- CAST TO DOUBLE BEFORE quantizing: DuckDB keeps FLOAT *
+        -- literal in FLOAT32 (typeof(abs(f)*1000000.0) = FLOAT), so a
+        -- float32 product landing on x.5 rounds differently from the
+        -- Spark/numpy float64 path (8/500 tie rows at sf0.01) — the
+        -- q_embed_stats discipline
+        SELECT vec_id,
+               CAST(t.i - 1 AS INTEGER) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), ex AS (
+        SELECT vec_id, dim,
+               (CAST(floor(abs(x) * 1000000.0 + 0.5) AS BIGINT)
+                * (CASE WHEN x < 0 THEN -1
+                        WHEN x > 0 THEN 1
+                        ELSE 0 END)) AS xt
+        FROM exd
+    ), gfull AS (
+        SELECT a.dim AS i, b.dim AS j,
+               (CAST(sum(CAST(a.xt AS HUGEINT) * CAST(b.xt AS HUGEINT))
+                     AS DOUBLE) / 1000000000000.0) AS gd
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim
+    ), v0 AS (
+        SELECT CAST(t.i AS INTEGER) AS dim, CAST(1000000 AS BIGINT) AS vt
+        FROM UNNEST(range(0, 64)) AS t(i)
+    ), {_pi_step_sql("v0", 1)}, {_pi_step_sql("v1", 2)}
+    SELECT v2.dim,
+           (CAST(v2.vt AS DOUBLE) / 1000000.0) AS v,
+           (CAST(floor(abs(n2.nrm) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+               AS eigenvalue_est
+    FROM v2, n2
+"""
+
+
+@REG.register("q_ml_power_iter", oracle=_PI_ORACLE)
+def q_ml_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix by TWO power-
+    iteration steps, entirely in-engine — the spectral companion to
+    q_embed_cov (top principal direction of the raw second moment:
+    anisotropy/rogue-dimension QA for an embedding corpus, and the
+    kernel inside PCA whitening). Emits the unit eigenvector estimate
+    after step 2 plus the step-2 norm (the eigenvalue estimate, since
+    step 1's output is unit-norm).
+
+    Scale design: the Gram comes from the q_embed_cov blocked kernel —
+    one numpy integer matmul per Arrow batch via mapInPandas, partial
+    (i, j, sum) rows merged by a tiny groupBy; shuffle volume is
+    O(batches x dim^2), independent of corpus rows. Everything after
+    is dim-domain-sized (64-row vectors broadcast into 4096-row
+    matvec joins) — the iteration costs nothing at any corpus scale.
+
+    Determinism (the iterated-float hazard): the Gram is exact int64
+    ticks; each matvec quantizes its per-(i,j) products to 1e-6 ticks
+    and sums in int64 (order-free); each norm quantizes the squared
+    components the same way; sqrt is IEEE correctly-rounded on both
+    engines; vectors re-quantize to 1e-6 ticks at every step boundary
+    — so the oracle (a definitional dim x dim self-join Gram + the
+    same chained steps) sees bit-identical doubles everywhere."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy())
+            xt = (
+                np.floor(np.abs(x).astype("float64") * 1e6 + 0.5)
+                * np.sign(x)
+            ).astype("int64")
+            g = xt.T @ xt
+            ii, jj = np.indices(g.shape)
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "sxy": g.ravel(),
+                }
+            )
+
+    gfull = (
+        e.mapInPandas(gram, "i int, j int, sxy long")
+        .groupBy("i", "j")
+        .agg((F.sum("sxy").cast("double") / F.lit(1e12)).alias("gd"))
+    )
+
+    def ticks(c):
+        return (
+            F.floor(F.abs(c) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+            * F.when(c < 0, -1).when(c > 0, 1).otherwise(0)
+        )
+
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(1_000_000).cast("long").alias("vt"),
+    )
+    nrm_df = None
+    for _ in range(2):
+        p = F.col("gd") * (F.col("vt").cast("double") / F.lit(1_000_000.0))
+        w = (
+            gfull.join(F.broadcast(v), gfull.j == v.dim)
+            .groupBy(F.col("i").alias("dim"))
+            .agg(
+                (F.sum(ticks(p)).cast("double") / F.lit(1_000_000.0)).alias(
+                    "wd"
+                )
+            )
+        )
+        nrm_df = w.agg(
+            F.sqrt(
+                F.sum(ticks(F.col("wd") * F.col("wd"))).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm_df)).select(
+            "dim", ticks(F.col("wd") / F.col("nrm")).alias("vt")
+        )
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        "dim",
+        (F.col("vt").cast("double") / F.lit(1_000_000.0)).alias("v"),
+        (
+            F.floor(F.abs("nrm") * F.lit(10_000.0) + F.lit(0.5)).cast(
+                "double"
+            )
+            / F.lit(10_000.0)
+        ).alias("eigenvalue_est"),
     )
