@@ -131,6 +131,7 @@ EXTENDED = [
     "q_agg_filter_clause",  # FILTER (WHERE) single-pass aggregates
     "q_fn_aes",           # deterministic AES-ECB round-trip
     "q_ml_power_iter",    # Gram power iteration (top eigenvector)
+    "q_join_scd2_pit",    # point-in-time SCD2 version join
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.operators.asof import asof_join
 from ngram_analytics_spark.functions.deterministic import (
     dsum_fixed,
     oracle_dsum_fixed,
@@ -957,3 +958,63 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_skew_profile.__doc__ = q_skew_profile.__doc__.replace("{n}", str(_SKEW_TOPN))
+
+
+@REG.register(
+    "q_join_scd2_pit",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS vf,
+                   lead(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) AS vt
+            FROM orders
+        )
+        SELECT e.event_id, e.user_id,
+               s.o_orderkey AS version_key,
+               strftime(s.vf, '%Y-%m-%d') AS version_from
+        FROM events e
+        LEFT JOIN s ON e.user_id = s.o_custkey
+                   AND CAST(e.ts AS DATE) >= s.vf
+                   AND (s.vt IS NULL OR CAST(e.ts AS DATE) < s.vt)
+    """,
+)
+def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: each event resolves to the SCD2
+    dimension VERSION that was valid at event time — the feature-store
+    correctness pattern (training features must come from the version
+    visible at the event, never a later one: temporal leakage).
+    Consumes the q_scd2 producer shape; events before a user's first
+    version keep NULLs (left semantics).
+
+    Plan: NOT an interval range-join — PIT against half-open version
+    intervals is exactly a backward as-of on valid_from, so it rides
+    operators.asof's union-merge (one shuffle per side on the key,
+    linear merge). Same-day version chains collapse to the
+    max-version_key row via the in-merge right_order tiebreak —
+    identical to the oracle's non-empty-interval match, because only
+    a day's LAST version has a non-empty [valid_from, valid_to).
+
+    Oracle: the definitional interval LEFT JOIN over the lead()
+    version table."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_day")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("vf"),
+        F.col("o_orderkey").alias("version_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("version_from"),
+    )
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="event_day",
+        right_time="vf",
+        right_values=["version_key", "version_from"],
+        right_order="version_key",
+    ).select("event_id", "user_id", "version_key", "version_from")
