@@ -290,6 +290,9 @@ NESTED_LOOP_OK = {
     "q_funnel_windowed",     # 1-row stage-count broadcasts into the
                              # conversion-ppm ratios (bounded, never
                              # data-sized)
+    "q_ml_power_iter",       # 1-row norm broadcasts per iteration
+                             # step over the 64-row dim-domain vector
+                             # (bounded by dim, never data-sized)
     "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
                              # balance threshold + max order date)
     "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
