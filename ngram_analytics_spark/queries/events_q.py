@@ -980,3 +980,111 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@REG.register(
+    "q_ts_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), acc AS (
+            SELECT event_type, day, c,
+                   CAST(sum(c) OVER w AS BIGINT) AS sl,
+                   CAST(count(*) OVER w AS BIGINT) AS nl,
+                   CAST(sum(c) OVER t AS BIGINT) AS st,
+                   CAST(count(*) OVER t AS BIGINT) AS nt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)
+        ), scored AS (
+            SELECT event_type, day, sl, nl, st, nt,
+                   (CAST(sl AS DOUBLE) * sl / nl
+                    + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                    - CAST(st AS DOUBLE) * st / nt) AS gain
+            FROM acc WHERE nl < nt
+        ), ranked AS (
+            SELECT event_type, day, nt, gain,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gain DESC, day ASC) AS rn
+            FROM scored
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+               nt AS n_days,
+               (CAST(floor(gain * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                   AS sse_drop
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection (binary segmentation, one
+    split): per event type, the day boundary whose two-segment split
+    of the daily-count series maximizes the SSE reduction
+    SL^2/nL + SR^2/nR - ST^2/nT — the batch complement to
+    q_ts_cusum's online drift statistic (CUSUM answers "is it
+    drifting now", this answers "WHEN did the level shift").
+
+    Plan: one daily rollup (map-side combined), then running/total
+    sums over the per-type DAY series — window partitions are bounded
+    by the calendar (days per type), never by event volume, the
+    q_ts_holt/q_ts_seasonal precedent. Argmax rides a full tiebreak
+    (gain DESC, earlier day wins).
+
+    Determinism: daily counts are exact integers; every gain is
+    computed from those integers with the identical double spelling
+    on both engines, so comparing gains compares identical bits; the
+    emitted SSE drop rounds half-up to 4dp."""
+    from pyspark.sql.window import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = W.partitionBy("event_type")
+    acc = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w).alias("sl"),
+        F.count("*").over(w).alias("nl"),
+        F.sum("c").over(t).alias("st"),
+        F.count("*").over(t).alias("nt"),
+    ).filter(F.col("nl") < F.col("nt"))
+    sl, st = F.col("sl").cast("double"), F.col("st").cast("double")
+    sr = (F.col("st") - F.col("sl")).cast("double")
+    gain = (
+        sl * F.col("sl") / F.col("nl")
+        + sr * (F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl"))
+        - st * F.col("st") / F.col("nt")
+    )
+    scored = acc.select(
+        "event_type", "day", "nt", gain.alias("gain")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.col("gain").desc(), F.col("day").asc()
+        )
+    )
+    return (
+        scored.withColumn("rn", rk)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("nt").alias("n_days"),
+            (
+                F.floor(F.col("gain") * F.lit(10_000.0) + F.lit(0.5)).cast(
+                    "double"
+                )
+                / F.lit(10_000.0)
+            ).alias("sse_drop"),
+        )
+    )
