@@ -132,6 +132,7 @@ EXTENDED = [
     "q_fn_aes",           # deterministic AES-ECB round-trip
     "q_ml_power_iter",    # Gram power iteration (top eigenvector)
     "q_join_scd2_pit",    # point-in-time SCD2 version join
+    "q_ts_changepoint",   # binary-segmentation change-point split
 ]
 
 

@@ -15,86 +15,22 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-5
-# rotation (VERDICT r4 "Next round" item 4): 61 registry keys have
-# never sat inside a graded window; 40 of them lead this window —
-# prioritizing every key whose oracle carried the HUGEINT output
-# column fixed this round (q_text_keywords, q_skew_profile,
-# q_gdpr_cascade, q_agg_weighted_median, q_tpch_q12, q_embed_stats,
-# q_ts_twap, q_dedup_incremental, q_ngram_novelty, q_ts_cusum,
-# q_mix_budget) and both keys whose arithmetic changed this round
-# (q_tpch_q17 fixed-point half-average, q_tpch_q20 explicit floor).
-# The last 10 slots RE-CERTIFY the official r4 hash-FAILs, all ten
-# the same judge-verified root cause: DuckDB typed a naked integer
-# sum() output HUGEINT, which the driver's Arrow/pandas canonicalizer
-# renders `6.0`/`Decimal('6')` against Spark's bigint `6` — fixed
-# with CAST(... AS BIGINT) in each oracle and fenced by
-# tests/test_oracle_types.py + the Arrow-typed local comparator.
-# DEFERRED_R6 queues the remaining 21 never-graded keys (stable
-# TPC-H/relational shapes, judge-green in the full local sf0.01
-# differential, untouched since r4) immediately after the window, so
-# every one of the 252 keys holds >=1 driver-green row by end of r6.
+# The 50 keys the differential driver should grade first.  Round-6
+# rotation (VERDICT r5 "Next round" item 1): exactly 37 registry keys
+# have never sat inside a graded window — the 21-key DEFERRED_R6
+# queue from r5 (stable TPC-H/relational shapes, judge-green in the
+# full local sf0.01 differential, unchanged since r4) plus the 16
+# keys added during r5 (q_dedup_containment .. q_fn_aes below).  ALL
+# 37 lead this window, so every registry key holds >=1 driver-green
+# CORRECTNESS row by end of r6.  The remaining slots re-certify keys
+# whose code changed this round: q_winsorize and
+# q_agg_weighted_median (re-planned from low-cardinality fact-table
+# windows to value-domain pre-aggregation, VERDICT r5 "What's wrong"
+# item 2), q_funnel_windowed (NULLIF-style zero-stage guard, ADVICE
+# r5), q_ml_power_iter (DECIMAL(38,0) Gram accumulation, ADVICE r5),
+# plus the keys newly added in r6.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- never driver-graded: HUGEINT-oracle-fixed this round ---
-    "q_text_keywords",
-    "q_skew_profile",
-    "q_gdpr_cascade",
-    "q_agg_weighted_median",
-    "q_tpch_q12",
-    "q_embed_stats",
-    "q_ts_twap",
-    "q_dedup_incremental",
-    "q_ngram_novelty",
-    "q_ts_cusum",
-    "q_mix_budget",
-    # --- never driver-graded: arithmetic changed this round ---
-    "q_tpch_q17",
-    "q_tpch_q20",
-    # --- never driver-graded (registry order) ---
-    "q_rfm_segment",
-    "q_basket_lift",
-    "q_embed_cov",
-    "q_ml_sgd_step",
-    "q_ml_gd_loop",
-    "q_stream_live_lww",
-    "q_stream_session_dynamic",
-    "q_join_asof_tolerance",
-    "q_stream_live_session_dynamic",
-    "q_stream_live_reach",
-    "q_udtf_poly",
-    "q_fn_sql_udf",
-    "q_udf_cogroup",
-    "q_sink_dynamic_overwrite",
-    "q_paginate_keyset",
-    "q_pipeline_e2e",
-    "q_source_xml",
-    "q_attribution",
-    "q_ts_holt",
-    "q_ts_seasonal",
-    "q_ts_rolling_ndv",
-    "q_vocab_coverage",
-    "q_text_bm25",
-    "q_vocab_spectrum",
-    "q_graph_label_prop",
-    "q_fn_collation",
-    "q_fn_xpath",
-    # --- re-certification: the 10 official r4 hash-FAILs (HUGEINT
-    # oracle output column — fixed with CAST(... AS BIGINT)) ---
-    "q_dq_checks",
-    "q_boilerplate",
-    "q_shard_assign",
-    "q_winsorize",
-    "q_sample_weighted",
-    "q_text_entropy",
-    "q_ts_islands",
-    "q_dedup_paragraph",
-    "q_cte",
-    "q_anomaly_mad",
-)
-
-#: Never-graded keys deferred to the round-6 window (positions 51-71):
-#: stable, judge-green in the full local differential, unchanged code.
-DEFERRED_R6: tuple[str, ...] = (
+    # --- never driver-graded: the 21-key r5 DEFERRED_R6 queue ---
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q4",
@@ -116,7 +52,33 @@ DEFERRED_R6: tuple[str, ...] = (
     "q_fn_map2",
     "q_fn_json2",
     "q_fn_str_to_map",
+    # --- never driver-graded: the 16 keys added during r5 ---
+    "q_dedup_containment",
+    "q_ml_power_iter",
+    "q_join_scd2_pit",
+    "q_stream_live_leaderboard",
+    "q_ts_downsample",
+    "q_funnel_windowed",
+    "q_source_text",
+    "q_source_quality",
+    "q_length_buckets",
+    "q_graph_jaccard_nbrs",
+    "q_sample_temperature",
+    "q_ts_changepoint",
+    "q_fn_explode_outer",
+    "q_sql_group_by_all",
+    "q_agg_filter_clause",
+    "q_fn_aes",
+    # --- re-certification: code changed in r6 ---
+    "q_winsorize",
+    "q_agg_weighted_median",
+    # --- new in r6 (keys appended here in the same commit that
+    # lands each query + oracle + SURVEY row + BASELINE ratio) ---
 )
+
+#: r5's deferred queue is fully promoted into the r6 window above;
+#: kept as an (empty) marker so the rotation history reads cleanly.
+DEFERRED_R6: tuple[str, ...] = ()
 
 
 def build_registry() -> QueryRegistry:
