@@ -143,6 +143,28 @@ def davg_fixed(col: Column | str, alias: str | None = None, digits: int = 4) -> 
     return out.alias(alias) if alias else out
 
 
+def davg_fixed_weighted(
+    value: Column,
+    weight: Column,
+    alias: str | None = None,
+    digits: int = 4,
+) -> Column:
+    """Weight-compressed twin of :func:`davg_fixed`: the mean of a
+    value repeated ``weight`` times, computed over a (value, weight)
+    compressed table.  ``sum(tick(value) * weight)`` is the identical
+    int64 total the per-row spelling produces (every repeated row
+    quantizes to the same tick), and the divisions are spelled in the
+    same order, so it hashes equal against :func:`oracle_davg_fixed`
+    bound over the uncompressed rows."""
+    scale = float(10 ** digits)
+    out = round4det(
+        F.sum(_quantized(value, scale) * weight).cast("double")
+        / F.lit(scale)
+        / F.sum(weight)
+    )
+    return out.alias(alias) if alias else out
+
+
 def oracle_davg_fixed(expr: str, digits: int = 4) -> str:
     """DuckDB SQL matching :func:`davg_fixed`."""
     scale = float(10 ** digits)

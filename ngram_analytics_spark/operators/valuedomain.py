@@ -1,0 +1,138 @@
+"""Value-domain cumulative statistics — the scale-safe replacement for
+rank/running-sum windows partitioned on a tiny group domain.
+
+The hazard (VERDICT r5 "What's wrong" §2): a window like
+``row_number() OVER (PARTITION BY l_returnflag ORDER BY price)`` over a
+fact table has as many partitions as the GROUP domain (3 for
+l_returnflag) — at 100 TB that is 3 tasks each sorting ~33 TB, no
+matter how many executors exist.  Rank selections (discrete
+percentiles, weighted medians, cumulative shares) never need per-ROW
+ranks, only per-VALUE cumulative mass, so the fix is:
+
+1. compress the fact table to the (group, value) domain with map-side
+   combined weight/count sums — shuffle keyed on (group, value), any
+   core count;
+2. bucket values by a monotone coarse key (``floor(value/width)``), run
+   the running sum WITHIN (group, bucket) — partition size bounded by
+   the value domain inside one bucket, independent of fact rows;
+3. add per-bucket offsets from a triangular join over the tiny
+   (group, bucket) summary (broadcast hash join on the group key).
+
+This is the q_vocab_coverage log-bucket machinery generalized to
+weighted groups (reference parity note: the reference engine has no
+distributed window at all — NGramTransform.java:94-116 is per-record —
+so this file is north-star surface, not a port).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def grouped_value_cumsum(
+    df: DataFrame,
+    group: str,
+    value: str,
+    weight: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Per-(group, value) EXCLUSIVE-end cumulative weight.
+
+    ``df`` must already be compressed to one row per (group, value)
+    carrying an integral ``weight`` column (exact int64 adds keep the
+    running sums order-independent).  Returns ``df`` plus:
+
+    - ``cum``: total weight of all rows of the group with value <= this
+      value (inclusive cumulative mass at the value's tie-group end);
+    - ``tot``: the group's total weight.
+
+    Window partitions are (group, floor(value/bucket_width)) — bounded
+    by the value domain within one bucket, never by fact-row count.
+    """
+    b = F.floor(F.col(value) / F.lit(float(bucket_width))).cast("long")
+    vb = df.withColumn("_b", b)
+    per_bucket = vb.groupBy(group, "_b").agg(F.sum(weight).alias("_mass"))
+    x, y = per_bucket.alias("x"), per_bucket.alias("y")
+    offsets = (
+        x.join(
+            F.broadcast(y),
+            (F.col(f"y.{group}") == F.col(f"x.{group}"))
+            & (F.col("y._b") < F.col("x._b")),
+            "left",
+        )
+        .groupBy(F.col(f"x.{group}").alias(group), F.col("x._b").alias("_b"))
+        .agg(F.coalesce(F.sum("y._mass"), F.lit(0)).alias("_off"))
+    )
+    totals = per_bucket.groupBy(group).agg(F.sum("_mass").alias("tot"))
+    w = (
+        W.partitionBy(group, "_b")
+        .orderBy(F.col(value).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        vb.withColumn("_run", F.sum(weight).over(w))
+        .join(F.broadcast(offsets), [group, "_b"])
+        .join(F.broadcast(totals), group)
+        .withColumn("cum", F.col("_off") + F.col("_run"))
+        .drop("_b", "_off", "_run")
+    )
+
+
+def grouped_ordered_cumsum(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    weight: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Per-row INCLUSIVE running weight sum in (group, order_col)
+    order, without a group-domain-sized window partition.
+
+    ``order_col`` must be numeric and unique within its group (a
+    sequence id).  Rows bucket by ``order_col div bucket_width``; the
+    running sum runs WITHIN (group, bucket) — partition size bounded
+    by ``bucket_width`` — and each bucket's offset is the running sum
+    over the per-bucket mass summary (itself a window over the
+    compressed bucket table: #rows = #buckets, data-independent per
+    partition; recurse through a second level if the bucket count
+    itself ever needs it).
+
+    Returns ``df`` plus ``cum`` (inclusive running sum).
+    """
+    vb = df.withColumn(
+        "_b", F.expr(f"{order_col} div {int(bucket_width)}")
+    )
+    per_bucket = vb.groupBy(group, "_b").agg(F.sum(weight).alias("_mass"))
+    woff = (
+        W.partitionBy(group)
+        .orderBy("_b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        group,
+        "_b",
+        F.coalesce(F.sum("_mass").over(woff), F.lit(0)).alias("_off"),
+    )
+    w = (
+        W.partitionBy(group, "_b")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        vb.withColumn("_run", F.sum(weight).over(w))
+        .join(F.broadcast(offsets), [group, "_b"])
+        .withColumn("cum", F.col("_off") + F.col("_run"))
+        .drop("_b", "_off", "_run")
+    )
+
+
+def rank_select_value(
+    cum_df: DataFrame, group: str, value: str, k: Column, alias: str
+) -> Column:
+    """Aggregate expression choosing the value at sorted position
+    ``k`` (1-based) within each group: the smallest value whose
+    inclusive cumulative mass reaches ``k``.  Use inside
+    ``cum_df.groupBy(group).agg(...)``."""
+    return F.min(F.when(F.col("cum") >= k, F.col(value))).alias(alias)

@@ -91,6 +91,66 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return walk(df._jdf.queryExecution().optimizedPlan())
 
 
+#: Fact-table columns with a tiny bounded domain: a window PARTITION BY
+#: restricted to these cannot use more tasks than the domain size —
+#: over raw fact rows that is 3 tasks each sorting ~33 TB at 100 TB
+#: (VERDICT r5 "What's wrong" §2). Windows over PRE-AGGREGATED inputs
+#: (value-domain/daily rollups) partitioned by these are fine.
+TINY_DOMAIN_COLUMNS = frozenset(
+    {
+        "l_returnflag",   # 3 values
+        "l_linestatus",   # 2 values
+        "o_orderstatus",  # 3 values
+        "o_orderpriority",  # 5 values
+        "l_shipmode",     # 7 values
+        "l_shipinstruct",  # 4 values
+        "c_mktsegment",   # 5 values
+        "event_type",     # 5 values
+        "lang",           # ~6 values
+    }
+)
+
+
+def tiny_domain_fact_window_count(df: DataFrame) -> int:
+    """Count logical Window nodes whose ENTIRE partition spec is
+    tiny-domain fact columns while the window input is un-aggregated
+    fact rows (no Aggregate anywhere beneath the Window) — the
+    "3 tasks sort the whole fact table" shape. The fix is value-domain
+    compression first (operators/valuedomain.py)."""
+
+    def subtree_has_aggregate(node) -> bool:
+        if node.getClass().getSimpleName() == "Aggregate":
+            return True
+        return any(
+            subtree_has_aggregate(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def part_cols(node) -> list[str]:
+        spec = node.partitionSpec()
+        cols = []
+        for i in range(spec.size()):
+            # "l_returnflag#123" / "event_type#4" → base name
+            cols.append(str(spec.apply(i)).split("#")[0].strip("'"))
+        return cols
+
+    def walk(node) -> int:
+        hits = 0
+        if node.getClass().getSimpleName() == "Window":
+            cols = part_cols(node)
+            if (
+                cols
+                and all(c in TINY_DOMAIN_COLUMNS for c in cols)
+                and not subtree_has_aggregate(node)
+            ):
+                hits += 1
+        for i in range(node.children().size()):
+            hits += walk(node.children().apply(i))
+        return hits
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
 def observed(df: DataFrame, name: str, *metrics):
     """Attach named observation metrics to a plan (``df.observe``) —
     zero-cost pipeline instrumentation: metrics are computed inside the

@@ -69,9 +69,12 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_sql_group_by_all",
     "q_agg_filter_clause",
     "q_fn_aes",
-    # --- re-certification: code changed in r6 ---
+    # --- re-certification: code changed in r6 (tiny-domain fact
+    # window re-plans, operators/valuedomain.py) ---
     "q_winsorize",
     "q_agg_weighted_median",
+    "q_pack_sequences",
+    "q_win_distribution",
     # --- new in r6 (keys appended here in the same commit that
     # lands each query + oracle + SURVEY row + BASELINE ratio) ---
 )

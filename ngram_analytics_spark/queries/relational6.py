@@ -774,9 +774,22 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     each engine may order WITHIN a tie group of equal prices
     differently, the selected price is order-invariant (every row of
     the group carries the same price; the half-mass position falls at
-    a fixed total regardless of within-group order). Plan: ONE
-    l_returnflag exchange feeds both window frames and the final
-    3-group aggregate."""
+    a fixed total regardless of within-group order — which is also
+    exactly why the per-VALUE cumulative below selects the same price
+    the oracle's per-row window does).
+
+    Plan (re-planned r6, VERDICT r5 "What's wrong" §2): the old shape
+    ran the running weight sum in a window partitioned on the 3-value
+    l_returnflag domain over every lineitem row — 3 tasks regardless
+    of cluster size. Now the fact table compresses to the (flag,
+    price-tick) value domain with map-side-combined weight sums, then
+    `grouped_value_cumsum` runs the cumulative over 1e7-tick ($1000)
+    buckets with triangular offsets — window partitions bounded by
+    the price domain inside one bucket, never by fact rows."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
     t = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 10000.0 + 0.5)
@@ -784,20 +797,8 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vt"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
     )
-    from pyspark.sql.window import Window as W
-
-    wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("vt")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wtot = W.partitionBy("l_returnflag")
-    c = t.select(
-        "l_returnflag",
-        "vt",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(wtot).alias("tot"),
-    )
+    g = t.groupBy("l_returnflag", "vt").agg(F.sum("w").alias("w"))
+    c = grouped_value_cumsum(g, "l_returnflag", "vt", "w", 1e7)
     return c.groupBy("l_returnflag").agg(
         F.min("tot").alias("total_weight"),
         (
