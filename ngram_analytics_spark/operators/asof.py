@@ -170,10 +170,13 @@ def asof_join(
                 F.unix_micros(F.col("_rt").cast("timestamp")).cast("double")
                 / 1e6
             )
-        elif t_dtype.startswith(
-            ("tinyint", "smallint", "int", "bigint", "float", "double",
-             "decimal")
+        elif t_dtype in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double") or t_dtype.startswith(
+            "decimal"
         ):
+            # exact names, not startswith("int"): "interval day to
+            # second" etc. must fall through to the typed error below,
+            # not slip into the numeric cast (ADVICE r5)
             lt_num = F.col("_t").cast("double")
             rt_num = F.col("_rt").cast("double")
         else:

@@ -910,11 +910,13 @@ _FW_WINDOW_S = 3600  # conversion window: next stage within 1 hour
         UNION ALL
         SELECT '2_click', count(*),
                CAST(floor(count(*) * 1000000.0
-                          / (SELECT count(*) FROM v)) AS BIGINT) FROM c
+                          / NULLIF((SELECT count(*) FROM v), 0))
+                    AS BIGINT) FROM c
         UNION ALL
         SELECT '3_purchase', count(*),
                CAST(floor(count(*) * 1000000.0
-                          / (SELECT count(*) FROM c)) AS BIGINT) FROM p
+                          / NULLIF((SELECT count(*) FROM c), 0))
+                    AS BIGINT) FROM p
     """,
 )
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,12 +960,18 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("n_users"),
         F.lit(1_000_000).cast("long").alias("conv_ppm"),
     )
+    # NULLIF-style zero-divisor guard (ADVICE r5): at tiny scale a
+    # stage can be empty; Spark would emit floor(NaN/Inf).cast(long)
+    # while DuckDB errors — both sides now degrade to NULL ppm.
     s2 = (
         nc.crossJoin(F.broadcast(nv))
         .select(
             F.lit("2_click").alias("stage"),
             F.col("nc").alias("n_users"),
-            F.floor(F.col("nc").cast("double") * 1e6 / F.col("nv"))
+            F.when(
+                F.col("nv") > 0,
+                F.floor(F.col("nc").cast("double") * 1e6 / F.col("nv")),
+            )
             .cast("long")
             .alias("conv_ppm"),
         )
@@ -974,7 +982,10 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("3_purchase").alias("stage"),
             F.col("np").alias("n_users"),
-            F.floor(F.col("np").cast("double") * 1e6 / F.col("nc"))
+            F.when(
+                F.col("nc") > 0,
+                F.floor(F.col("np").cast("double") * 1e6 / F.col("nc")),
+            )
             .cast("long")
             .alias("conv_ppm"),
         )

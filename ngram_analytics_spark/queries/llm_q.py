@@ -1387,10 +1387,23 @@ def q_ml_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Cross-batch accumulation widens to DECIMAL(38,0) (ADVICE r5):
+    # each batch partial is bounded by batch_rows * 1e12 (~1e16 at the
+    # 10k Arrow default — int64-safe INSIDE a batch up to ~9e6 rows),
+    # but the per-(i,j) sum across batches grows with corpus rows and
+    # would wrap int64 silently around 1e6+ batches. Decimal addition
+    # is exact and associative, so the sum stays order-free and
+    # matches the oracle's HUGEINT accumulation bit-for-bit after the
+    # double cast.
     gfull = (
         e.mapInPandas(gram, "i int, j int, sxy long")
         .groupBy("i", "j")
-        .agg((F.sum("sxy").cast("double") / F.lit(1e12)).alias("gd"))
+        .agg(
+            (
+                F.sum(F.col("sxy").cast("decimal(38,0)")).cast("double")
+                / F.lit(1e12)
+            ).alias("gd")
+        )
     )
 
     def ticks(c):

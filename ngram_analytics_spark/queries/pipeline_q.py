@@ -889,12 +889,18 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _LB_SHARDS).alias("shard"),
     )
     n = F.count("*")
+    # integer `div` (exact), matching the oracle's `//` — a double
+    # division + cast("long") truncates the correctly-ROUNDED quotient,
+    # which can differ from the true floor near exact integers (the
+    # q_tpch_q20 spell-it-identically convention, ADVICE r5 sweep)
     return b.groupBy("bucket", "shard").agg(
         n.alias("n_docs"),
-        ((n + (_LB_BATCH - 1)) / _LB_BATCH).cast("long").alias("n_batches"),
-        (n - ((n - 1) / _LB_BATCH).cast("long") * _LB_BATCH).alias(
-            "last_fill"
-        ),
+        F.expr(
+            f"(count(*) + {_LB_BATCH - 1}) div {_LB_BATCH}"
+        ).alias("n_batches"),
+        F.expr(
+            f"count(*) - ((count(*) - 1) div {_LB_BATCH}) * {_LB_BATCH}"
+        ).alias("last_fill"),
         F.sum("tok").alias("total_toks"),
         (F.max("tok") * n - F.sum("tok")).alias("pad_waste"),
     )
@@ -921,25 +927,51 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed from the round-tripped text (length), not carried.
 
     Text is the one format with NO schema in the file: the parse
-    contract lives entirely in the reader (split on first two tabs),
-    which is exactly the hazard the graded round-trip pins."""
+    contract lives entirely in the reader (everything after the second
+    tab is text, so embedded tabs survive), which is exactly the
+    hazard the graded round-trip pins. Embedded NEWLINES cannot
+    survive a line-oriented dump at all — `read.text` would split the
+    row — so the writer raises on them instead of silently corrupting
+    (ADVICE r5: the old split_part parse also truncated tab-bearing
+    text; both invariants are now explicit)."""
     out = _roundtrip_dir(spark, sf_dir, "text")
     d = load(spark, sf_dir, "documents")
     (
         d.select(
-            F.concat_ws(
-                "\t",
-                F.col("lang"),
-                F.col("doc_id").cast("string"),
-                F.col("text"),
-            ).alias("value")
+            F.when(
+                F.col("text").contains("\n") | F.col("text").contains("\r"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "q_source_text: document text contains a "
+                            "newline and cannot round-trip a "
+                            "line-oriented dump (doc_id "
+                        ),
+                        F.col("doc_id").cast("string"),
+                        F.lit(")"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    "\t",
+                    F.col("lang"),
+                    F.col("doc_id").cast("string"),
+                    F.col("text"),
+                )
+            )
+            .alias("value")
         )
         .write.mode("overwrite")
         .text(out)
     )
-    back = spark.read.text(out).select(
-        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("lang"),
-        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+    raw = spark.read.text(out)
+    back = raw.select(
+        F.substring_index(F.col("value"), "\t", 1).alias("lang"),
+        F.expr(
+            "substring(value,"
+            " locate('\\t', value, locate('\\t', value) + 1) + 1)"
+        ).alias("text"),
     )
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -1400,8 +1400,14 @@ def q_stream_live_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certifiability: integer tick addition commutes, so the final
     per-key state is batch-split-independent; n_seen is strictly
     increasing per key, so `max_by(ticks, n_seen)` selects the final
-    state row; the rank window partitions by event_type (bounded
-    domain) with a full (ticks DESC, user ASC) tiebreak."""
+    state row; ranking uses a full (ticks DESC, user ASC) tiebreak.
+
+    The ranking is the q_topk_salted two-phase shape (ADVICE r5: a
+    bare per-type window holds one row per USER — a data-sized
+    partition): phase 1 ranks within (event_type, 32-way user salt)
+    and keeps top-{_LB_TOPK} per salt, phase 2 ranks the <=32*k
+    survivors per type — bounded at any user count, and correct
+    because every global top-k row is in its salt's top-k."""
     import hashlib
 
     from pyspark.sql.window import Window as W
@@ -1417,11 +1423,22 @@ def q_stream_live_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_seen").alias("n_events"),
         F.max_by("ticks", "n_seen").alias("ticks"),
     )
+    salted = final.withColumn(
+        "_salt", F.pmod(F.xxhash64("user_id"), F.lit(32))
+    )
+    w1 = W.partitionBy("event_type", "_salt").orderBy(
+        F.col("ticks").desc(), F.col("user_id").asc()
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _LB_TOPK)
+        .drop("_r1", "_salt")
+    )
     w = W.partitionBy("event_type").orderBy(
         F.col("ticks").desc(), F.col("user_id").asc()
     )
     return (
-        final.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _LB_TOPK)
         .select(
             "event_type",
