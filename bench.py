@@ -133,6 +133,7 @@ EXTENDED = [
     "q_ml_power_iter",    # Gram power iteration (top eigenvector)
     "q_join_scd2_pit",    # point-in-time SCD2 version join
     "q_ts_changepoint",   # binary-segmentation change-point split
+    "q_dedup_minhash_exact",  # certified banded MinHash near-dup
 ]
 
 

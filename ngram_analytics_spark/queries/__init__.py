@@ -77,6 +77,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_win_distribution",
     # --- new in r6 (keys appended here in the same commit that
     # lands each query + oracle + SURVEY row + BASELINE ratio) ---
+    "q_dedup_minhash_exact",
 )
 
 #: r5's deferred queue is fully promoted into the r6 window above;

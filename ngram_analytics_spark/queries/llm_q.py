@@ -1447,3 +1447,142 @@ def q_ml_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10_000.0)
         ).alias("eigenvalue_est"),
     )
+
+
+# ------------------------------------------------- certified MinHash-LSH
+
+#: MinHash signature length / banding: K=8 hash functions in 4 bands of
+#: 2 rows — candidate probability 1-(1-s^2)^4 (~0.68 at s=0.5); the
+#: exact-Jaccard recheck then prunes to >= _MH_MIN_J. The hash family is
+#: h_i(x) = int32(md5(i || ':' || x)[:8]) — md5 is bit-identical in
+#: Spark and DuckDB, which is the whole point: unlike MLlib's private
+#: (a*h+b) mod p family (q_dedup_fuzzy, rows-only), every stage of THIS
+#: pipeline — signatures, band keys, candidate set, recheck — is
+#: SQL-certifiable (the q_text_tfidf_exact discipline applied to the
+#: largest remaining rows-only component, VERDICT r5 item 8).
+_MH_K = 8
+_MH_BANDS = 4
+_MH_MIN_J = 0.5
+_MH_N = 3  # word-trigram shingles
+
+
+def _mh_spark(i: int) -> "F.Column":
+    """min-hash i as a Spark column over exploded shingle column `sh`.
+
+    One md5 digest is 128 bits = FOUR independent 32-bit hash values
+    (hex chars 1-8 / 9-16 / 17-24 / 25-32), so K=8 functions cost two
+    digests per shingle, not eight — measured 4.26 -> 1.9 s at sf0.1."""
+    seed, chunk = divmod(i, 4)
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh"))), 1 + 8 * chunk, 8
+    )
+    return F.min(F.conv(h8, 16, 10).cast("long")).alias(f"m{i}")
+
+
+def _mh_sql(i: int) -> str:
+    """The identical min-hash in DuckDB SQL (hex via '0x' cast)."""
+    seed, chunk = divmod(i, 4)
+    return (
+        f"min(CAST('0x' || substring(md5('{seed}:' || sh),"
+        f" {1 + 8 * chunk}, 8) AS BIGINT)) AS m{i}"
+    )
+
+
+@REG.register(
+    "q_dedup_minhash_exact",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, list_distinct({ngrams_sql(TOKENS, _MH_N)}) AS st
+            FROM documents
+        ), sh_t AS (
+            SELECT doc_id, unnest(st) AS sh FROM s
+        ), sig AS (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_MH_K))}
+            FROM sh_t GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, j.bj,
+                   CASE j.bj
+                       WHEN 0 THEN CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR)
+                       WHEN 1 THEN CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)
+                       WHEN 2 THEN CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)
+                       ELSE CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)
+                   END AS bk
+            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bj) j
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_bands
+            FROM bands a
+            JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.id_a, c.id_b, c.n_bands,
+               {_J_COMMON} AS n_common,
+               {oracle_round4det(_J_RATIO)} AS jaccard
+        FROM cand c
+        JOIN s a ON a.doc_id = c.id_a
+        JOIN s b ON b.doc_id = c.id_b
+        WHERE {_J_RATIO} >= {_MH_MIN_J}
+    """,
+)
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified MinHash-LSH near-duplicate pairs: explicit md5-seeded
+    min-hash signatures, banded candidate generation, exact-Jaccard
+    recheck — the SQL-oracled twin of the MLlib MinHashLSH path
+    (q_dedup_fuzzy), converting the banded candidate SET itself from a
+    rows-only smoke into a hash-certified result. Emits each surviving
+    pair with its band-collision count and exact trigram Jaccard.
+
+    Scale: identical shuffle story to the production path — shingle
+    explode keyed on doc_id, signature agg keyed on doc_id (map-side
+    combined mins), candidate join keyed on (band, band-key), recheck
+    joins keyed on doc_id. Never all-pairs: only banded collisions are
+    rechecked. The md5-per-(shingle, seed) cost is linear CPU that
+    scales out (8 digests per shingle at K=8).
+
+    Determinism: min-hash values are exact int64s from hex digits; the
+    band key is their decimal-string concat; the Jaccard ratio divides
+    exact set sizes — identical doubles both engines, compared against
+    the 0.5 threshold pre-rounding and emitted at 4dp."""
+    from ngram_analytics_spark.operators import spread
+
+    d = spread(load(spark, sf_dir, "documents")).withColumn(
+        "st", F.array_distinct(ngram_col(F.split("text", " "), _MH_N))
+    )
+    sh = d.select("doc_id", F.explode("st").alias("sh"))
+    sig = sh.groupBy("doc_id").agg(*[_mh_spark(i) for i in range(_MH_K)])
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("bj"),
+            F.concat_ws("_", f"m{2 * j}", f"m{2 * j + 1}").alias("bk"),
+        )
+        for j in range(_MH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.bj", "b.bk")
+    a = bands.select(F.col("doc_id").alias("id_a"), "bj", "bk")
+    b = bands.select(F.col("doc_id").alias("id_b"), "bj", "bk")
+    cand = (
+        a.join(b, ["bj", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    union = F.size("st_a") + F.size("st_b") - common
+    ratio = common.cast("double") / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ratio >= F.lit(_MH_MIN_J))
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands",
+            common.alias("n_common"),
+            round4det(ratio).alias("jaccard"),
+        )
+    )
