@@ -134,6 +134,10 @@ EXTENDED = [
     "q_join_scd2_pit",    # point-in-time SCD2 version join
     "q_ts_changepoint",   # binary-segmentation change-point split
     "q_dedup_minhash_exact",  # certified banded MinHash near-dup
+    "q_dedup_simhash_exact",  # certified 16-bit SimHash signatures
+    "q_ks_drift",         # two-sample KS drift statistic
+    "q_ts_theil_sen",     # robust pairwise-median trend slope
+    "q_corpus_gini",      # token-mass inequality coefficient
 ]
 
 

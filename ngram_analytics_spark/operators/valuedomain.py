@@ -35,25 +35,35 @@ def grouped_value_cumsum(
     df: DataFrame,
     group: str,
     value: str,
-    weight: str,
+    weight: "str | list[str]",
     bucket_width: float,
 ) -> DataFrame:
-    """Per-(group, value) EXCLUSIVE-end cumulative weight.
+    """Per-(group, value) inclusive cumulative weight(s).
 
     ``df`` must already be compressed to one row per (group, value)
-    carrying an integral ``weight`` column (exact int64 adds keep the
-    running sums order-independent).  Returns ``df`` plus:
+    carrying integral weight column(s) (exact int64 adds keep the
+    running sums order-independent).  With a single weight name,
+    returns ``df`` plus:
 
     - ``cum``: total weight of all rows of the group with value <= this
       value (inclusive cumulative mass at the value's tie-group end);
     - ``tot``: the group's total weight.
 
+    With a LIST of weight names (e.g. two samples' counts for a KS
+    statistic), each weight ``w`` yields ``cum_<w>`` / ``tot_<w>`` in
+    the same single pass — one bucket summary, one triangular offset
+    join, one window.
+
     Window partitions are (group, floor(value/bucket_width)) — bounded
     by the value domain within one bucket, never by fact-row count.
     """
+    single = isinstance(weight, str)
+    ws: list[str] = [weight] if single else list(weight)
     b = F.floor(F.col(value) / F.lit(float(bucket_width))).cast("long")
     vb = df.withColumn("_b", b)
-    per_bucket = vb.groupBy(group, "_b").agg(F.sum(weight).alias("_mass"))
+    per_bucket = vb.groupBy(group, "_b").agg(
+        *[F.sum(w).alias(f"_mass_{w}") for w in ws]
+    )
     x, y = per_bucket.alias("x"), per_bucket.alias("y")
     offsets = (
         x.join(
@@ -63,20 +73,39 @@ def grouped_value_cumsum(
             "left",
         )
         .groupBy(F.col(f"x.{group}").alias(group), F.col("x._b").alias("_b"))
-        .agg(F.coalesce(F.sum("y._mass"), F.lit(0)).alias("_off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"y._mass_{w}"), F.lit(0)).alias(
+                    f"_off_{w}"
+                )
+                for w in ws
+            ]
+        )
     )
-    totals = per_bucket.groupBy(group).agg(F.sum("_mass").alias("tot"))
-    w = (
+    totals = per_bucket.groupBy(group).agg(
+        *[
+            F.sum(f"_mass_{w}").alias("tot" if single else f"tot_{w}")
+            for w in ws
+        ]
+    )
+    w_run = (
         W.partitionBy(group, "_b")
         .orderBy(F.col(value).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        vb.withColumn("_run", F.sum(weight).over(w))
-        .join(F.broadcast(offsets), [group, "_b"])
-        .join(F.broadcast(totals), group)
-        .withColumn("cum", F.col("_off") + F.col("_run"))
-        .drop("_b", "_off", "_run")
+    out = vb
+    for w in ws:
+        out = out.withColumn(f"_run_{w}", F.sum(w).over(w_run))
+    out = out.join(F.broadcast(offsets), [group, "_b"]).join(
+        F.broadcast(totals), group
+    )
+    for w in ws:
+        out = out.withColumn(
+            "cum" if single else f"cum_{w}",
+            F.col(f"_off_{w}") + F.col(f"_run_{w}"),
+        )
+    return out.drop(
+        "_b", *[f"_off_{w}" for w in ws], *[f"_run_{w}" for w in ws]
     )
 
 

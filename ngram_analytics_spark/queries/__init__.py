@@ -78,6 +78,10 @@ GRADED_FIRST: tuple[str, ...] = (
     # --- new in r6 (keys appended here in the same commit that
     # lands each query + oracle + SURVEY row + BASELINE ratio) ---
     "q_dedup_minhash_exact",
+    "q_dedup_simhash_exact",
+    "q_ks_drift",
+    "q_ts_theil_sen",
+    "q_corpus_gini",
 )
 
 #: r5's deferred queue is fully promoted into the r6 window above;

@@ -674,3 +674,96 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).cast("long").alias("toks_per_doc_t4"),
     )
+
+
+#: Gini numerator spelled ONCE and injected into both engines: all
+#: inputs are exact integers (S = sum(rank*count) in exact decimal,
+#: M = token mass, n = vocab size) cast to double right before the
+#: arithmetic, so every product/difference/quotient is the same
+#: correctly-rounded IEEE double on both sides.
+_GINI_EXPR = (
+    "(2.0 * {S} - ({n} + 1.0) * {M}) / ({n} * {M})"
+)
+
+
+@REG.register(
+    "q_corpus_gini",
+    oracle=f"""
+        WITH v AS (
+            SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest({TOKENS}) AS tok FROM documents)
+            GROUP BY tok
+        ), r AS (
+            SELECT tok, cnt,
+                   row_number() OVER (ORDER BY cnt ASC, tok ASC) AS i
+            FROM v
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(cnt) AS BIGINT) AS total_mass,
+               {oracle_round4det(_GINI_EXPR.format(
+                   S="CAST(sum(CAST(i AS DECIMAL(25,0)) * cnt) AS DOUBLE)",
+                   n="CAST(count(*) AS DOUBLE)",
+                   M="CAST(sum(cnt) AS DOUBLE)",
+               ))} AS gini
+        FROM r
+    """,
+)
+def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency Gini coefficient: how unequal is the corpus'
+    token mass across its vocabulary (0 = uniform, ->1 = a few tokens
+    dominate) — the one-number corpus-balance check run next to
+    q_vocab_coverage's full curve when deciding vocab size and
+    up/down-sampling (Zipfian corpora sit near 0.8+).
+
+    Uses the standard sorted-rank identity
+    G = (2*S - (n+1)*M) / (n*M) with S = sum of rank*count over counts
+    sorted ASCENDING, M the token mass, n the vocab size — spelled via
+    one shared expression template so both engines compute identical
+    doubles. Rank ties (equal counts) contribute rank-sum-invariant
+    terms, so any consistent within-tie order gives the same S.
+
+    Plan: the oracle ranks with a GLOBAL window; the Spark plan must
+    not (1e7+-type vocab at crawl scale) — it reuses the
+    q_vocab_coverage distributed-global-rank machinery: log2(count)
+    buckets (monotone in the sort key), row_number within bucket, and
+    per-bucket row-count offsets from the triangular join over the
+    tiny bucket summary. S accumulates rank*count in exact
+    DECIMAL(38,0) (rank*count overflows int64 around 1e8 vocab x 1e14
+    mass)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vb = vocab.withColumn(
+        "_b", F.floor(F.log2(F.col("cnt").cast("double"))).cast("long")
+    )
+    per_bucket = vb.groupBy("_b").agg(F.count("*").alias("_n"))
+    offsets = (
+        per_bucket.alias("x")
+        .join(
+            F.broadcast(per_bucket.alias("y")),
+            F.col("y._b") < F.col("x._b"),
+            "left",
+        )
+        .groupBy(F.col("x._b").alias("_b"))
+        .agg(F.coalesce(F.sum("y._n"), F.lit(0)).alias("_off"))
+    )
+    w = W.partitionBy("_b").orderBy(F.col("cnt").asc(), F.col("tok").asc())
+    ranked = (
+        vb.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("i", F.col("_off") + F.col("_r"))
+    )
+    s_dec = F.sum(
+        F.col("i").cast("decimal(25,0)") * F.col("cnt")
+    ).cast("double")
+    n_d = F.count("*").cast("double")
+    m_d = F.sum("cnt").cast("double")
+    gini = (F.lit(2.0) * s_dec - (n_d + F.lit(1.0)) * m_d) / (
+        n_d * m_d
+    )
+    return ranked.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("cnt").alias("total_mass"),
+        round4det(gini).alias("gini"),
+    )

@@ -1099,3 +1099,227 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sse_drop"),
         )
     )
+
+
+@REG.register(
+    "q_ks_drift",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   {_oracle_quantized("value", 1000000.0)} AS vt,
+                   CASE WHEN ((date_diff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) + 3) % 7) >= 5
+                        THEN 0 ELSE 1 END AS wd
+            FROM events
+        ), g AS (
+            SELECT event_type, vt,
+                   CAST(sum(wd) AS BIGINT) AS wa,
+                   CAST(sum(1 - wd) AS BIGINT) AS wb
+            FROM base GROUP BY event_type, vt
+        ), c AS (
+            SELECT event_type, vt,
+                   sum(wa) OVER w AS ca, sum(wb) OVER w AS cb,
+                   sum(wa) OVER t AS na, sum(wb) OVER t AS nb
+            FROM g
+            WINDOW w AS (PARTITION BY event_type ORDER BY vt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)
+        ), d AS (
+            SELECT event_type, vt, na, nb,
+                   CAST(floor(abs(CAST(ca AS DOUBLE) / na
+                                  - CAST(cb AS DOUBLE) / nb)
+                              * 1000000.0 + 0.5) AS BIGINT) AS dt
+            FROM c WHERE na > 0 AND nb > 0
+        ), m AS (
+            SELECT event_type, max(dt) AS ks_t FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(min(d.na) AS BIGINT) AS n_weekday,
+               CAST(min(d.nb) AS BIGINT) AS n_weekend,
+               (CAST(min(m.ks_t) AS DOUBLE) / 1000000.0) AS ks,
+               (CAST(min(d.vt) AS DOUBLE) / 1000000.0) AS split_value
+        FROM d JOIN m ON d.event_type = m.event_type AND d.dt = m.ks_t
+        GROUP BY d.event_type
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type:
+    the max ECDF gap between the weekday and weekend value
+    distributions, plus the value where it occurs — the classic
+    data-drift monitor run between a reference and a production
+    sample before model retraining.
+
+    Plan: ONE pass of operators/valuedomain.grouped_value_cumsum with
+    BOTH samples' counts as parallel weights over the (type,
+    value-tick) domain — the ECDFs need per-VALUE cumulative counts,
+    never per-row ranks, so the fact table compresses first
+    (map-side-combined) and every window partition is bounded by the
+    value domain inside one 1e7-tick bucket.
+
+    Determinism: weekday parity from integer epoch days ((d+3)%7 —
+    engine dayofweek conventions differ, so neither is used); ECDF
+    ratios divide exact int64s (bit-identical doubles), and the gap
+    quantizes to 1e-6-tick int64 BEFORE the max/argmax, so the
+    selection compares exact integers (min-vt tiebreak)."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        _quantized(F.col("value"), 1_000_000.0).alias("vt"),
+        F.when(
+            (
+                (
+                    F.datediff(
+                        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+                    )
+                    + 3
+                )
+                % 7
+            )
+            >= 5,
+            0,
+        )
+        .otherwise(1)
+        .alias("wd"),
+    )
+    g = base.groupBy("event_type", "vt").agg(
+        F.sum("wd").alias("wa"), F.sum(1 - F.col("wd")).alias("wb")
+    )
+    c = grouped_value_cumsum(g, "event_type", "vt", ["wa", "wb"], 1e7)
+    d = c.filter((F.col("tot_wa") > 0) & (F.col("tot_wb") > 0)).select(
+        "event_type",
+        "vt",
+        F.col("tot_wa").alias("na"),
+        F.col("tot_wb").alias("nb"),
+        F.floor(
+            F.abs(
+                F.col("cum_wa").cast("double") / F.col("tot_wa")
+                - F.col("cum_wb").cast("double") / F.col("tot_wb")
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dt"),
+    )
+    m = d.groupBy("event_type").agg(F.max("dt").alias("ks_t"))
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .filter(F.col("dt") == F.col("ks_t"))
+        .groupBy("event_type")
+        .agg(
+            F.min("na").alias("n_weekday"),
+            F.min("nb").alias("n_weekend"),
+            (F.min("ks_t").cast("double") / F.lit(1_000_000.0)).alias(
+                "ks"
+            ),
+            (F.min("vt").cast("double") / F.lit(1_000_000.0)).alias(
+                "split_value"
+            ),
+        )
+    )
+
+
+@REG.register(
+    "q_ts_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   count(*) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), pairs AS (
+            SELECT a.event_type,
+                   CAST(floor(abs(CAST(b.y - a.y AS DOUBLE)
+                                  / (b.x - a.x)) * 1000000.0 + 0.5)
+                        AS BIGINT)
+                   * (CASE WHEN b.y < a.y THEN -1
+                           WHEN b.y > a.y THEN 1 ELSE 0 END) AS st
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.x > a.x
+        ), g AS (
+            SELECT event_type, st, count(*) AS c
+            FROM pairs GROUP BY event_type, st
+        ), c AS (
+            SELECT event_type, st,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        )
+        SELECT event_type,
+               CAST(min(n) AS BIGINT) AS n_pairs,
+               (CAST(min(CASE WHEN 2 * cum >= n THEN st END) AS DOUBLE)
+                / 1000000.0) AS slope_per_day
+        FROM c GROUP BY event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the median of
+    all pairwise slopes of the daily-count series — the
+    outlier-immune "is traffic growing?" statistic (one wild day
+    cannot move it, unlike least squares), the batch complement to
+    q_ts_cusum / q_ts_changepoint in the drift toolkit.
+
+    Plan: daily rollup first (map-side combined — the only pass over
+    raw events), then the pairwise-slope self-join runs on the
+    CALENDAR-bounded per-type day series (days^2/2 pairs per type,
+    independent of event volume — the q_ts_holt bounded-series
+    precedent), compressed to (type, slope-tick) counts before the
+    half-mass median selection (the q_agg_weighted_median machinery).
+
+    Determinism: slopes divide exact int64 dy/dx (bit-identical
+    doubles), quantize to 1e-6-tick int64 BEFORE grouping, and the
+    median is the lower-median discrete pick (2*cum >= n) over exact
+    integer counts."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dy = (F.col("b.y") - F.col("a.y")).cast("double")
+    dx = F.col("b.x") - F.col("a.x")
+    st = (
+        F.floor(F.abs(dy / dx) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        * F.when(F.col("b.y") < F.col("a.y"), -1)
+        .when(F.col("b.y") > F.col("a.y"), 1)
+        .otherwise(0)
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(F.col("a.event_type").alias("event_type"), st.alias("st"))
+    g = pairs.groupBy("event_type", "st").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("st")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = g.select(
+        "event_type",
+        "st",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    return c.groupBy("event_type").agg(
+        F.min("n").alias("n_pairs"),
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("st")))
+            .cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("slope_per_day"),
+    )

@@ -1586,3 +1586,103 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4det(ratio).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------- certified SimHash
+
+#: 16-bit SimHash: per-token 16-bit hash (first 4 md5 hex chars), each
+#: bit votes +1/-1 weighted by token multiplicity, signature bit = sign
+#: of the vote balance (ties -> 0). 16 bits keeps the per-doc aggregate
+#: at 16 conditional-sum columns (map-side combined) while still
+#: separating the corpus; the production 64-bit path with banded pair
+#: mining is operators/dedup.py (q_dedup_simhash, rows-only) — this is
+#: its SQL-certifiable twin (the q_dedup_minhash_exact discipline).
+_SH_BITS = 16
+
+
+@REG.register(
+    "q_dedup_simhash_exact",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) AS h
+            FROM (
+                SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+            )
+        ), bal AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"sum(CASE WHEN (h // {1 << k}) % 2 = 1"
+                       f" THEN 1 ELSE -1 END) AS b{k}"
+                       for k in range(_SH_BITS)
+                   )}
+            FROM t GROUP BY doc_id
+        ), s AS (
+            SELECT doc_id,
+                   CAST({" + ".join(
+                       f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)"
+                       for k in range(_SH_BITS)
+                   )} AS BIGINT) AS sig
+            FROM bal
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified SimHash signatures + adjacent-pair hamming distance:
+    the SQL-oracled twin of the xxhash64-based 64-bit production path
+    (q_dedup_simhash, rows-only) — every stage (per-token hash, bit
+    votes, sign, hamming) is md5-derived and bit-identical in DuckDB,
+    so the signature VALUES themselves are hash-certified.
+
+    Plan: one token explode, ONE doc_id-keyed aggregate carrying 16
+    conditional vote sums (map-side combined — signature state is 16
+    ints regardless of doc length), then the adjacent-id equi-join
+    pairing convention of q_dedup_jaccard. Scale: shuffles keyed on
+    doc_id only; the 100 TB pair-mining story (16-bit band equi-joins)
+    is pinned on the production operator."""
+    import operator
+    from functools import reduce
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bal = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << k}) % 2 = 1"), 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(_SH_BITS)
+        ]
+    )
+    sig = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(_SH_BITS)
+        ],
+    ).cast("long")
+    s = bal.select("doc_id", sig.alias("sig"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            "sig_a",
+            "sig_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("long").alias("hamming"),
+        )
+    )

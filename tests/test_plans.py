@@ -296,6 +296,9 @@ NESTED_LOOP_OK = {
     "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
                              # balance threshold + max order date)
     "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
+    "q_corpus_gini",         # triangular join over the ~20-row log2
+                             # bucket table (q_vocab_coverage rank
+                             # machinery)
     "q_vocab_coverage",      # 1-row corpus-total broadcast +
                              # triangular join over the ~10-row log2
                              # bucket table (q_sort_nulls precedent)
