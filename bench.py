@@ -138,6 +138,10 @@ EXTENDED = [
     "q_ks_drift",         # two-sample KS drift statistic
     "q_ts_theil_sen",     # robust pairwise-median trend slope
     "q_corpus_gini",      # token-mass inequality coefficient
+    "q_ts_autocorr",      # exact-integer daily-series ACF
+    "q_graph_kcore",      # unrolled-peel k-core census
+    "q_sample_balanced",  # hash-threshold class balancing
+    "q_skyline_pareto",   # value-domain 2-D Pareto frontier
 ]
 
 

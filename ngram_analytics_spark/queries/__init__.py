@@ -82,6 +82,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ks_drift",
     "q_ts_theil_sen",
     "q_corpus_gini",
+    "q_ts_autocorr",
+    "q_graph_kcore",
+    "q_sample_balanced",
+    "q_skyline_pareto",
 )
 
 #: r5's deferred queue is fully promoted into the r6 window above;

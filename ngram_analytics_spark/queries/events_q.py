@@ -1323,3 +1323,112 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("slope_per_day"),
     )
+
+
+#: autocorrelation lags reported (trailing day offsets).
+_AC_LAGS = (1, 2, 3)
+
+
+@REG.register(
+    "q_ts_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS m
+            FROM daily GROUP BY event_type
+        ), z AS (
+            SELECT d.event_type, d.x, s.n, d.y * s.n - s.m AS z
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        ), den AS (
+            SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+                   CAST(sum(z * z) AS BIGINT) AS d0
+            FROM z GROUP BY event_type
+        ), num AS (
+            SELECT a.event_type, (b.x - a.x) AS lag,
+                   CAST(sum(a.z * b.z) AS BIGINT) AS nk
+            FROM z a JOIN z b
+              ON a.event_type = b.event_type
+             AND b.x - a.x IN {_AC_LAGS}
+            GROUP BY a.event_type, b.x - a.x
+        )
+        SELECT n.event_type, n.lag, d.n AS n_days,
+               {oracle_round4det(
+                   "CAST(n.nk AS DOUBLE) / CAST(d.d0 AS DOUBLE)"
+               )} AS acf
+        FROM num n JOIN den d ON n.event_type = d.event_type
+        WHERE d.d0 > 0
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) of the per-type daily-count
+    series — the periodicity probe (is traffic daily-cyclic? weekly?)
+    run before seasonal decomposition (q_ts_seasonal) or forecasting
+    (q_ts_holt).
+
+    Determinism (the mean-centering hazard): r_k's textbook form
+    subtracts the fractional mean ybar = M/n, poisoning every term
+    with rounded-then-summed doubles. Multiplying through by n^2 makes
+    the centered values EXACT integers — z_t = n*y_t - M — and
+    r_k = sum(z_t * z_{t+k}) / sum(z_t^2) is a ratio of exact int64
+    sums with ONE double division at the end (z ~ n*y <= 1e3 * 1e9
+    fits int64 with headroom at any per-day volume; n, M are
+    calendar/corpus scalars).
+
+    Plan: daily rollup (map-side combined, only pass over raw
+    events), per-type scalars joined back broadcast, lag terms from a
+    calendar-bounded self-join on (type, day-offset) — the q_ts_holt
+    bounded-series precedent; no window at all."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("m")
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "x",
+        "n",
+        (F.col("y") * F.col("n") - F.col("m")).alias("z"),
+    )
+    den = z.groupBy("event_type").agg(
+        F.min("n").alias("n_days"),
+        F.sum(F.col("z") * F.col("z")).alias("d0"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    num = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.x") - F.col("a.x")).isin(*_AC_LAGS),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.x") - F.col("a.x")).alias("lag"),
+        )
+        .agg(F.sum(F.col("a.z") * F.col("b.z")).alias("nk"))
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .filter(F.col("d0") > 0)
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            round4det(
+                F.col("nk").cast("double") / F.col("d0").cast("double")
+            ).alias("acf"),
+        )
+    )

@@ -845,3 +845,81 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .distinct()
     )
+
+
+@REG.register(
+    "q_skyline_pareto",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                   min(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)) AS best_ct,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_returnflag,
+                                   CAST(floor(l_quantity + 0.5) AS BIGINT)
+        ), r AS (
+            SELECT l_returnflag, qty, best_ct, n_lines,
+                   min(best_ct) OVER (PARTITION BY l_returnflag
+                                      ORDER BY qty
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS prior_ct
+            FROM g
+        )
+        SELECT l_returnflag, qty,
+               (CAST(best_ct AS DOUBLE) / 100.0) AS best_price,
+               CAST(n_lines AS BIGINT) AS n_lines
+        FROM r WHERE prior_ct IS NULL OR best_ct < prior_ct
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per group: the quantity levels
+    whose best price beats EVERY smaller quantity's best price — the
+    dominance query behind "more for less" offer mining and
+    multi-objective config search (no point on the frontier is beaten
+    on both axes).
+
+    Plan: the naive skyline is a quadratic dominance anti-join; in 2-D
+    it collapses to a running MIN over the x-axis VALUE DOMAIN — so
+    the fact table first compresses to (group, quantity) best-price
+    cells (map-side combined; the value-domain discipline of
+    operators/valuedomain.py), and the exclusive running min runs over
+    that ~50-row-per-group domain table, never over fact rows.
+
+    Determinism: prices quantize to integer cents BEFORE the min, so
+    every comparison is exact int64; frontier membership (strict <
+    against the exclusive prior min) is tie-stable — equal-price ties
+    keep only the smallest quantity."""
+    from pyspark.sql.window import Window as W
+
+    g = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast(
+                    "long"
+                )
+            ).alias("best_ct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.withColumn("prior_ct", F.min("best_ct").over(w))
+    return r.filter(
+        F.col("prior_ct").isNull() | (F.col("best_ct") < F.col("prior_ct"))
+    ).select(
+        "l_returnflag",
+        "qty",
+        (F.col("best_ct").cast("double") / F.lit(100.0)).alias(
+            "best_price"
+        ),
+        "n_lines",
+    )

@@ -365,3 +365,85 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") < F.col("rr"), 1).otherwise(0)
         ).alias("alloc_tokens"),
     )
+
+
+#: 32-bit hash space for the balanced-sampling threshold.
+_BAL_SPACE = 4294967296.0  # 2^32
+
+
+@REG.register(
+    "q_sample_balanced",
+    oracle=f"""
+        WITH h AS (
+            SELECT lang,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) AS hv
+            FROM documents
+        ), stats AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY lang
+        ), mn AS (
+            SELECT min(c) AS min_c FROM stats
+        ), thr AS (
+            SELECT s.lang, s.c,
+                   CAST(floor(CAST(m.min_c AS DOUBLE) * {_BAL_SPACE}
+                              / s.c) AS BIGINT) AS t
+            FROM stats s CROSS JOIN mn m
+        )
+        SELECT h.lang,
+               CAST(min(t.c) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN h.hv < t.t THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(floor(sum(CASE WHEN h.hv < t.t THEN 1 ELSE 0 END)
+                          * 1000000.0 / min(t.c)) AS BIGINT) AS kept_ppm
+        FROM h JOIN thr t ON h.lang = t.lang
+        GROUP BY h.lang
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus downsampling by hash thresholding: each
+    language keeps documents whose 32-bit md5 key-hash falls under
+    floor(2^32 * min_class_count / class_count) — every class lands at
+    ~min-class size in expectation, the balancing pass run before
+    training on skewed-language corpora.
+
+    Hash thresholding, not exact-k ranking, is the deliberate 100 TB
+    design: exact-k per class needs a per-class rank (a sort somewhere
+    — q_sample_reservoir pins that shape at bounded k), while a
+    threshold is one broadcast dim + a stateless filter at ANY class
+    size, and membership is stable under corpus growth within a class
+    budget. Plan: one lang-keyed count agg, 1-row min broadcast, tiny
+    threshold dim broadcast into the scan, one final lang-keyed agg.
+
+    Determinism: the hash is the md5-prefix integer (bit-identical
+    both engines, the q_dedup_minhash_exact discipline); the
+    threshold's double multiply/divide is spelled identically."""
+    h = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    stats = h.groupBy("lang").agg(F.count("*").alias("c"))
+    mn = stats.agg(F.min("c").alias("min_c"))
+    thr = stats.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "c",
+        F.floor(
+            F.col("min_c").cast("double") * F.lit(_BAL_SPACE) / F.col("c")
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    kept = F.sum(F.when(F.col("hv") < F.col("t"), 1).otherwise(0))
+    return (
+        h.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("c").alias("n_docs"),
+            kept.alias("n_kept"),
+            F.floor(kept * F.lit(1_000_000.0) / F.min("c"))
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
