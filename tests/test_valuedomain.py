@@ -1,0 +1,121 @@
+"""Property tests for operators/valuedomain.py: the bucketed
+cumulative machinery must agree EXACTLY with the naive single-window
+spelling on arbitrary small inputs (weights, ties, negative values,
+bucket-boundary values) — the r6 re-plans (q_winsorize,
+q_agg_weighted_median, q_ks_drift, q_pack_sequences) all ride on it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ngram_analytics_spark.operators.valuedomain import (
+    grouped_ordered_cumsum,
+    grouped_value_cumsum,
+)
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # group
+        st.integers(min_value=-50, max_value=50),    # value
+        st.integers(min_value=0, max_value=9),       # weight
+        st.integers(min_value=0, max_value=9),       # weight2
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _naive_cum(rows, widx):
+    """Per (group, value): total weight of group rows with value <=
+    this value, plus the group total."""
+    out = {}
+    for g, v, *_ in rows:
+        key = (g, v)
+        if key in out:
+            continue
+        cum = sum(r[widx] for r in rows if r[0] == g and r[1] <= v)
+        tot = sum(r[widx] for r in rows if r[0] == g)
+        out[key] = (cum, tot)
+    return out
+
+
+@pytest.mark.parametrize("bucket_width", [1.0, 7.0, 1000.0])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=rows_strategy)
+def test_grouped_value_cumsum_matches_naive(spark, bucket_width, rows):
+    # compress to (group, value) first — the helper's input contract
+    df = (
+        spark.createDataFrame(rows, "g string, v long, w long, w2 long")
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("w"), F.sum("w2").alias("w2"))
+    )
+    got = {
+        (r["g"], r["v"]): (r["cum"], r["tot"])
+        for r in grouped_value_cumsum(
+            df, "g", "v", "w", bucket_width
+        ).collect()
+    }
+    assert got == _naive_cum(rows, 2)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=rows_strategy)
+def test_grouped_value_cumsum_multi_weight(spark, rows):
+    df = (
+        spark.createDataFrame(rows, "g string, v long, w long, w2 long")
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("w"), F.sum("w2").alias("w2"))
+    )
+    res = grouped_value_cumsum(df, "g", "v", ["w", "w2"], 7.0).collect()
+    got_w = {(r["g"], r["v"]): (r["cum_w"], r["tot_w"]) for r in res}
+    got_w2 = {(r["g"], r["v"]): (r["cum_w2"], r["tot_w2"]) for r in res}
+    assert got_w == _naive_cum(rows, 2)
+    assert got_w2 == _naive_cum(rows, 3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=500),   # unique-ified below
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_grouped_ordered_cumsum_matches_window(spark, rows):
+    df = spark.createDataFrame(rows, "g string, x long, w long")
+    got = {
+        (r["g"], r["x"]): r["cum"]
+        for r in grouped_ordered_cumsum(df, "g", "x", "w", 16).collect()
+    }
+    win = (
+        W.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r["g"], r["x"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(win)).collect()
+    }
+    assert got == want
