@@ -414,12 +414,17 @@ def q_graph_jaccard_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: round count is part of the operator contract (both engines peel
 #: exactly _KC_R times and report convergence), which is what makes an
 #: iterative fixpoint SQL-certifiable without recursive aggregation.
-_KC_K = 3
-_KC_R = 4
+#: The graph is the MUTUAL 3-NN graph (edge kept iff each endpoint is
+#: in the other's kNN list) — the plain symmetrized graph guarantees
+#: degree >= 3 (its 3-core is everything and its 4-core cascades to
+#: empty), while mutual degrees span 1..k and the 2-core is the
+#: non-trivial "semantically reciprocated" cluster set.
+_KC_K = 2
+_KC_R = 6
 
 
 def _kcore_round_sql(i: int) -> str:
-    return f"""a{i} AS (
+    return f"""a{i} AS MATERIALIZED (
             SELECT node FROM (
                 SELECT d.node, count(*) AS c
                 FROM adj d
@@ -433,13 +438,14 @@ def _kcore_round_sql(i: int) -> str:
 @REG.register(
     "q_graph_kcore",
     oracle=f"""
-        WITH {_EDGES_CTE}, u AS (
-            SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2
-            FROM e
-        ), adj AS (
+        WITH {_EDGES_CTE}, u AS MATERIALIZED (
+            SELECT a.src AS s1, a.dst AS s2
+            FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        ), adj AS MATERIALIZED (
             SELECT s1 AS node, s2 AS nbr FROM u
             UNION ALL SELECT s2, s1 FROM u
-        ), a0 AS (
+        ), a0 AS MATERIALIZED (
             SELECT DISTINCT node FROM adj
         ), {", ".join(_kcore_round_sql(i) for i in range(1, _KC_R + 1))}
         SELECT 'k' AS metric, CAST({_KC_K} AS BIGINT) AS value
@@ -454,12 +460,15 @@ def _kcore_round_sql(i: int) -> str:
     """,
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{k}-core of the symmetrized 3-NN similarity graph by {r}
-    UNROLLED peel rounds (drop nodes with < {k} alive neighbors,
+    """{k}-core of the MUTUAL 3-NN similarity graph by {r} UNROLLED
+    peel rounds (drop nodes with < {k} reciprocated alive neighbors,
     repeat): the densest-region extractor — in an embedding corpus
     the surviving core marks semantically redundant clusters worth
     aggressive dedup/downsampling, where degree alone (q_graph_degree)
-    over-counts hubs with weak neighborhoods.
+    over-counts hubs with weak neighborhoods. The convergence flag is
+    honest: at {r} rounds this corpus is still shedding a node or two
+    per round (the contract is "{r}-round peel + converged bit", not
+    "the fixpoint").
 
     The fixed round count is the certification trick: a data-dependent
     fixpoint loop cannot be expressed in plain SQL, but k-core peeling
@@ -474,13 +483,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The edge list localCheckpoints once: 2*{r}+2 plan
     branches reference it and each would otherwise re-run the 3-NN
     GEMM kernel (q_graph_triangles precedent)."""
-    u = (
+    ed = (
         _edges(spark, sf_dir)
-        .select(
-            F.least("src", "dst").alias("s1"),
-            F.greatest("src", "dst").alias("s2"),
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # referenced twice by the mutual join
+    )
+    u = (
+        ed.alias("a")
+        .join(
+            ed.alias("b"),
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
         )
-        .distinct()
+        .filter(F.col("a.src") < F.col("a.dst"))
+        .select(F.col("a.src").alias("s1"), F.col("a.dst").alias("s2"))
         .localCheckpoint(eager=True)
     )
     adj = u.select(F.col("s1").alias("node"), F.col("s2").alias("nbr")).union(
