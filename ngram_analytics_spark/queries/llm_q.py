@@ -1549,7 +1549,13 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).withColumn(
         "st", F.array_distinct(ngram_col(F.split("text", " "), _MH_N))
     )
-    sh = d.select("doc_id", F.explode("st").alias("sh"))
+    # explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    # pushes explode's size(st)>0 predicate below the spread() exchange,
+    # evaluating the whole shingle lambda on the single-task scan side
+    # (measured 2.9 -> 0.67 s for the signature stage at sf0.1).
+    sh = d.select("doc_id", F.explode_outer("st").alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
     sig = sh.groupBy("doc_id").agg(*[_mh_spark(i) for i in range(_MH_K)])
     band_structs = [
         F.struct(
