@@ -94,9 +94,13 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # explode_outer + null filter (r6): plain explode's inferred
+    # size()>0 predicate pushes the bigram lambda below the spread()
+    # exchange onto the single scan task — 2.3 -> 0.6 s at sf0.1
+    # (the q_dedup_minhash_exact discovery).
     bg = t.select(
-        "doc_id", F.explode(ngram_col(F.col("toks"), 2)).alias("bg")
-    )
+        "doc_id", F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
+    ).filter(F.col("bg").isNotNull())
     bc = bg.groupBy("bg").agg(F.count("*").alias("c_bi"))
     uc = (
         t.select(F.explode("toks").alias("w"))
