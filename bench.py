@@ -142,6 +142,8 @@ EXTENDED = [
     "q_graph_kcore",      # unrolled-peel k-core census
     "q_sample_balanced",  # hash-threshold class balancing
     "q_skyline_pareto",   # value-domain 2-D Pareto frontier
+    "q_sketch_bloom_exact",  # certified bloom fp census
+    "q_ts_backtest",      # naive/seasonal-naive MAE baselines
 ]
 
 

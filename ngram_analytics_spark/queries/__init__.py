@@ -92,6 +92,15 @@ GRADED_FIRST: tuple[str, ...] = (
 #: kept as an (empty) marker so the rotation history reads cleanly.
 DEFERRED_R6: tuple[str, ...] = ()
 
+#: Keys added late in r6 AFTER the 50-key window filled — queued at
+#: positions 51+ so they lead the round-7 graded window (each landed
+#: with query + oracle + SURVEY row + BASELINE ratio in one commit;
+#: judge-green in the local sf0.01 differential).
+DEFERRED_R7: tuple[str, ...] = (
+    "q_sketch_bloom_exact",
+    "q_ts_backtest",
+)
+
 
 def build_registry() -> QueryRegistry:
     from ngram_analytics_spark.queries import (
@@ -139,13 +148,17 @@ def build_registry() -> QueryRegistry:
         merged.merge(mod.REG)
 
     missing = [
-        k for k in (*GRADED_FIRST, *DEFERRED_R6) if k not in merged.queries
+        k
+        for k in (*GRADED_FIRST, *DEFERRED_R6, *DEFERRED_R7)
+        if k not in merged.queries
     ]
     if missing:
-        raise ValueError(f"GRADED_FIRST/DEFERRED_R6 keys not registered: {missing}")
-    overlap = set(GRADED_FIRST) & set(DEFERRED_R6)
+        raise ValueError(
+            f"GRADED_FIRST/DEFERRED keys not registered: {missing}"
+        )
+    overlap = set(GRADED_FIRST) & (set(DEFERRED_R6) | set(DEFERRED_R7))
     if overlap:
-        raise ValueError(f"keys in both GRADED_FIRST and DEFERRED_R6: {overlap}")
+        raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
     from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
 
     no_oracle = set(merged.queries) - set(merged.oracles)
@@ -156,10 +169,11 @@ def build_registry() -> QueryRegistry:
             f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
         )
     ordered = QueryRegistry()
-    pinned = set(GRADED_FIRST) | set(DEFERRED_R6)
+    pinned = set(GRADED_FIRST) | set(DEFERRED_R6) | set(DEFERRED_R7)
     for key in (
         *GRADED_FIRST,
         *DEFERRED_R6,
+        *DEFERRED_R7,
         *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]

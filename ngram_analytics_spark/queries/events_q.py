@@ -1432,3 +1432,72 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+#: backtest horizons: naive (lag-1) and seasonal-naive (lag-7) daily
+#: forecasts — the two baselines every forecasting system must beat.
+_BT_LAGS = (1, 7)
+
+
+@REG.register(
+    "q_ts_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), err AS (
+            SELECT a.event_type, (b.x - a.x) AS lag,
+                   abs(b.y - a.y) AS e
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type
+             AND b.x - a.x IN {_BT_LAGS}
+        )
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS n_forecasts,
+               CAST(sum(e) AS BIGINT) AS total_abs_err,
+               {oracle_round4det(
+                   "CAST(sum(e) AS DOUBLE) / count(*)"
+               )} AS mae
+        FROM err GROUP BY event_type, lag
+    """,
+)
+def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest of the two canonical baselines
+    — naive (tomorrow = today, lag 1) and seasonal-naive (next week =
+    this week, lag 7) — as per-type MAE over the daily-count series:
+    the sanity gate run before shipping any forecasting model
+    (q_ts_holt must beat both to justify itself).
+
+    Plan: daily rollup (map-side combined, the only pass over raw
+    events) then one calendar-bounded self-join on (type, day-offset)
+    supplying both horizons in a single pass — the q_ts_autocorr
+    shape. Errors are exact integer |dy| sums; MAE is one double
+    division at the end."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    err = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") - F.col("a.x")).isin(*_BT_LAGS),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.x") - F.col("a.x")).alias("lag"),
+        F.abs(F.col("b.y") - F.col("a.y")).alias("e"),
+    )
+    return err.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_forecasts"),
+        F.sum("e").alias("total_abs_err"),
+        round4det(F.sum("e").cast("double") / F.count("*")).alias("mae"),
+    )

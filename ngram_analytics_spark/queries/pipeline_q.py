@@ -978,3 +978,195 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_toks"),
         F.sum(F.length("text").cast("long")).alias("n_chars"),
     )
+
+
+# ------------------------------------------------ certified Bloom filter
+
+#: Bloom geometry: 2^18 bits as 8192 x 32-bit words (32-bit masks keep
+#: every shift/OR in positive int64 range on both engines), 3 probe
+#: positions per key drawn from chunks of ONE md5 digest (the
+#: q_dedup_minhash_exact chunking discipline), over 4-gram shingles
+#: (bigrams nearly close over the synthetic vocabulary — everything
+#: would be a true member). At sf0.01's ~20k reference shingles the
+#: fill is ~20% -> ~1% theoretical fp over ~4k true-negative probes;
+#: the QUERY certifies the realized rate exactly, including the
+#: honest degradation as the fixed filter saturates at larger sf.
+_BLOOM_BITS = 262144
+_BLOOM_WORD = 32
+_BLOOM_K = 3
+_BLOOM_N = 4
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"(CAST('0x' || substring(md5(bg), {1 + 8 * j}, 8) AS BIGINT)"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+@REG.register(
+    "q_sketch_bloom_exact",
+    oracle=f"""
+        WITH ref AS (
+            SELECT DISTINCT unnest({ngrams_sql(TOKENS, _BLOOM_N)}) AS bg
+            FROM documents WHERE doc_id % 5 != 0
+        ), probe AS (
+            SELECT DISTINCT unnest({ngrams_sql(TOKENS, _BLOOM_N)}) AS bg
+            FROM documents WHERE doc_id % 5 = 0
+        ), ref_pos AS (
+            SELECT p.j,
+                   CASE p.j {" ".join(
+                       f"WHEN {j} THEN {_bloom_pos_sql(j)}"
+                       for j in range(_BLOOM_K)
+                   )} END AS pos
+            FROM ref CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) p
+        ), bloom AS (
+            SELECT pos // {_BLOOM_WORD} AS word,
+                   bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_WORD}))
+                       AS bw
+            FROM ref_pos GROUP BY pos // {_BLOOM_WORD}
+        ), probe_pos AS (
+            SELECT bg, p.j,
+                   CASE p.j {" ".join(
+                       f"WHEN {j} THEN {_bloom_pos_sql(j)}"
+                       for j in range(_BLOOM_K)
+                   )} END AS pos
+            FROM probe CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) p
+        ), hits AS (
+            SELECT pp.bg,
+                   bool_and(b.bw IS NOT NULL AND
+                            (b.bw & (CAST(1 AS BIGINT)
+                                     << (pp.pos % {_BLOOM_WORD})))
+                            = (CAST(1 AS BIGINT)
+                               << (pp.pos % {_BLOOM_WORD}))) AS hit
+            FROM probe_pos pp
+            LEFT JOIN bloom b ON pp.pos // {_BLOOM_WORD} = b.word
+            GROUP BY pp.bg
+        ), flagged AS (
+            SELECT h.bg, h.hit, r.bg IS NOT NULL AS in_ref
+            FROM hits h LEFT JOIN ref r ON h.bg = r.bg
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS n_ref,
+               CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_in_ref,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               CAST(sum(CASE WHEN hit AND NOT in_ref THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(floor(sum(CASE WHEN hit AND NOT in_ref
+                              THEN 1 ELSE 0 END) * 1000000.0
+                          / NULLIF(sum(CASE WHEN NOT in_ref
+                                       THEN 1 ELSE 0 END), 0))
+                    AS BIGINT) AS fp_ppm
+        FROM flagged
+    """,
+)
+def q_sketch_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Bloom-filter membership: build a 2^18-bit Bloom over
+    the reference corpus' distinct 4-grams (doc_id % 5 != 0, the
+    q_ngram_novelty split), probe the incoming corpus' bigrams, and
+    report the EXACT realized false-positive census (every hit is
+    re-checked against true membership) — the sketch a decontamination
+    / incremental-dedup pass ships to executors when the reference key
+    set is too large to broadcast exactly, here with its error fully
+    hash-certified (the q_dedup_minhash_exact discipline applied to
+    the sketch family: q_sketch_countmin stays rows-only because
+    xxhash64 is Spark-specific; md5 chunks are not).
+
+    Plan: the bloom AGGREGATE is <=8192 rows (bit_or map-side combined —
+    constant-size state like q_agg_bitmap) and broadcasts into the
+    probe join; true-membership recheck is one bigram-keyed left join.
+    At scale the bloom build shuffles 128 words regardless of corpus
+    size; only the distinct-bigram sets scale with data.
+
+    Determinism: positions are md5-chunk integers mod 4096; masks are
+    32-bit (positive int64 everywhere); bit_or/bool_and are
+    order-free."""
+    from ngram_analytics_spark.operators import spread
+
+    # spread + explode_outer (r6 discipline): the documents scan is one
+    # row group and plain explode's inferred filter would evaluate the
+    # 4-gram lambda below the exchange on that single task
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = F.array_distinct(ngram_col(F.split("text", " "), _BLOOM_N))
+    ref = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode_outer(grams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .distinct()
+    )
+    probe = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode_outer(grams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .distinct()
+    )
+
+    def pos(j):
+        return (
+            F.conv(F.substring(F.md5("bg"), 1 + 8 * j, 8), 16, 10).cast(
+                "long"
+            )
+            % _BLOOM_BITS
+        )
+
+    def positions(df):
+        return df.select(
+            "bg",
+            F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias(
+                "pos"
+            ),
+        )
+
+    # F.shiftleft requires a literal shift count; SQL form takes a column
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+    )
+    bloom = (
+        positions(ref)
+        .select((F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+                mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bw"))
+    )
+    hits = (
+        positions(probe)
+        .select("bg", (F.col("pos") / _BLOOM_WORD).cast("long").alias(
+            "word"
+        ), mask.alias("m"))
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("bg")
+        .agg(
+            F.bool_and(
+                F.col("bw").isNotNull()
+                & ((F.col("bw").bitwiseAND(F.col("m"))) == F.col("m"))
+            ).alias("hit")
+        )
+    )
+    flagged = hits.join(
+        ref.select(F.col("bg"), F.lit(True).alias("in_ref")), "bg", "left"
+    ).select("hit", F.coalesce("in_ref", F.lit(False)).alias("in_ref"))
+    n_ref = ref.agg(F.count("*").alias("n_ref"))
+    fp = F.sum(F.when(F.col("hit") & ~F.col("in_ref"), 1).otherwise(0))
+    miss = F.sum(F.when(~F.col("in_ref"), 1).otherwise(0))
+    return (
+        flagged.agg(
+            F.count("*").alias("n_probe"),
+            F.sum(F.when(F.col("in_ref"), 1).otherwise(0)).alias(
+                "n_in_ref"
+            ),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+            fp.alias("n_false_pos"),
+            F.when(
+                miss > 0, F.floor(fp * F.lit(1_000_000.0) / miss)
+            )
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+        .crossJoin(F.broadcast(n_ref))
+        .select(
+            "n_ref", "n_probe", "n_in_ref", "n_hits", "n_false_pos",
+            "fp_ppm",
+        )
+    )
