@@ -1165,3 +1165,68 @@ def test_containment_recall_vs_brute_force(spark):
     }
     assert expected <= got
     assert got  # non-degenerate: the smoke corpus has containment pairs
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """The Bloom contract: every TRUE member must hit (false positives
+    are allowed and counted; false negatives never are). From the
+    census columns: true hits = n_hits - n_false_pos must equal
+    n_in_ref exactly."""
+    from ngram_analytics_spark.queries.pipeline_q import (
+        q_sketch_bloom_exact,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        row = q_sketch_bloom_exact(spark, sf).collect()[0]
+        assert row.n_hits - row.n_false_pos == row.n_in_ref, row
+        assert row.n_probe >= row.n_in_ref
+        assert row.n_false_pos >= 0
+
+
+def test_minhash_exact_sound_and_high_recall(spark):
+    """q_dedup_minhash_exact soundness + recall: every emitted pair
+    really has trigram Jaccard >= 0.5 (the recheck makes this
+    structural — verified against brute force), and banding recall on
+    STRONG pairs (Jaccard >= 0.9, where 4 bands of 2 collide with
+    prob 1-(1-0.81)^4 ~ 99.87%) is perfect on this corpus. The hash
+    family is deterministic, so this is a fixed fact, not a flaky
+    sample."""
+    from ngram_analytics_spark.operators.ngram import ngram_col
+    from ngram_analytics_spark.queries.llm_q import (
+        _MH_MIN_J,
+        _MH_N,
+        q_dedup_minhash_exact,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in q_dedup_minhash_exact(spark, SF_SMOKE).collect()
+    }
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            ngram_col(F.split("text", " "), _MH_N)
+        ).alias("st"),
+    ).filter(F.size("st") > 0)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    union = F.size("st_a") + F.size("st_b") - common
+    brute = {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (common.cast("double") / union).alias("j"),
+        )
+        .filter(F.col("j") >= _MH_MIN_J)
+        .collect()
+    }
+    # soundness: everything emitted is a true >=0.5-Jaccard pair
+    assert set(got) <= set(brute), set(got) - set(brute)
+    # recall on strong pairs
+    strong = {p for p, j in brute.items() if j >= 0.9}
+    assert strong, "corpus should contain strong near-dups"
+    assert strong <= set(got), strong - set(got)
