@@ -296,6 +296,8 @@ NESTED_LOOP_OK = {
     "q_tpch_q22",            # 1-row scalar-subquery broadcasts (avg
                              # balance threshold + max order date)
     "q_gdpr_cascade",        # 1-row count x 1-row count audit joins
+    "q_sketch_bloom_exact",  # 1-row reference-count broadcast onto
+                             # the 1-row census aggregate
     "q_graph_kcore",         # 1-row prev-round-count broadcast under
                              # the convergence flag
     "q_sample_balanced",     # 1-row min-class-count broadcast into
