@@ -44,10 +44,22 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exploded_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    # scan -> project -> per-row transform -> explode; no shuffle at all.
+    # scan -> project -> per-row transform -> explode. spread() is the
+    # single-split mitigation (r6): the testdata file is one row group,
+    # and plain explode's inferred size() filter additionally pins the
+    # n-gram lambda below any exchange — so spread + explode_outer
+    # (sf1: bigram 2.9 -> 1.6 s, topk 3.6 -> 1.7 s). On a many-split
+    # 100 TB input spread() is a no-op (input partitions >= cores) and
+    # the plan is shuffle-free exactly as before.
+    from ngram_analytics_spark.operators import spread
+
     return (
-        tokenized_docs(spark, sf_dir)
-        .select("doc_id", F.explode(ngram_col("tokens", n)).alias("ngram"))
+        spread(tokenized_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.explode_outer(ngram_col("tokens", n)).alias("ngram"),
+        )
+        .filter(F.col("ngram").isNotNull())
     )
 
 
