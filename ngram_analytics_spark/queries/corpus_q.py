@@ -161,12 +161,18 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate). The span-frequency table is corpus-bounded, never
     broadcast, never driver-side.
     """
+    # explode_outer + null filter (r6 discipline): both consumers of dg
+    # re-run the span lambda, and plain explode's inferred filter pins
+    # it below the spread() exchange
     g = (
         spread(load(spark, sf_dir, "documents"))
         .select(
             "doc_id",
-            F.explode(ngram_col(F.split("text", " "), _SPAN_N)).alias("g"),
+            F.explode_outer(
+                ngram_col(F.split("text", " "), _SPAN_N)
+            ).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
     )
     dg = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
     df = dg.groupBy("g").agg(F.count("*").alias("df"))
