@@ -1152,18 +1152,19 @@ def q_sketch_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
     )
+    # integer `div` (the q_length_buckets convention): a double
+    # division + cast("long") happens to agree here (pos >= 0, n/32
+    # exact in binary) but violates the repo's floor-spelling sweep
+    word = F.expr(f"pos div {_BLOOM_WORD}").alias("word")
     bloom = (
         positions(ref)
-        .select((F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
-                mask.alias("m"))
+        .select(word, mask.alias("m"))
         .groupBy("word")
         .agg(F.bit_or("m").alias("bw"))
     )
     hits = (
         positions(probe)
-        .select("bg", (F.col("pos") / _BLOOM_WORD).cast("long").alias(
-            "word"
-        ), mask.alias("m"))
+        .select("bg", word, mask.alias("m"))
         .join(F.broadcast(bloom), "word", "left")
         .groupBy("bg")
         .agg(

@@ -797,9 +797,12 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # explicit floor() (repo truncate-vs-round convention): n is a
+    # positive int so truncation agrees, but the spelling must not
+    # rely on cast("int")'s truncate-of-a-double behaviour
+    lo = F.element_at(arr, F.floor(n / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    mid = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
     med = F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2.0)
     return load(spark, sf_dir, "events").select(
         "event_id", "user_id", round4det(med).alias("med7")

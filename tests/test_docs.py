@@ -42,3 +42,30 @@ def test_every_bench_extended_key_is_registered():
 
 def test_graded_first_keys_are_unique():
     assert len(GRADED_FIRST) == len(set(GRADED_FIRST))
+
+
+def test_no_double_division_truncate_cast():
+    """Source-convention lint (VERDICT r6 "Next round" item 3): the
+    repo's truncate-vs-round discipline requires integer division to
+    be spelled as SQL integer `div` or explicit ``floor()`` — never as
+    a double division followed by ``.cast("long"/"int")``, which
+    truncates the correctly-rounded double quotient and silently
+    diverges from an oracle's integer `//` whenever the quotient is
+    inexact in binary.  The r6 bloom word-index slip
+    (pipeline_q.py, `(pos / 32).cast("long")`) motivated this lint."""
+    pat = re.compile(r"/\s*[^)]*\)\s*\.cast\(\"(?:long|int)\"\)")
+    offenders = []
+    for path in sorted(
+        (REPO / "ngram_analytics_spark").rglob("*.py")
+    ):
+        for i, line in enumerate(
+            path.read_text().splitlines(), start=1
+        ):
+            if "floor" in line:
+                continue
+            if pat.search(line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "double-division-then-truncate-cast sites (spell integer "
+        f"`div` or explicit floor()): {offenders}"
+    )
