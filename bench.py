@@ -144,6 +144,7 @@ EXTENDED = [
     "q_skyline_pareto",   # value-domain 2-D Pareto frontier
     "q_sketch_bloom_exact",  # certified bloom fp census
     "q_ts_backtest",      # naive/seasonal-naive MAE baselines
+    "q_sketch_countmin_exact",  # certified count-min point query
 ]
 
 
