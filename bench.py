@@ -145,6 +145,8 @@ EXTENDED = [
     "q_sketch_bloom_exact",  # certified bloom fp census
     "q_ts_backtest",      # naive/seasonal-naive MAE baselines
     "q_sketch_countmin_exact",  # certified count-min point query
+    "q_sim_ann_ivf_exact",  # certified IVF-ANN twin
+    "q_embed_rp",         # JL sign-projection norm preservation
 ]
 
 

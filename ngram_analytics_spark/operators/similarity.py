@@ -109,15 +109,20 @@ def ivf_knn(
     n_probe: int = 3,
     centroid_stride: int | None = None,
     dim: int | None = DEFAULT_DIM,
+    centroid_pick: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via IVF: deterministic coarse quantizer.
 
     Centroids are a deterministic corpus subsample — the ``n_cells``
-    rows with the smallest ``xxhash64(id)`` (a uniform pseudo-random
-    pick that needs no separate count job: one TakeOrdered pass, no
-    driver action besides the plan itself). Pass ``centroid_stride`` to
-    reproduce the legacy ``id % stride == 0`` selection; swap in MLlib
-    KMeans centroids for better recall when training cost is acceptable.
+    rows with the smallest ``centroid_pick`` hash of the id (a uniform
+    pseudo-random pick that needs no separate count job: one
+    TakeOrdered pass, no driver action besides the plan itself).
+    ``centroid_pick="xxhash64"`` is the fast JVM default;
+    ``"md5"`` uses the md5-hex-prefix integer, which DuckDB can
+    reproduce bit-for-bit — the SQL-certifiable pick
+    (q_sim_ann_ivf_exact). Pass ``centroid_stride`` to reproduce the
+    legacy ``id % stride == 0`` selection; swap in MLlib KMeans
+    centroids for better recall when training cost is acceptable.
     """
     if centroid_stride is not None and centroid_stride <= 0:
         # id % 0 is NULL in Spark SQL — the filter would silently drop
@@ -125,12 +130,22 @@ def ivf_knn(
         raise ValueError(
             f"centroid_stride must be positive, got {centroid_stride}"
         )
+    if centroid_pick not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown centroid_pick: {centroid_pick!r}")
     if centroid_stride is not None:
         cent_src = corpus.filter((F.col(id_col) % centroid_stride) == 0)
         cent_order = [F.col(id_col).asc()]
     else:
         cent_src = corpus
-        cent_order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+        if centroid_pick == "md5":
+            hash_col = F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        else:
+            hash_col = F.xxhash64(F.col(id_col))
+        cent_order = [hash_col.asc(), F.col(id_col).asc()]
     centroids = (
         cent_src.orderBy(*cent_order)
         .limit(n_cells)

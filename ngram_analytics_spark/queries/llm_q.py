@@ -16,7 +16,11 @@ from ngram_analytics_spark.functions.deterministic import (
     oracle_round4det,
     round4det,
 )
-from ngram_analytics_spark.functions.vectors import oracle_cosine
+from ngram_analytics_spark.functions.vectors import (
+    l2_norm,
+    oracle_cosine,
+    oracle_l2_norm,
+)
 from ngram_analytics_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -222,6 +226,123 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return ivf_knn(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=20, n_probe=3
+    ).orderBy("query_id", "rn")
+
+
+@REG.register("q_sim_pairs_lsh")  # rows-only: BRP-LSH hyperplanes are seeded JVM
+def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity pairs through the FORCED LSH banding path — the
+    100 TB branch of cosine_edges that the auto-dispatcher only engages
+    above EXACT_EDGE_MAX_ROWS (2M rows), graded here explicitly so the
+    at-scale code path holds a driver-certified row (VERDICT r6 "Next
+    round" item 4; every other graded similarity query resolves to the
+    exact block-GEMM kernel at test corpus sizes).
+
+    Path under test (operators/similarity.py:cosine_edges, 'lsh'):
+    L2-normalize (cosine becomes monotone in Euclidean distance) ->
+    MLlib BucketedRandomProjectionLSH bucket-hash candidate equi-join
+    (never all-pairs at scale) -> exact cosine re-check on the original
+    vectors. Precision is therefore 1.0 by construction; recall >= 0.9
+    at these parameters is pinned vs the exact kernel in
+    tests/test_operators.py::test_cosine_edges_lsh_recall_vs_exact.
+
+    Rows-only BY DESIGN: MLlib's random hyperplanes come from a seeded
+    JVM RNG — deterministic across runs (fixed seed) but not
+    expressible in DuckDB SQL, the same class as q_dedup_fuzzy.
+
+    spread() first: the single-row-group embeddings scan would
+    otherwise feed the fit + candidate join from ONE task (measured
+    365 -> 65 s at sf0.1)."""
+    from ngram_analytics_spark.operators import spread
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    return cosine_edges(emb, min_cos=0.35, method="lsh").orderBy(
+        "id_a", "id_b"
+    )
+
+
+_IVF_CELLS = 20
+_IVF_PROBE = 3
+_IVF_K = 5
+_IVF_CENT_H = (
+    "CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+_COS_QC = oracle_cosine("q.embedding", "c.centv")
+_COS_NC = oracle_cosine("e.embedding", "c.centv")
+_COS_QN = oracle_cosine("p.qv", "a.nv")
+
+
+@REG.register(
+    "q_sim_ann_ivf_exact",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS centv
+            FROM embeddings
+            ORDER BY {_IVF_CENT_H} ASC, vec_id ASC LIMIT {_IVF_CELLS}
+        ), assigned AS (
+            SELECT neighbor_id, nv, cell_id FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS nv,
+                       c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_NC} DESC, c.cell_id ASC
+                       ) AS crn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE crn = 1
+        ), probed AS (
+            SELECT query_id, qv, cell_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv,
+                       c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_QC} DESC, c.cell_id ASC
+                       ) AS crn
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < 10
+            ) WHERE crn <= {_IVF_PROBE}
+        )
+        SELECT query_id, neighbor_id,
+               {oracle_round4det("c")} AS cos_sim, rn
+        FROM (
+            SELECT p.query_id, a.neighbor_id, {_COS_QN} AS c,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_COS_QN} DESC, a.neighbor_id ASC
+                   ) AS rn
+            FROM probed p JOIN assigned a ON a.cell_id = p.cell_id
+            WHERE a.neighbor_id != p.query_id
+        ) WHERE rn <= {_IVF_K}
+    """,
+)
+def q_sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified IVF approximate top-5: the SQL-oracled twin of
+    q_sim_ann_ivf, completing the certification program over the
+    similarity family (VERDICT r6 "Next round" item 8). The coarse
+    quantizer's centroid pick — the one Spark-specific ingredient
+    (smallest xxhash64(id)) — becomes the smallest md5-hex-prefix
+    integer, which DuckDB reproduces bit-for-bit; everything else
+    (argmax cell assignment, top-3 probe, exact cosine re-rank within
+    probed cells) was already engine-identical double arithmetic (the
+    q_sim_knn fold-order discipline).
+
+    Plan: centroids are ONE TakeOrdered pass broadcast to both the
+    assignment and probe scorers; assignment/probe are 20-row broadcast
+    joins + per-vector rank-limit windows (WindowGroupLimit, bounded
+    state); the candidate join keys on cell_id. At 100 TB only the
+    corpus-side assignment scales — linear scans with a broadcast
+    centroid table, never all-pairs; the re-rank is |probed cells|
+    deep, not corpus-deep.
+
+    Determinism: cosine folds are left-associated double chains
+    (identical both engines); every rank tie breaks on an id."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=_IVF_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        centroid_pick="md5",
     ).orderBy("query_id", "rn")
 
 
@@ -810,6 +931,127 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.select("i", "j", round4det(F.col("c")).alias("cov"))
+
+
+#: Johnson-Lindenstrauss sign projection: 8 output dims over the
+#: 64-dim embeddings, signs s(t, i) = parity of md5("t:i")'s first hex
+#: chunk — computed ONCE here in Python and embedded as literals in
+#: BOTH the Spark expression and the oracle SQL, so the projection
+#: matrix is a shared deterministic constant (no engine hashing at
+#: all). 1/sqrt(d_out) scaling makes E[||Pv||^2] = ||v||^2 (the JL
+#: guarantee); sqrt is correctly-rounded in both engines.
+_RP_OUT = 8
+_RP_IN = 64
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            else -1
+            for i in range(_RP_IN)
+        ]
+        for t in range(_RP_OUT)
+    ]
+
+
+_RP_S = _rp_signs()
+
+
+def _rp_proj_sql(t: int) -> str:
+    """Left-associated double chain, the oracle_dot spelling."""
+    return "(" + " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(_RP_S[t][i])}"
+        for i in range(_RP_IN)
+    ) + ")"
+
+
+@REG.register(
+    "q_embed_rp",
+    oracle=f"""
+        WITH p AS (
+            SELECT vec_id,
+                   {", ".join(
+                       f"{_rp_proj_sql(t)} / sqrt({float(_RP_OUT)}) AS q{t}"
+                       for t in range(_RP_OUT)
+                   )},
+                   {oracle_l2_norm("embedding")} AS onorm_raw
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, q0, q1, q2, q3, onorm_raw,
+                   sqrt({" + ".join(f"q{t} * q{t}" for t in range(_RP_OUT))})
+                       AS pnorm_raw
+            FROM p
+        )
+        SELECT vec_id,
+               {", ".join(
+                   f"{oracle_round4det(f'q{t}')} AS p{t}"
+                   for t in range(4)
+               )},
+               {oracle_round4det("pnorm_raw")} AS pnorm,
+               {oracle_round4det("onorm_raw")} AS onorm,
+               {oracle_round4det(
+                   "CASE WHEN onorm_raw != 0 "
+                   "THEN pnorm_raw / onorm_raw END"
+               )} AS nratio
+        FROM n
+    """,
+)
+def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding corpus
+    to 8 dims via a +/-1 sign matrix — the dimensionality-reduction
+    step ANN pipelines run before sketching/bucketing when the full
+    vector is too wide to shuffle (at 100 TB, an 8x narrower vector is
+    an 8x smaller shuffle for every downstream LSH/IVF stage). Emits
+    the first 4 projected components plus original / projected norms
+    and their ratio, whose concentration near 1.0 is the JL guarantee
+    (pinned in tests/test_operators.py).
+
+    Plan: embarrassingly parallel — one projection per row, all
+    whole-stage-codegen double arithmetic (the unrolled left-assoc
+    chain of functions/vectors.py::dot), zero shuffles besides the
+    scan. The sign matrix is a compile-time literal in both engines
+    (md5-parity generated ONCE in Python), so no join, no broadcast,
+    no engine hash calls.
+
+    Determinism: multiply-by-+/-1.0 is exact; sums are left-associated
+    identical chains both engines; sqrt is IEEE correctly-rounded;
+    ratios divide identical doubles; 4-dp half-up emit."""
+    v = F.col("embedding").cast("array<double>")
+
+    def proj(t: int) -> "F.Column":
+        out = F.element_at(v, 1) * F.lit(float(_RP_S[t][0]))
+        for i in range(1, _RP_IN):
+            out = out + F.element_at(v, i + 1) * F.lit(float(_RP_S[t][i]))
+        return out / F.sqrt(F.lit(float(_RP_OUT)))
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[proj(t).alias(f"q{t}") for t in range(_RP_OUT)],
+        l2_norm(v).alias("onorm_raw"),
+    )
+    sq = F.col("q0") * F.col("q0")
+    for t in range(1, _RP_OUT):
+        sq = sq + F.col(f"q{t}") * F.col(f"q{t}")
+    n = base.withColumn("pnorm_raw", F.sqrt(sq))
+    return n.select(
+        "vec_id",
+        *[round4det(F.col(f"q{t}")).alias(f"p{t}") for t in range(4)],
+        round4det(F.col("pnorm_raw")).alias("pnorm"),
+        round4det(F.col("onorm_raw")).alias("onorm"),
+        round4det(
+            F.when(
+                F.col("onorm_raw") != 0,
+                F.col("pnorm_raw") / F.col("onorm_raw"),
+            )
+        ).alias("nratio"),
+    )
 
 
 #: one ridge-regression gradient step: exact-binary hyperparameters

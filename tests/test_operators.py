@@ -1230,3 +1230,19 @@ def test_minhash_exact_sound_and_high_recall(spark):
     strong = {p for p, j in brute.items() if j >= 0.9}
     assert strong, "corpus should contain strong near-dups"
     assert strong <= set(got), strong - set(got)
+
+
+def test_embed_rp_norm_concentration(spark):
+    """JL guarantee: with the 1/sqrt(d_out) scaling, projected norms
+    concentrate around the original norms — mean ratio within 25% of
+    1.0 and no ratio collapses to 0 (the sign matrix is full-rank-ish
+    on real data)."""
+    from ngram_analytics_spark.queries.llm_q import q_embed_rp
+    from tests.conftest import SF_SMOKE
+
+    rows = q_embed_rp(spark, SF_SMOKE).collect()
+    ratios = [r.nratio for r in rows if r.nratio is not None]
+    assert len(ratios) == len(rows)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 <= mean <= 1.25, mean
+    assert min(ratios) > 0.05
