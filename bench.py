@@ -147,6 +147,9 @@ EXTENDED = [
     "q_sketch_countmin_exact",  # certified count-min point query
     "q_sim_ann_ivf_exact",  # certified IVF-ANN twin
     "q_embed_rp",         # JL sign-projection norm preservation
+    "q_bpe_pair_counts",  # BPE merge-scan pair counts
+    "q_privacy_kanon",    # k-anonymity suppression census
+    "q_graph_bfs",        # unrolled multi-source BFS
 ]
 
 

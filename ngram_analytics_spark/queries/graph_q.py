@@ -559,3 +559,134 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(k=_KC_K, r=_KC_R)
+
+
+# ---------------------------------------------------------- unrolled BFS
+
+#: BFS geometry: seeds = vec_id % _BFS_SEED_MOD == 0, _BFS_R unrolled
+#: frontier-expansion rounds (the q_graph_kcore fixed-round
+#: certification trick: a data-dependent fixpoint is not plain SQL,
+#: but R rounds + an honest converged bit is).
+_BFS_SEED_MOD = 50
+_BFS_R = 4
+
+
+def _bfs_round_sql(i: int) -> str:
+    return f"""d{i} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT a.nbr AS node, {i} AS dist
+                FROM adj a JOIN d{i - 1} f
+                  ON a.node = f.node AND f.dist = {i - 1}
+            ) GROUP BY node
+        )"""
+
+
+@REG.register(
+    "q_graph_bfs",
+    oracle=f"""
+        WITH {_EDGES_CTE}, adj AS MATERIALIZED (
+            SELECT src AS node, dst AS nbr FROM e
+            UNION
+            SELECT dst, src FROM e
+        ), d0 AS MATERIALIZED (
+            SELECT vec_id AS node, 0 AS dist FROM embeddings
+            WHERE vec_id % {_BFS_SEED_MOD} = 0
+        ), {", ".join(_bfs_round_sql(i) for i in range(1, _BFS_R + 1))}
+        SELECT 'dist_' || CAST(dist AS VARCHAR) AS metric,
+               CAST(count(*) AS BIGINT) AS value
+        FROM d{_BFS_R} GROUP BY dist
+        UNION ALL
+        SELECT 'unreached',
+               (SELECT count(*) FROM embeddings)
+               - (SELECT count(*) FROM d{_BFS_R})
+        UNION ALL
+        SELECT 'converged',
+               CASE WHEN (SELECT count(*) FROM d{_BFS_R})
+                       = (SELECT count(*) FROM d{_BFS_R - 1})
+                    THEN 1 ELSE 0 END
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the symmetrized 3-NN similarity graph:
+    {r} unrolled frontier-expansion rounds from the seed set
+    (vec_id % {m} == 0), reporting the hop-distance histogram, the
+    unreached count, and an honest convergence bit — the reachability
+    primitive under influence/propagation analyses (how much of the
+    corpus sits within k hops of a flagged cluster) that complements
+    the dedup-side connected components (operators/graph.py).
+
+    Plan: every round is (frontier semi-restricted adjacency join,
+    keyed on node id) -> (node-keyed min-dist agg); the distance table
+    grows monotonically and localCheckpoints per round (it is
+    referenced by the expansion join AND the next union — the
+    q_graph_kcore lazy-plan-doubling discipline). The edge list
+    checkpoints once. At scale every shuffle keys on node id; frontier
+    size is bounded by the reachable set, never all-pairs.
+
+    Determinism: distances are exact integer mins; the fixed round
+    count + converged flag make the fixpoint SQL-certifiable."""
+    ed = _edges(spark, sf_dir).select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    adj = (
+        ed.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .union(
+            ed.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.filter(F.col("vec_id") % _BFS_SEED_MOD == 0).select(
+        F.col("vec_id").alias("node"), F.lit(0).alias("dist")
+    )
+    prev = d
+    for i in range(1, _BFS_R + 1):
+        prev = d
+        frontier = d.filter(F.col("dist") == i - 1)
+        expand = adj.join(frontier, "node").select(
+            F.col("nbr").alias("node"), F.lit(i).alias("dist")
+        )
+        d = (
+            d.unionByName(expand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    hist = (
+        d.groupBy("dist")
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.concat(F.lit("dist_"), F.col("dist").cast("string")).alias(
+                "metric"
+            ),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
+    unreached = (
+        emb.agg(F.count("*").alias("n_total"))
+        .crossJoin(F.broadcast(d.agg(F.count("*").alias("n_reached"))))
+        .select(
+            F.lit("unreached").alias("metric"),
+            (F.col("n_total") - F.col("n_reached")).cast("long").alias(
+                "value"
+            ),
+        )
+    )
+    converged = (
+        d.agg(F.count("*").alias("n_now"))
+        .crossJoin(F.broadcast(prev.agg(F.count("*").alias("n_prev"))))
+        .select(
+            F.lit("converged").alias("metric"),
+            F.when(F.col("n_now") == F.col("n_prev"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("value"),
+        )
+    )
+    return hist.unionAll(unreached).unionAll(converged)
+
+
+q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(r=_BFS_R, m=_BFS_SEED_MOD)

@@ -1200,3 +1200,80 @@ def q_sketch_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_ppm",
         )
     )
+
+
+# ------------------------------------------------ BPE pair-count scan
+
+#: Top-K adjacent-symbol pairs reported by the BPE merge scan.
+_BPE_TOPK = 50
+
+
+@REG.register(
+    "q_bpe_pair_counts",
+    oracle=f"""
+        WITH w AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({TOKENS}) AS tok FROM documents)
+            WHERE tok != ''
+            GROUP BY tok
+        ), p AS (
+            SELECT substring(tok, i, 2) AS pair, cnt
+            FROM w CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) r
+            WHERE i < length(tok)
+        )
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training merge scan: count adjacent character pairs
+    across the corpus, weighted by word frequency — the statistic the
+    tokenizer trainer maximizes at every merge step (Sennrich et al.,
+    the algorithm behind GPT/Llama vocabularies). Top-50 pairs with
+    exact corpus-wide counts.
+
+    Scale plan — the classic BPE-trainer trick, distributed: aggregate
+    to DISTINCT words first (one map-side-combined shuffle on the
+    token; at 100 TB the distinct vocabulary is orders of magnitude
+    smaller than the token stream), then run the O(word-length) char
+    -pair explode over the VOCABULARY only, carrying each word's count
+    as the weight. The pair agg is map-side combined on a <=
+    |alphabet|^2 key domain, and the top-50 is a TakeOrdered — no
+    full sort. A naive per-token explode would shuffle the whole
+    corpus character stream instead.
+
+    Determinism: integer counts only; ties in the top-50 break on the
+    pair string (both engines compare UTF-8 binary here: pairs are
+    drawn from the synthetic corpus' ASCII token alphabet)."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # length >= 2 BEFORE the sequence lambda: Spark's sequence(1, 0)
+    # on a 1-char token yields a DESCENDING [1, 0] (not empty like
+    # DuckDB's range), fabricating 1-char "pairs"
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "cnt",
+            # substring(tok, i, 2) needs a COLUMN start: expr form
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .filter(F.col("pair").isNotNull())
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )

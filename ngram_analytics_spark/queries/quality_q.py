@@ -600,3 +600,89 @@ def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_text_nodes",
         )
     )
+
+
+# ---------------------------------------------------- k-anonymity census
+
+#: minimum equivalence-class size for a quasi-identifier tuple to be
+#: releasable without suppression
+_KANON_K = 5
+
+
+@REG.register(
+    "q_privacy_kanon",
+    oracle=f"""
+        WITH cls AS (
+            SELECT n.n_name, c.c_mktsegment,
+                   CAST(floor(c.c_acctbal) AS BIGINT) // 1000 AS bal_kb,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, c.c_mktsegment,
+                     CAST(floor(c.c_acctbal) AS BIGINT) // 1000
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+                    AS BIGINT) AS n_suppressed,
+               CAST(floor(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+                          * 1000000.0 / sum(sz)) AS BIGINT)
+                   AS suppressed_ppm
+        FROM cls GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census before a data release: group customers by
+    quasi-identifier tuple (nation, market segment, account-balance
+    kilobucket), measure every equivalence class, and report — per
+    segment — how many classes fall below k={_KANON_K} and what row
+    mass a suppression pass would redact (the Sweeney k-anonymity
+    model; the privacy complement to q_text_pii's content scrubbing
+    and q_gdpr_cascade's deletion propagation).
+
+    Plan: ONE map-side-combined groupBy on the QI tuple (class sizes),
+    then a segment-keyed rollup of the class table — the second agg
+    runs over |classes| rows, not |customers|, so the heavy shuffle is
+    the first one only and it pre-combines. nation is a broadcast dim.
+    At 100 TB the class table is bounded by the QI domain, not the row
+    count.
+
+    Determinism: integer counts; the balance bucket floors through the
+    integer-`div` convention; the ppm ratio is floor-quantized."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cls = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_mktsegment",
+            F.expr(
+                "floor(c_acctbal) div 1000"
+            ).alias("bal_kb"),
+        )
+        .groupBy("n_name", "c_mktsegment", "bal_kb")
+        .agg(F.count("*").alias("sz"))
+    )
+    small = F.col("sz") < _KANON_K
+    return (
+        cls.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(small, 1).otherwise(0)).alias("n_small_classes"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(F.when(small, F.col("sz")).otherwise(0)).alias(
+                "n_suppressed"
+            ),
+            F.floor(
+                F.sum(F.when(small, F.col("sz")).otherwise(0))
+                * F.lit(1_000_000.0)
+                / F.sum("sz")
+            )
+            .cast("long")
+            .alias("suppressed_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )

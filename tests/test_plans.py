@@ -305,6 +305,10 @@ NESTED_LOOP_OK = {
                              # the 1-row census aggregate
     "q_graph_kcore",         # 1-row prev-round-count broadcast under
                              # the convergence flag
+    "q_graph_bfs",           # 1-row count x 1-row count unreached /
+                             # converged flags (kcore precedent)
+    "q_sim_ann_ivf_exact",   # centroid cross join is n_cells-bounded
+                             # (q_sim_ann_ivf precedent)
     "q_sample_balanced",     # 1-row min-class-count broadcast into
                              # the per-lang threshold dim
     "q_corpus_gini",         # triangular join over the ~20-row log2
