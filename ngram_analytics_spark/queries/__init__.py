@@ -15,90 +15,88 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-6
-# rotation (VERDICT r5 "Next round" item 1): exactly 37 registry keys
-# have never sat inside a graded window — the 21-key DEFERRED_R6
-# queue from r5 (stable TPC-H/relational shapes, judge-green in the
-# full local sf0.01 differential, unchanged since r4) plus the 16
-# keys added during r5 (q_dedup_containment .. q_fn_aes below).  ALL
-# 37 lead this window, so every registry key holds >=1 driver-green
-# CORRECTNESS row by end of r6.  The remaining slots re-certify keys
-# whose code changed this round: q_winsorize and
-# q_agg_weighted_median (re-planned from low-cardinality fact-table
-# windows to value-domain pre-aggregation, VERDICT r5 "What's wrong"
-# item 2), q_funnel_windowed (NULLIF-style zero-stage guard, ADVICE
-# r5), q_ml_power_iter (DECIMAL(38,0) Gram accumulation, ADVICE r5),
-# plus the keys newly added in r6.
+# The 50 keys the differential driver should grade first.  Round-7
+# rotation (VERDICT r6 "Next round" item 1): the two DEFERRED_R7 keys
+# lead (never driver-graded; q_sketch_bloom_exact's word-index was
+# re-spelled to integer `div` this round per item 3), followed by the
+# seven keys NEW in r7 (certified count-min twin, certified IVF-ANN
+# twin, JL sign projection, BPE merge scan, k-anonymity census,
+# unrolled BFS, and the forced-LSH similarity branch — rows-only by
+# design), then the two r7 re-certifications (q_dedup_minhash_exact's
+# hot-band restructure, q_ts_rolling_median's floor() spelling).
+# With every registry key already holding >=1 driver-green row after
+# r6, the remaining 39 slots begin the oldest-first re-certification
+# rotation: the r1-certified cohort (code-stable since r1, judge-green
+# in every local differential since) rotates back through the window;
+# its tail continues in DEFERRED_R8.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- never driver-graded: the 21-key r5 DEFERRED_R6 queue ---
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_join_overlap",
-    "q_join_bloom",
-    "q_agg_moments",
-    "q_agg_bitmap",
-    "q_fn_map2",
-    "q_fn_json2",
-    "q_fn_str_to_map",
-    # --- never driver-graded: the 16 keys added during r5 ---
-    "q_dedup_containment",
-    "q_ml_power_iter",
-    "q_join_scd2_pit",
-    "q_stream_live_leaderboard",
-    "q_ts_downsample",
-    "q_funnel_windowed",
-    "q_source_text",
-    "q_source_quality",
-    "q_length_buckets",
-    "q_graph_jaccard_nbrs",
-    "q_sample_temperature",
-    "q_ts_changepoint",
-    "q_fn_explode_outer",
-    "q_sql_group_by_all",
-    "q_agg_filter_clause",
-    "q_fn_aes",
-    # --- re-certification: code changed in r6 (tiny-domain fact
-    # window re-plans, operators/valuedomain.py) ---
-    "q_winsorize",
-    "q_agg_weighted_median",
-    "q_pack_sequences",
-    "q_win_distribution",
-    # --- new in r6 (keys appended here in the same commit that
-    # lands each query + oracle + SURVEY row + BASELINE ratio) ---
-    "q_dedup_minhash_exact",
-    "q_dedup_simhash_exact",
-    "q_ks_drift",
-    "q_ts_theil_sen",
-    "q_corpus_gini",
-    "q_ts_autocorr",
-    "q_graph_kcore",
-    "q_sample_balanced",
-    "q_skyline_pareto",
-)
-
-#: r5's deferred queue is fully promoted into the r6 window above;
-#: kept as an (empty) marker so the rotation history reads cleanly.
-DEFERRED_R6: tuple[str, ...] = ()
-
-#: Keys added late in r6 AFTER the 50-key window filled — queued at
-#: positions 51+ so they lead the round-7 graded window (each landed
-#: with query + oracle + SURVEY row + BASELINE ratio in one commit;
-#: judge-green in the local sf0.01 differential).
-DEFERRED_R7: tuple[str, ...] = (
+    # --- never driver-graded: the r6 DEFERRED_R7 queue ---
     "q_sketch_bloom_exact",
     "q_ts_backtest",
+    # --- new in r7 ---
+    "q_sketch_countmin_exact",
+    "q_sim_ann_ivf_exact",
+    "q_embed_rp",
+    "q_bpe_pair_counts",
+    "q_privacy_kanon",
+    "q_graph_bfs",
+    "q_sim_pairs_lsh",
+    # --- re-certification: code changed in r7 ---
+    "q_dedup_minhash_exact",
+    "q_ts_rolling_median",
+    # --- oldest-first re-certification: the r1 cohort ---
+    "q_ngram_bigram",
+    "q_ngram_trigram",
+    "q_ngram_fewer_tokens",
+    "q_tokenize",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_ngram_chars",
+    "q_text_collocation",
+    "q_ngram_skipgram",
+    "q_scan_project",
+    "q_scan_count",
+    "q_filter_pred",
+    "q_expr_case",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_multiway",
+    "q_join_interval",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_win_frame",
+    "q_sort_limit",
+    "q_topk_pergroup",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+)
+
+#: r6's deferred queue is fully promoted into the r7 window above.
+DEFERRED_R7: tuple[str, ...] = ()
+
+#: Tail of the r1-cohort re-certification rotation — queued at
+#: positions 51+ so they lead the round-8 graded window.
+DEFERRED_R8: tuple[str, ...] = (
+    "q_pivot",
+    "q_unpivot",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
 )
 
 
@@ -149,14 +147,14 @@ def build_registry() -> QueryRegistry:
 
     missing = [
         k
-        for k in (*GRADED_FIRST, *DEFERRED_R6, *DEFERRED_R7)
+        for k in (*GRADED_FIRST, *DEFERRED_R7, *DEFERRED_R8)
         if k not in merged.queries
     ]
     if missing:
         raise ValueError(
             f"GRADED_FIRST/DEFERRED keys not registered: {missing}"
         )
-    overlap = set(GRADED_FIRST) & (set(DEFERRED_R6) | set(DEFERRED_R7))
+    overlap = set(GRADED_FIRST) & (set(DEFERRED_R7) | set(DEFERRED_R8))
     if overlap:
         raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
     from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
@@ -169,11 +167,11 @@ def build_registry() -> QueryRegistry:
             f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
         )
     ordered = QueryRegistry()
-    pinned = set(GRADED_FIRST) | set(DEFERRED_R6) | set(DEFERRED_R7)
+    pinned = set(GRADED_FIRST) | set(DEFERRED_R7) | set(DEFERRED_R8)
     for key in (
         *GRADED_FIRST,
-        *DEFERRED_R6,
         *DEFERRED_R7,
+        *DEFERRED_R8,
         *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]
