@@ -150,6 +150,8 @@ EXTENDED = [
     "q_bpe_pair_counts",  # BPE merge-scan pair counts
     "q_privacy_kanon",    # k-anonymity suppression census
     "q_graph_bfs",        # unrolled multi-source BFS
+    "q_ts_cross_corr",    # lead-lag daily cross-correlation
+    "q_ml_auc",           # exact rank-sum ROC-AUC
 ]
 
 

@@ -1501,3 +1501,127 @@ def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e").alias("total_abs_err"),
         round4det(F.sum("e").cast("double") / F.count("*")).alias("mae"),
     )
+
+
+#: cross-correlation geometry: X = click, Y = purchase daily counts,
+#: lags -3..+3 (negative lag = purchases LEAD clicks)
+_CC_X = "click"
+_CC_Y = "purchase"
+_CC_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@REG.register(
+    "q_ts_cross_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events
+            WHERE event_type IN ('{_CC_X}', '{_CC_Y}')
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS m
+            FROM daily GROUP BY event_type
+        ), z AS (
+            SELECT d.event_type, d.x, d.y * s.n - s.m AS z
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        ), den AS (
+            SELECT
+                sqrt(CAST((SELECT sum(z * z) FROM z
+                           WHERE event_type = '{_CC_X}') AS DOUBLE))
+                * sqrt(CAST((SELECT sum(z * z) FROM z
+                             WHERE event_type = '{_CC_Y}') AS DOUBLE))
+                    AS d
+        ), num AS (
+            SELECT (b.x - a.x) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(a.z * b.z) AS BIGINT) AS nk
+            FROM z a JOIN z b
+              ON a.event_type = '{_CC_X}' AND b.event_type = '{_CC_Y}'
+             AND b.x - a.x IN {_CC_LAGS}
+            GROUP BY b.x - a.x
+        )
+        SELECT n.lag, n.n_pairs,
+               {oracle_round4det("CAST(n.nk AS DOUBLE) / d.d")} AS ccf
+        FROM num n CROSS JOIN den d
+        WHERE d.d > 0
+        ORDER BY n.lag
+    """,
+)
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    series (lags -3..+3) — the lead-lag probe behind "do clicks
+    predict purchases k days out?", complementing q_ts_autocorr's
+    within-series periodicity.
+
+    Determinism (the q_ts_autocorr exact-int trick, cross-series
+    form): z_t = n*y_t - M makes centered values exact integers; the
+    per-series scale factors n_x, n_y cancel between numerator and
+    denominator, so ccf_k = sum(z_x(t) * z_y(t+k)) /
+    (sqrt(sum z_x^2) * sqrt(sum z_y^2)) — exact int64 sums, two
+    correctly-rounded sqrts, one double multiply and divide. The
+    denominator product is computed as sqrt * sqrt (not sqrt of the
+    int product, which can overflow int64 at scale).
+
+    Plan: daily rollup is the only pass over raw events (map-side
+    combined); everything downstream lives on the DAY domain
+    (calendar-bounded) — broadcast scalar joins and one bounded
+    (day, day+lag) self-join, no window."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_CC_X, _CC_Y))
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("m")
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "x", (F.col("y") * F.col("n") - F.col("m")).alias("z")
+    )
+    zx = z.filter(F.col("event_type") == _CC_X)
+    zy = z.filter(F.col("event_type") == _CC_Y)
+    den = (
+        zx.agg(F.sqrt(F.sum(F.col("z") * F.col("z")).cast("double")).alias("dx"))
+        .crossJoin(
+            F.broadcast(
+                zy.agg(
+                    F.sqrt(
+                        F.sum(F.col("z") * F.col("z")).cast("double")
+                    ).alias("dy")
+                )
+            )
+        )
+        .select((F.col("dx") * F.col("dy")).alias("d"))
+    )
+    a = zx.select(F.col("x").alias("ax"), F.col("z").alias("az"))
+    b = zy.select(F.col("x").alias("bx"), F.col("z").alias("bz"))
+    num = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bx") - F.col("ax")).isin(*_CC_LAGS),
+        )
+        .groupBy((F.col("bx") - F.col("ax")).alias("lag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("az") * F.col("bz")).alias("nk"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .filter(F.col("d") > 0)
+        .select(
+            "lag",
+            "n_pairs",
+            round4det(F.col("nk").cast("double") / F.col("d")).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

@@ -2061,3 +2061,113 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hamming"),
         )
     )
+
+
+# ------------------------------------------------------- exact AUC
+
+#: classifier-eval geometry: score = first embedding component
+#: (1e-6-tick quantized), positive class = label >= 5
+_AUC_POS_MIN = 5
+_AUC_BUCKET = 100_000.0
+
+
+@REG.register(
+    "q_ml_auc",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t, cnt, npos,
+                   CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS cum
+            FROM pt
+        ), s AS (
+            SELECT CAST(sum(npos * (2 * (cum - cnt) + cnt + 1))
+                        AS BIGINT) AS two_rpos,
+                   CAST(sum(npos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) AS BIGINT) AS n_all,
+                   CAST(count(*) AS BIGINT) AS n_scores
+            FROM c
+        )
+        SELECT n_pos, n_all - n_pos AS n_neg, n_scores,
+               {oracle_round4det(
+                   "CAST(two_rpos - n_pos * (n_pos + 1) AS DOUBLE)"
+                   " / CAST(2 * n_pos * (n_all - n_pos) AS DOUBLE)"
+               )} AS auc
+        FROM s
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a score column against a binary label over the
+    whole corpus, via the Mann-Whitney rank-sum identity with
+    tie-corrected average ranks — the model-eval aggregate every
+    quality-classifier training loop (fastText quality scores, LM
+    filtering) needs at corpus scale, where sklearn's sort-everything
+    approach is a single-node non-starter.
+
+    The scale trick: AUC never needs per-ROW ranks, only per-VALUE
+    cumulative mass — so the corpus compresses to the score-tick
+    domain (one map-side-combined groupBy), and the cumulative count
+    runs through operators/valuedomain.py's bucketed machinery (no
+    unpartitioned window, no tiny-domain fact window — the q_winsorize
+    re-plan applied to ranking). Tie groups contribute their exact
+    average rank via the HALF-RANK identity 2*avg_rank = 2*cum_before
+    + cnt + 1, keeping every term int64-exact; AUC = (2R+ - n+(n+ +1))
+    / (2 n+ n-) performs ONE double division at the end.
+
+    Determinism: score ticks are 1e-6 half-up quantized (FLOAT cast to
+    DOUBLE first, the q_embed_stats discipline); all sums are exact
+    int64; the final ratio divides identical doubles."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    x = F.element_at("embedding", 1).cast("double")
+    t = (
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)
+    ).cast("long")
+    pt = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"), F.sum("pos").alias("npos"))
+        .withColumn("g", F.lit(0))
+    )
+    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
+    s = c.agg(
+        F.sum(
+            F.col("npos")
+            * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("two_rpos"),
+        F.min("tot_npos").alias("n_pos"),
+        F.min("tot_cnt").alias("n_all"),
+        F.count("*").alias("n_scores"),
+    )
+    return s.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        "n_scores",
+        round4det(
+            (
+                F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (
+                2 * F.col("n_pos") * (F.col("n_all") - F.col("n_pos"))
+            ).cast("double")
+        ).alias("auc"),
+    )

@@ -307,6 +307,10 @@ NESTED_LOOP_OK = {
                              # the convergence flag
     "q_graph_bfs",           # 1-row count x 1-row count unreached /
                              # converged flags (kcore precedent)
+    "q_ts_cross_corr",       # lag join over the calendar DAY domain
+                             # (two ~n_days-row sides, q_ts_holt
+                             # bounded-series class) + 1-row denom
+                             # broadcast
     "q_sim_ann_ivf_exact",   # centroid cross join is n_cells-bounded
                              # (q_sim_ann_ivf precedent)
     "q_sample_balanced",     # 1-row min-class-count broadcast into
