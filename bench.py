@@ -152,6 +152,7 @@ EXTENDED = [
     "q_graph_bfs",        # unrolled multi-source BFS
     "q_ts_cross_corr",    # lead-lag daily cross-correlation
     "q_ml_auc",           # exact rank-sum ROC-AUC
+    "q_source_binary",    # binaryFile payload round-trip
 ]
 
 

@@ -1277,3 +1277,73 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(_BPE_TOPK)
     )
+
+
+# ------------------------------------------- binary source round-trip
+
+#: every 17th document is exported as a standalone payload file
+_BIN_MOD = 17
+
+
+@REG.register(
+    "q_source_binary",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS digest
+        FROM documents
+        WHERE doc_id % {_BIN_MOD} = 0
+        ORDER BY doc_id
+    """,
+)
+def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary source/sink round-trip over Spark's `binaryFile` format —
+    the ingestion path for opaque multimodal payloads (images, audio;
+    operators/multimodal.py consumes exactly this shape). Every 17th
+    document's UTF-8 bytes are exported as one standalone `.bin` file
+    by the EXECUTORS (foreachPartition — a distributed payload export,
+    no driver materialization), read back via
+    `spark.read.format("binaryFile")`, and the per-file byte length +
+    md5 digest must hash-match digests recomputed from the source
+    table — any byte lost or reordered in either direction trips the
+    gate.
+
+    Scale: the export parallelizes per partition (at 100 TB this is
+    the payload-extraction job writing to object storage); binaryFile
+    reads are split per file with pushed path filters. The comparison
+    aggregate is one scan each side.
+
+    Determinism: md5 over UTF-8 bytes is bit-identical in both engines
+    (Spark hashes the binary content; DuckDB hashes the VARCHAR's
+    UTF-8 encoding — same bytes by construction)."""
+    import shutil
+
+    out = _roundtrip_dir(spark, sf_dir, "binary")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    sel = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BIN_MOD == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_part(rows):
+        for r in rows:
+            path = os.path.join(out, f"doc_{r.doc_id:010d}.bin")
+            with open(path, "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    sel.foreachPartition(write_part)
+    back = spark.read.format("binaryFile").load(out)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("path"), r"doc_(\d+)\.bin$", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("byte_len"),
+            F.md5("content").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
