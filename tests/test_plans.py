@@ -307,6 +307,11 @@ NESTED_LOOP_OK = {
                              # the convergence flag
     "q_graph_bfs",           # 1-row count x 1-row count unreached /
                              # converged flags (kcore precedent)
+    "q_ml_auc",              # triangular offset join over the score-
+                             # BUCKET summary (~tick_range/bucket_width
+                             # rows, a constant of the value domain —
+                             # q_sort_nulls class); the group key is a
+                             # literal so Catalyst folds the equi side
     "q_ts_cross_corr",       # lag join over the calendar DAY domain
                              # (two ~n_days-row sides, q_ts_holt
                              # bounded-series class) + 1-row denom
