@@ -153,6 +153,8 @@ EXTENDED = [
     "q_ts_cross_corr",    # lead-lag daily cross-correlation
     "q_ml_auc",           # exact rank-sum ROC-AUC
     "q_source_binary",    # binaryFile payload round-trip
+    "q_ml_confusion",     # langid confusion census
+    "q_ml_mrr",           # retrieval mean reciprocal rank
 ]
 
 

@@ -2171,3 +2171,96 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------- retrieval MRR
+
+_MRR_K = 5
+_MRR_NQ = 10
+
+
+@REG.register(
+    "q_ml_mrr",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT qid, ql, nl, rn FROM (
+                SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_AB} DESC, b.vec_id ASC
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+                WHERE a.vec_id < {_MRR_NQ}
+            ) WHERE rn <= {_MRR_K}
+        ), hits AS (
+            SELECT qid, CAST(min(rn) AS BIGINT) AS first_rel
+            FROM ranked WHERE nl = ql GROUP BY qid
+        ), q AS (
+            SELECT vec_id AS qid FROM embeddings
+            WHERE vec_id < {_MRR_NQ}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(count(h.first_rel) AS BIGINT) AS n_hit,
+               CAST(floor(CAST(sum(COALESCE(1000000 // h.first_rel, 0))
+                               AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mrr_ppm
+        FROM q LEFT JOIN hits h ON q.qid = h.qid
+    """,
+)
+def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval mean reciprocal rank: for each query vector
+    (vec_id < {nq}), rank the exact cosine top-{k} and score the rank
+    of the first SAME-LABEL neighbor — the metric that certifies an
+    ANN index (q_sim_ann_ivf / q_sim_pairs_lsh) is retrieving
+    semantically right, completing the eval trio with q_ml_auc
+    (thresholds) and q_ml_confusion (hard decisions).
+
+    Determinism: reciprocal ranks ride exact integers (1e6 `div`
+    rank — floor semantics both engines), so the mean is an exact int
+    sum with one floor-divide; the ranking reuses the q_sim_knn
+    fold-order cosine discipline with full tiebreaks.
+
+    Plan: brute_force_knn broadcasts the {nq}-row query side against
+    the corpus scan (never corpus x corpus); label joins key on
+    vec_id; the final aggregate is one row."""
+    emb = load(spark, sf_dir, "embeddings")
+    top = brute_force_knn(
+        emb, emb.filter(F.col("vec_id") < _MRR_NQ), k=_MRR_K
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    hits = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .filter(F.col("nl") == F.col("ql"))
+        .groupBy("query_id")
+        .agg(F.min("rn").cast("long").alias("first_rel"))
+    )
+    q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        q.join(F.broadcast(hits), "query_id", "left")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count("first_rel").alias("n_hit"),
+            F.floor(
+                F.sum(
+                    F.coalesce(
+                        F.expr("1000000 div first_rel"), F.lit(0)
+                    )
+                ).cast("double")
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mrr_ppm"),
+        )
+    )
+
+
+q_ml_mrr.__doc__ = q_ml_mrr.__doc__.format(nq=_MRR_NQ, k=_MRR_K)

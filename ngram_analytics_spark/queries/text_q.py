@@ -713,3 +713,84 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score_ppm"),
         )
     )
+
+
+@REG.register(
+    "q_ml_confusion",
+    oracle=f"""
+        WITH p AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+                   CASE WHEN {_SW_RATIO} >= 0.05 THEN 1 ELSE 0 END
+                       AS pred
+            FROM documents
+        ), c AS (
+            SELECT
+                CAST(sum(truth * pred) AS BIGINT) AS tp,
+                CAST(sum((1 - truth) * pred) AS BIGINT) AS fp,
+                CAST(sum(truth * (1 - pred)) AS BIGINT) AS fn,
+                CAST(sum((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+            FROM p
+        )
+        SELECT tp, fp, fn, tn,
+               CAST(floor((tp + tn) * 1000000.0 / (tp + fp + fn + tn))
+                    AS BIGINT) AS accuracy_ppm,
+               CAST(floor(tp * 1000000.0 / NULLIF(tp + fp, 0))
+                    AS BIGINT) AS precision_ppm,
+               CAST(floor(tp * 1000000.0 / NULLIF(tp + fn, 0))
+                    AS BIGINT) AS recall_ppm,
+               CAST(floor(2 * tp * 1000000.0
+                          / NULLIF(2 * tp + fp + fn, 0))
+                    AS BIGINT) AS f1_ppm
+        FROM c
+    """,
+)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion census for the q_text_langid
+    heuristic against the true lang label (en vs non-en): exact
+    TP/FP/FN/TN counts plus floor-ppm accuracy / precision / recall /
+    F1 — the eval aggregate every filtering-model training loop reads
+    before promoting a classifier to the corpus pipeline (with
+    q_ml_auc covering the threshold-free ranking view).
+
+    Plan: ONE scan, per-row flag expressions, a single global
+    aggregate (map-side combined, 4 integer sums). Nothing shuffles
+    but the 4-cell partial aggregates — constant state at any corpus
+    size.
+
+    Determinism: integer counts, floor-ppm ratios, NULLIF guards on
+    the degenerate all-one-class corpus."""
+    df = tokenized_docs(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / F.size("tokens")
+    )
+    p = df.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
+    )
+    c = p.agg(
+        F.sum(F.col("truth") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("truth")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("truth") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+
+    def ppm(num, den):
+        return F.floor(num * F.lit(1_000_000.0) / F.nullif(den, F.lit(0))).cast(
+            "long"
+        )
+
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ppm(tp + tn, tp + fp + fn + tn).alias("accuracy_ppm"),
+        ppm(tp, tp + fp).alias("precision_ppm"),
+        ppm(tp, tp + fn).alias("recall_ppm"),
+        ppm(2 * tp, 2 * tp + fp + fn).alias("f1_ppm"),
+    )

@@ -307,6 +307,9 @@ NESTED_LOOP_OK = {
                              # the convergence flag
     "q_graph_bfs",           # 1-row count x 1-row count unreached /
                              # converged flags (kcore precedent)
+    "q_ml_mrr",              # brute_force_knn: broadcast 10-row query
+                             # side against the corpus scan (q_sim_knn
+                             # class)
     "q_ml_auc",              # triangular offset join over the score-
                              # BUCKET summary (~tick_range/bucket_width
                              # rows, a constant of the value domain —
