@@ -155,6 +155,8 @@ EXTENDED = [
     "q_source_binary",    # binaryFile payload round-trip
     "q_ml_confusion",     # langid confusion census
     "q_ml_mrr",           # retrieval mean reciprocal rank
+    "q_ngram_kneser_ney", # KN-smoothed bigram LM estimation
+    "q_text_cloze",       # deterministic MLM masking
 ]
 
 

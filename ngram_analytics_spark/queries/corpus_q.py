@@ -777,3 +777,112 @@ def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("total_mass"),
         round4det(gini).alias("gini"),
     )
+
+
+# ------------------------------------------- Kneser-Ney smoothed LM
+
+#: absolute discount 3/4 — exact in binary, so the discounted mass
+#: arithmetic is bit-identical cross-engine
+_KN_D = 0.75
+_KN_TOPK = 30
+
+
+@REG.register(
+    "q_ngram_kneser_ney",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {TOKENS} AS toks FROM documents
+        ), bg AS (
+            SELECT unnest({ngrams_sql("toks", 2)}) AS bg FROM t
+        ), bc AS (
+            SELECT bg, string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2,
+                   CAST(count(*) AS BIGINT) AS c_bi
+            FROM bg GROUP BY bg
+        ), marg AS (
+            SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_hist,
+                   CAST(count(*) AS BIGINT) AS n_types_fwd
+            FROM bc GROUP BY w1
+        ), cont AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n_types_bwd
+            FROM bc GROUP BY w2
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc
+        )
+        SELECT b.bg, b.c_bi,
+               m.c_hist, m.n_types_fwd, c.n_types_bwd,
+               {oracle_round4det(
+                   f"(CAST(b.c_bi AS DOUBLE) - {_KN_D}) / m.c_hist"
+                   f" + ({_KN_D} * m.n_types_fwd / m.c_hist)"
+                   f" * (CAST(c.n_types_bwd AS DOUBLE) / t.n_types)"
+               )} AS p_kn
+        FROM bc b
+        JOIN marg m ON b.w1 = m.w1
+        JOIN cont c ON b.w2 = c.w2
+        CROSS JOIN tot t
+        ORDER BY b.c_bi DESC, b.bg ASC LIMIT {_KN_TOPK}
+    """,
+)
+def q_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount 3/4) for
+    the corpus' top-{k} bigrams — the smoothing that made n-gram LMs
+    competitive (Kneser & Ney 1995; the estimation layer the reference
+    domain's n-gram counts feed): discounted MLE mass plus a
+    continuation-probability backoff, where P_cont(w2) counts how many
+    DISTINCT histories precede w2 rather than raw frequency.
+
+    Plan: after the one bigram explode (map-side-combined count,
+    the q_ngram_topk shape), every table lives on the bigram-TYPE /
+    vocabulary domain: forward marginals and continuation-type counts
+    are groupBys over the type table, the type total is a 1-row
+    broadcast, and the probability assembly joins on w1 / w2 keys. At
+    100 TB the raw-token pass is the only data-sized stage.
+
+    Determinism: all counts exact int64; D = 0.75 is exact binary, so
+    the discount/interpolation arithmetic performs identical IEEE ops
+    on identical inputs in both engines; top-{k} ties break on the
+    bigram string."""
+    t = spread(load(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("toks")
+    )
+    bg = t.select(
+        F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    bc = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c_bi"))
+        .select(
+            "bg",
+            "c_bi",
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+    )
+    marg = bc.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_hist"), F.count("*").alias("n_types_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n_types_bwd"))
+    tot = bc.agg(F.count("*").alias("n_types"))
+    p_kn = (
+        (F.col("c_bi").cast("double") - F.lit(_KN_D)) / F.col("c_hist")
+        + (F.lit(_KN_D) * F.col("n_types_fwd") / F.col("c_hist"))
+        * (F.col("n_types_bwd").cast("double") / F.col("n_types"))
+    )
+    return (
+        bc.join(F.broadcast(marg), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "c_bi",
+            "c_hist",
+            "n_types_fwd",
+            "n_types_bwd",
+            round4det(p_kn).alias("p_kn"),
+        )
+        .orderBy(F.col("c_bi").desc(), F.col("bg").asc())
+        .limit(_KN_TOPK)
+    )
+
+
+q_ngram_kneser_ney.__doc__ = q_ngram_kneser_ney.__doc__.format(k=_KN_TOPK)

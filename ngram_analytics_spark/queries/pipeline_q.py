@@ -1347,3 +1347,108 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------- deterministic MLM masking
+
+#: every token whose (doc_id, position) hash lands on 0 mod 7 is
+#: masked (~14% corruption, the BERT/T5 band)
+_CLOZE_MOD = 7
+_CLOZE_TOKEN = "<mask>"
+
+
+@REG.register(
+    "q_text_cloze",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {TOKENS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id, toks,
+                   list_transform(
+                       range(1, len(toks) + 1),
+                       i -> CAST('0x' || substring(
+                               md5(CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)), 1, 8)
+                            AS BIGINT) % {_CLOZE_MOD} = 0
+                   ) AS mask
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(1, len(toks) + 1),
+                                    i -> mask[i])) AS BIGINT)
+                   AS n_masked,
+               array_to_string(
+                   list_transform(range(1, len(toks) + 1),
+                       i -> CASE WHEN mask[i] THEN '{_CLOZE_TOKEN}'
+                                 ELSE toks[i] END), ' ') AS input_text,
+               COALESCE(array_to_string(
+                   list_transform(
+                       list_filter(range(1, len(toks) + 1),
+                                   i -> mask[i]),
+                       i -> toks[i]), ' '), '') AS target_text
+        FROM m
+    """,
+)
+def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-language-model corruption (BERT/T5-style
+    data prep): every token whose (doc_id, position) md5 lands on
+    0 mod {m} is replaced by the mask sentinel in the input and
+    collected in order as the prediction target — the final transform
+    a denoising-pretraining pipeline applies before packing
+    (q_pack_sequences) and sharding (q_shard_assign).
+
+    Cross-engine reproducible BY CONSTRUCTION: masking decisions ride
+    the md5-prefix integer (bit-identical both engines), so the exact
+    same positions mask everywhere — unlike RNG-based corruption,
+    which can never be re-derived for audit. Per-row lambda only, zero
+    shuffles — embarrassingly parallel at any corpus size.
+
+    The position lambda indexes `sequence(1, n_tokens)`; split() never
+    returns an empty array (even '' tokenizes to ['']) so the
+    sequence(1, 0) descending hazard cannot arise here."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks))
+    is_masked = (
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CLOZE_MOD
+        == 0
+    )
+    masked_idx = F.filter(idx, is_masked)
+    return spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(masked_idx).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    is_masked(i), F.lit(_CLOZE_TOKEN)
+                ).otherwise(F.element_at(toks, i)),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(masked_idx, lambda i: F.element_at(toks, i)),
+            " ",
+        ).alias("target_text"),
+    )
+
+
+q_text_cloze.__doc__ = q_text_cloze.__doc__.format(m=_CLOZE_MOD)

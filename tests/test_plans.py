@@ -307,6 +307,8 @@ NESTED_LOOP_OK = {
                              # the convergence flag
     "q_graph_bfs",           # 1-row count x 1-row count unreached /
                              # converged flags (kcore precedent)
+    "q_ngram_kneser_ney",    # 1-row bigram-type-total broadcast
+                             # (q_text_collocation class)
     "q_ml_mrr",              # brute_force_knn: broadcast 10-row query
                              # side against the corpus scan (q_sim_knn
                              # class)
