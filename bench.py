@@ -157,6 +157,7 @@ EXTENDED = [
     "q_ml_mrr",           # retrieval mean reciprocal rank
     "q_ngram_kneser_ney", # KN-smoothed bigram LM estimation
     "q_text_cloze",       # deterministic MLM masking
+    "q_attribution_decay",  # multi-touch time-decay credit
 ]
 
 

@@ -51,6 +51,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_mrr",
     "q_ngram_kneser_ney",
     "q_text_cloze",
+    "q_attribution_decay",
     # --- oldest-first re-certification: the r1 cohort ---
     "q_ngram_bigram",
     "q_ngram_trigram",
@@ -83,7 +84,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_having",
-    "q_win_analytic",
 )
 
 #: r6's deferred queue is fully promoted into the r7 window above.
@@ -92,6 +92,7 @@ DEFERRED_R7: tuple[str, ...] = ()
 #: Tail of the r1-cohort re-certification rotation — queued at
 #: positions 51+ so they lead the round-8 graded window.
 DEFERRED_R8: tuple[str, ...] = (
+    "q_win_analytic",
     "q_win_rank",
     "q_win_frame",
     "q_sort_limit",

@@ -1625,3 +1625,127 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+#: time-decay attribution: clicks within 7 days credit a purchase with
+#: weight 2^-days_before — powers of two keep every weight, weight sum
+#: (multiples of 1/64), and share EXACT in binary
+_AD_WINDOW_D = 7
+
+
+@REG.register(
+    "q_attribution_decay",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ec,
+                   'ch' || CAST(CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT) % 4 AS VARCHAR)
+                       AS channel
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT event_id AS pid, user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT p.pid, p.value, c.channel,
+                   1.0 / (1 << CAST((p.ep - c.ec) // 86400 AS INTEGER))
+                       AS w
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ec < p.ep
+             AND (p.ep - c.ec) // 86400 < {_AD_WINDOW_D}
+        ), tw AS (
+            SELECT pid, sum(w) AS wsum FROM touch GROUP BY pid
+        ), credit AS (
+            SELECT t.channel, t.pid,
+                   floor(abs(t.value * (t.w / s.wsum)) * 10000.0 + 0.5)
+                       * (CASE WHEN t.value < 0 THEN -1 ELSE 1 END)
+                       AS ticks
+            FROM touch t JOIN tw s ON t.pid = s.pid
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(ticks AS BIGINT)) AS DOUBLE) / 10000.0
+                   AS credit
+        FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: every purchase distributes
+    its revenue across ALL of the same user's clicks in the preceding
+    {d} days, weighted 2^-days_before and normalized per purchase;
+    credits roll up by the click's channel (props.k mod 4) — the
+    fractional-credit complement to q_attribution's last-touch model.
+
+    The determinism trick that makes fractional credit certifiable:
+    the decay base is a POWER OF TWO, so each weight (1/2^d), each
+    per-purchase weight sum (a multiple of 1/64 far below 2^53), and
+    each share division are EXACT in IEEE doubles on both engines; the
+    only inexact product (value * share) quantizes per-row to 1e-4
+    ticks summed in int64 — order-independent, the dsum_fixed
+    discipline.
+
+    Plan: clicks and purchases join once, hash-keyed on user_id, with
+    the decay window as a residual range filter; the per-purchase
+    weight sum is a pid-keyed agg joined back (both map-side
+    combinable); the channel rollup is a 4-group aggregate. No
+    windows, no driver state."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ec"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 4).cast(
+                "string"
+            ),
+        ).alias("channel"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    d = F.expr("(ep - ec) div 86400")
+    touch = (
+        p.join(c, "user_id")
+        .filter((F.col("ec") < F.col("ep")) & (d < _AD_WINDOW_D))
+        .select(
+            "pid",
+            "value",
+            "channel",
+            (
+                F.lit(1.0)
+                / F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST((ep - ec) div 86400 AS INT))"
+                )
+            ).alias("w"),
+        )
+    )
+    tw = touch.groupBy("pid").agg(F.sum("w").alias("wsum"))
+    share_credit = F.col("value") * (F.col("w") / F.col("wsum"))
+    ticks = (
+        F.floor(F.abs(share_credit) * 1e4 + F.lit(0.5))
+        * F.when(F.col("value") < 0, -1).otherwise(1)
+    ).cast("long")
+    return (
+        touch.join(tw, "pid")
+        .select("channel", "pid", ticks.alias("ticks"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases"),
+            (F.sum("ticks").cast("double") / F.lit(10000.0)).alias(
+                "credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+q_attribution_decay.__doc__ = q_attribution_decay.__doc__.format(
+    d=_AD_WINDOW_D
+)
