@@ -1022,24 +1022,40 @@ def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: multiply-by-+/-1.0 is exact; sums are left-associated
     identical chains both engines; sqrt is IEEE correctly-rounded;
-    ratios divide identical doubles; 4-dp half-up emit."""
+    ratios divide identical doubles; 4-dp half-up emit.
+
+    Implementation note: each projection is ONE F.expr() SQL string
+    (Spark array indexing is 0-based: v[i] == embedding[i+1] in the
+    oracle) — building the 8 x 64-term chain from nested Column
+    operator calls costs ~1.7 s of py4j round-trips at PLAN
+    CONSTRUCTION time, which the in-timer methodology rightly counts
+    (measured 2.05 -> ~0.45 s end-to-end). Multiplication by +/-1.0
+    is exact, so the `v[i] * -1.0D` spelling is bit-identical to the
+    oracle's `CAST(embedding[i+1] AS DOUBLE) * -1.0`."""
     v = F.col("embedding").cast("array<double>")
 
-    def proj(t: int) -> "F.Column":
-        out = F.element_at(v, 1) * F.lit(float(_RP_S[t][0]))
-        for i in range(1, _RP_IN):
-            out = out + F.element_at(v, i + 1) * F.lit(float(_RP_S[t][i]))
-        return out / F.sqrt(F.lit(float(_RP_OUT)))
+    def proj_sql(t: int) -> str:
+        terms = " + ".join(
+            f"v[{i}] * {float(_RP_S[t][i])}D" for i in range(_RP_IN)
+        )
+        return f"({terms}) / sqrt({float(_RP_OUT)}D)"
 
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id",
-        *[proj(t).alias(f"q{t}") for t in range(_RP_OUT)],
-        l2_norm(v).alias("onorm_raw"),
+        v.alias("v"),
+    ).select(
+        "vec_id",
+        *[F.expr(proj_sql(t)).alias(f"q{t}") for t in range(_RP_OUT)],
+        l2_norm(F.col("v")).alias("onorm_raw"),
     )
-    sq = F.col("q0") * F.col("q0")
-    for t in range(1, _RP_OUT):
-        sq = sq + F.col(f"q{t}") * F.col(f"q{t}")
-    n = base.withColumn("pnorm_raw", F.sqrt(sq))
+    n = base.withColumn(
+        "pnorm_raw",
+        F.expr(
+            "sqrt("
+            + " + ".join(f"q{t} * q{t}" for t in range(_RP_OUT))
+            + ")"
+        ),
+    )
     return n.select(
         "vec_id",
         *[round4det(F.col(f"q{t}")).alias(f"p{t}") for t in range(4)],
