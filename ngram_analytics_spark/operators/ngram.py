@@ -159,3 +159,50 @@ def skipgrams_sql(tokens_expr: str, skip: int = 1) -> str:
         f"list_transform(range(1, len({tokens_expr}) - {gap} + 1), "
         f"i -> ({tokens_expr})[i] || ' ' || ({tokens_expr})[i + {gap}])"
     )
+
+
+def kneser_ney_bigram(bc: "DataFrame", discount: float = 0.75) -> "DataFrame":
+    """Interpolated Kneser-Ney bigram probability table.
+
+    ``bc`` must carry one row per bigram TYPE: columns ``bg`` (the
+    bigram string), ``c_bi`` (its corpus count), ``w1``/``w2`` (its
+    halves). Returns ``bc`` plus ``c_hist`` (forward marginal),
+    ``n_types_fwd`` / ``n_types_bwd`` (distinct-continuation /
+    distinct-history type counts), ``n_types`` (total bigram types)
+    and ``p_kn`` — the unrounded interpolated-KN probability
+    max-free form (counts >= 1 so c - D > 0 at D < 1):
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                 + D * N1+(w1 .) / c(w1 .) * N1+(. w2) / N1+(. .)
+
+    Every input quantity is an exact int64; ``discount`` should be
+    exact in binary (0.75 default) so the assembly arithmetic is
+    bit-identical cross-engine (see q_ngram_kneser_ney's oracle).
+
+    Scale: all tables live on the bigram-type / vocabulary domain
+    (w1/w2-keyed groupBys + broadcast joins, 1-row type total); the
+    caller's token pass is the only data-sized stage.
+
+    The distribution property (for every observed history w1, the
+    probabilities over the FULL vocabulary sum to 1 exactly —
+    discounted mass + lambda * total continuation mass) is pinned in
+    tests/test_operators.py::test_kneser_ney_sums_to_one.
+    """
+    from pyspark.sql import functions as F
+
+    marg = bc.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_hist"), F.count("*").alias("n_types_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n_types_bwd"))
+    tot = bc.agg(F.count("*").alias("n_types"))
+    p_kn = (
+        (F.col("c_bi").cast("double") - F.lit(discount)) / F.col("c_hist")
+        + (F.lit(discount) * F.col("n_types_fwd") / F.col("c_hist"))
+        * (F.col("n_types_bwd").cast("double") / F.col("n_types"))
+    )
+    return (
+        bc.join(F.broadcast(marg), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p_kn", p_kn)
+    )

@@ -858,27 +858,17 @@ def q_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("bg", " ").getItem(1).alias("w2"),
         )
     )
-    marg = bc.groupBy("w1").agg(
-        F.sum("c_bi").alias("c_hist"), F.count("*").alias("n_types_fwd")
-    )
-    cont = bc.groupBy("w2").agg(F.count("*").alias("n_types_bwd"))
-    tot = bc.agg(F.count("*").alias("n_types"))
-    p_kn = (
-        (F.col("c_bi").cast("double") - F.lit(_KN_D)) / F.col("c_hist")
-        + (F.lit(_KN_D) * F.col("n_types_fwd") / F.col("c_hist"))
-        * (F.col("n_types_bwd").cast("double") / F.col("n_types"))
-    )
+    from ngram_analytics_spark.operators.ngram import kneser_ney_bigram
+
     return (
-        bc.join(F.broadcast(marg), "w1")
-        .join(F.broadcast(cont), "w2")
-        .crossJoin(F.broadcast(tot))
+        kneser_ney_bigram(bc, discount=_KN_D)
         .select(
             "bg",
             "c_bi",
             "c_hist",
             "n_types_fwd",
             "n_types_bwd",
-            round4det(p_kn).alias("p_kn"),
+            round4det(F.col("p_kn")).alias("p_kn"),
         )
         .orderBy(F.col("c_bi").desc(), F.col("bg").asc())
         .limit(_KN_TOPK)

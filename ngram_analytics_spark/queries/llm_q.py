@@ -2144,48 +2144,22 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: score ticks are 1e-6 half-up quantized (FLOAT cast to
     DOUBLE first, the q_embed_stats discipline); all sums are exact
     int64; the final ratio divides identical doubles."""
-    from ngram_analytics_spark.operators.valuedomain import (
-        grouped_value_cumsum,
-    )
+    from ngram_analytics_spark.operators.ml_eval import exact_auc
 
     x = F.element_at("embedding", 1).cast("double")
     t = (
         F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)
     ).cast("long")
-    pt = (
-        load(spark, sf_dir, "embeddings")
-        .select(
-            t.alias("t"),
-            F.when(F.col("label") >= _AUC_POS_MIN, 1)
-            .otherwise(0)
-            .alias("pos"),
-        )
-        .groupBy("t")
-        .agg(F.count("*").alias("cnt"), F.sum("pos").alias("npos"))
-        .withColumn("g", F.lit(0))
-    )
-    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
-    s = c.agg(
-        F.sum(
-            F.col("npos")
-            * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
-        ).alias("two_rpos"),
-        F.min("tot_npos").alias("n_pos"),
-        F.min("tot_cnt").alias("n_all"),
-        F.count("*").alias("n_scores"),
-    )
-    return s.select(
+    return exact_auc(
+        load(spark, sf_dir, "embeddings"),
+        t,
+        F.when(F.col("label") >= _AUC_POS_MIN, 1).otherwise(0),
+        bucket_width=_AUC_BUCKET,
+    ).select(
         "n_pos",
-        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        "n_neg",
         "n_scores",
-        round4det(
-            (
-                F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)
-            ).cast("double")
-            / (
-                2 * F.col("n_pos") * (F.col("n_all") - F.col("n_pos"))
-            ).cast("double")
-        ).alias("auc"),
+        round4det(F.col("auc_raw")).alias("auc"),
     )
 
 

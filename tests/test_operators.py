@@ -1246,3 +1246,78 @@ def test_embed_rp_norm_concentration(spark):
     mean = sum(ratios) / len(ratios)
     assert 0.75 <= mean <= 1.25, mean
     assert min(ratios) > 0.05
+
+
+def test_exact_auc_known_values(spark):
+    """Mann-Whitney AUC on crafted frames with hand-computable truth:
+    perfect separation -> 1.0, inverted -> 0.0, all-tied scores ->
+    exactly 0.5 (the tie-corrected average-rank identity), and a mixed
+    case cross-checked against the O(n^2) pair definition."""
+    from pyspark.sql import functions as F
+
+    from ngram_analytics_spark.operators.ml_eval import exact_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "t long, pos int")
+        r = exact_auc(
+            df, F.col("t"), F.col("pos"), bucket_width=10.0
+        ).collect()[0]
+        return r.auc_raw
+
+    perfect = [(i, 0) for i in range(10)] + [(10 + i, 1) for i in range(10)]
+    assert auc_of(perfect) == 1.0
+    inverted = [(i, 1) for i in range(10)] + [(10 + i, 0) for i in range(10)]
+    assert auc_of(inverted) == 0.0
+    tied = [(7, 1)] * 5 + [(7, 0)] * 5
+    assert auc_of(tied) == 0.5
+
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    mixed = [(rng.randrange(0, 8), rng.randrange(0, 2)) for _ in range(60)]
+    pos = [t for t, p in mixed if p == 1]
+    neg = [t for t, p in mixed if p == 0]
+    pairs = list(itertools.product(pos, neg))
+    truth = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a, b in pairs
+    ) / len(pairs)
+    assert abs(auc_of(mixed) - truth) < 1e-12
+
+
+def test_kneser_ney_sums_to_one(spark):
+    """Interpolated KN is a proper conditional distribution: for every
+    observed history w1, summing P(w2|w1) over the FULL bigram-type
+    vocabulary (observed continuations get the discounted+backoff
+    term, unobserved ones just lambda * P_cont) equals 1 exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ngram_analytics_spark.operators.ngram import kneser_ney_bigram
+
+    corpus = (
+        "the cat sat on the mat the cat ran the dog sat on a mat "
+        "a dog ran fast the fast cat"
+    ).split()
+    bigrams = Counter(zip(corpus, corpus[1:]))
+    bc = spark.createDataFrame(
+        [(f"{a} {b}", c, a, b) for (a, b), c in bigrams.items()],
+        "bg string, c_bi long, w1 string, w2 string",
+    )
+    tbl = kneser_ney_bigram(bc, discount=0.75).collect()
+    # P_cont over the full vocab and per-history lambda from the table
+    n_types = tbl[0].n_types
+    cont = {}
+    lam = {}
+    obs = {}
+    for r in tbl:
+        cont[r.w2] = r.n_types_bwd / n_types
+        lam[r.w1] = 0.75 * r.n_types_fwd / r.c_hist
+        obs.setdefault(r.w1, 0.0)
+        obs[r.w1] += (r.c_bi - 0.75) / r.c_hist
+    total_cont = sum(cont.values())
+    assert abs(total_cont - 1.0) < 1e-12
+    for w1 in lam:
+        full = obs[w1] + lam[w1] * total_cont
+        assert abs(full - 1.0) < 1e-12, (w1, full)
