@@ -287,12 +287,16 @@ def main() -> int:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Detail (extended timings, run counts, retries) goes to an EARLIER
-    # stdout line and a sidecar file: the driver captures only the TAIL
-    # of stdout and parses the LAST line — round 4's 76-entry
-    # extended_queries dict inlined in the final JSON overflowed that
-    # window and voided the official bench signal (BENCH_r04 parsed:
-    # null). The final line stays compact and bounded.
+    # Detail (extended timings, run counts, retries) goes ONLY to the
+    # bench_detail.json sidecar — NEVER to stdout.  History: round 4
+    # inlined the 76-entry extended dict in the final JSON and the
+    # driver's bounded tail capture voided the record (BENCH_r04
+    # parsed: null); round 7 printed the detail on an earlier stdout
+    # line and the tail sliced it so 57 extended_spread RATIOS read as
+    # per-query seconds (VERDICT r7 "What's wrong" §1).  Stdout now
+    # carries exactly one JSON line — the compact headline — so no tail
+    # window of any size can capture anything else
+    # (tests/test_docs.py::test_bench_stdout_is_headline_only).
     detail = {
         "metric": "bench_detail",
         "base_passes": n_passes,
@@ -312,7 +316,6 @@ def main() -> int:
         "w",
     ) as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps(detail))
     print(
         json.dumps(
             {

@@ -1217,9 +1217,16 @@ _BPE_TOPK = 50
             WHERE tok != ''
             GROUP BY tok
         ), p AS (
+            -- correlated unnest: i spans 1..length(tok)-1 PER TOKEN
+            -- (no fixed upper bound — a range(1, 1000) cross join
+            -- would silently drop pairs past position 999 of a long
+            -- token while the Spark side's sequence() is unbounded;
+            -- ADVICE r7 item 1)
             SELECT substring(tok, i, 2) AS pair, cnt
-            FROM w CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) r
-            WHERE i < length(tok)
+            FROM (
+                SELECT tok, cnt, unnest(range(1, length(tok))) AS i
+                FROM w
+            )
         )
         SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
         FROM p GROUP BY pair

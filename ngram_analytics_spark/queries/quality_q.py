@@ -651,7 +651,16 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.
 
     Determinism: integer counts; the balance bucket floors through the
-    integer-`div` convention; the ppm ratio is floor-quantized."""
+    integer-`div` convention; the ppm ratio is floor-quantized.
+
+    Bucket semantics note (ADVICE r7): `floor(c_acctbal) div 1000`
+    truncates toward zero at the div step, so balances in (-1000, 0)
+    share bucket 0 with [0, 1000) — a deliberately COARSER (more
+    k-anonymous) merged bucket around zero, identical in both engines
+    (DuckDB integer `//` truncates the same way). Distinct negative
+    buckets would need floor(c_acctbal / 1000.0) on both sides; the
+    merged spelling is kept because changing a certified QI definition
+    re-keys every equivalence class."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     cls = (

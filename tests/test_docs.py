@@ -69,3 +69,44 @@ def test_no_double_division_truncate_cast():
         "double-division-then-truncate-cast sites (spell integer "
         f"`div` or explicit floor()): {offenders}"
     )
+
+
+def test_bench_stdout_is_headline_only():
+    """bench.py must print EXACTLY one JSON line (the compact headline).
+
+    The driver tail-captures stdout: a detail dict on any earlier line
+    can be sliced into the capture window and misread — BENCH_r04 was
+    voided by an inlined extended dict, and BENCH_r07's tail recorded
+    57 extended_spread RATIOS as per-query seconds (VERDICT r7 "What's
+    wrong" §1).  Detail lives only in bench_detail.json."""
+    import ast
+
+    tree = ast.parse((REPO / "bench.py").read_text())
+    prints = [
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Name)
+        and node.func.id == "print"
+    ]
+    assert len(prints) == 1, (
+        f"bench.py has {len(prints)} print() calls; the driver's tail "
+        "capture requires stdout to be exactly the one headline line"
+    )
+
+
+def test_survey_declared_key_counts_match_registry():
+    """Any 'NNN declared keys' phrase in SURVEY.md must equal the live
+    registry size (VERDICT r7 "What's wrong" §4: Phase-7 prose said 289
+    while the registry held 294 — prose may never drift from code)."""
+    survey = (REPO / "SURVEY.md").read_text()
+    reg = build_registry()
+    stale = [
+        m
+        for m in re.findall(r"(\d+) declared (?:query )?keys", survey)
+        if int(m) != len(reg.queries)
+    ]
+    assert not stale, (
+        f"SURVEY.md claims declared-key counts {stale} but the registry "
+        f"holds {len(reg.queries)} — update the prose (or drop the number)"
+    )
