@@ -68,11 +68,6 @@ ROWS_ONLY_BY_DESIGN: dict[str, str] = {
         "approximate top-k by construction; recall vs brute_force_knn "
         "pinned in tests"
     ),
-    "q_sim_pairs_lsh": (
-        "MLlib BucketedRandomProjectionLSH hyperplanes are seeded-JVM "
-        "randomness, not SQL-expressible; precision 1.0 by exact "
-        "re-check, recall >= 0.9 vs the exact kernel pinned in tests"
-    ),
 }
 
 
