@@ -158,6 +158,8 @@ EXTENDED = [
     "q_ngram_kneser_ney", # KN-smoothed bigram LM estimation
     "q_text_cloze",       # deterministic MLM masking
     "q_attribution_decay",  # multi-touch time-decay credit
+    "q_sim_pairs_lsh",    # capped RP-banding similarity edges
+    "q_text_fingerprint_exact",  # certified winnowing fingerprint
 ]
 
 

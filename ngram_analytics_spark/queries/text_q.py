@@ -307,6 +307,85 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Winnowing window (Schleimer/Wilkerson/Aiken "local algorithms for
+#: document fingerprinting"): every w consecutive shingle hashes
+#: contribute their MIN, guaranteeing any match of length >= w + 7
+#: chars shares a fingerprint. w=4 over 8-char shingles.
+_FP_WINNOW_W = 4
+
+
+@REG.register(
+    "q_text_fingerprint_exact",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(text) - 7, 1) + 1),
+                       i -> CAST('0x' || substring(
+                                md5(substring(lower(text), i, 8)), 1, 8)
+                            AS BIGINT)) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min(hs) AS fp_min,
+               list_max(hs) AS fp_max,
+               CAST(len(hs) AS INTEGER) AS n_shingles,
+               CAST(len(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - {_FP_WINNOW_W - 1}, 1) + 1),
+                   j -> list_min(hs[j:j+{_FP_WINNOW_W - 1}])
+               ))) AS INTEGER) AS n_winnow
+        FROM h
+    """,
+)
+def q_text_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified winnowing fingerprint: md5-chunk rolling hashes over
+    character 8-gram shingles with the window-min (w=4) fingerprint
+    selection of Schleimer/Wilkerson/Aiken — the SQL-oracled twin of
+    q_text_fingerprint (xxhash64, rows-only since r1), completing the
+    hash-family certification program (MinHash / SimHash / Bloom /
+    count-min / IVF / RP-LSH twins, the q_dedup_simhash_exact
+    discipline; VERDICT r7 "What's missing" item 2).
+
+    Emits per doc: min/max shingle hash (the r1 query's columns, now
+    hash-certified values), shingle count, and the DISTINCT winnowed
+    fingerprint count (every w-window's min hash — the statistic a
+    fingerprint index would store per document).
+
+    Plan: scan -> spread (single-row-group testdata; no-op on a
+    many-split 100 TB input) -> ONE per-row projection computing the
+    hash array (CollapseProject keeps it single-evaluation: transform()
+    is non-cheap, so the 4 consumers below reference the materialized
+    column) -> per-row array folds. Zero shuffles, zero joins; the
+    md5-per-shingle cost is linear CPU that scales out with splits.
+
+    Determinism: hashes are exact int64s from the first 8 md5 hex
+    digits (bit-identical engines); min/max/distinct-count over exact
+    ints; the winnow slice clamps identically at the array tail."""
+    w = _FP_WINNOW_W
+    d = spread(load(spark, sf_dir, "documents")).withColumn(
+        "_hs",
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> CAST(conv(substring(md5(substring(lower(text), i, 8)),"
+            " 1, 8), 16, 10) AS BIGINT))"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min("_hs").alias("fp_min"),
+        F.array_max("_hs").alias("fp_max"),
+        F.size("_hs").alias("n_shingles"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_hs) - {w - 1},"
+                    f" 1)), j -> array_min(slice(_hs, j, {w})))"
+                )
+            )
+        ).alias("n_winnow"),
+    )
+
+
 @REG.register(
     "q_text_tokens",
     oracle="""

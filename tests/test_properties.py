@@ -577,3 +577,37 @@ def test_minhash_degenerate_band_is_skipped(spark):
     ]
     sig = spark.createDataFrame(rows)
     assert _mh_candidate_pairs(sig).count() == 0
+
+
+def test_winnowing_fingerprint_invariants(spark):
+    """q_text_fingerprint_exact structural guarantees (Schleimer/
+    Wilkerson/Aiken winnowing): the distinct winnowed-print count is
+    positive, never exceeds the window count (n_shingles - w + 1,
+    floored at 1), and identical texts produce identical fingerprint
+    rows (the property a fingerprint dedup index relies on)."""
+    from ngram_analytics_spark.queries.text_q import (
+        _FP_WINNOW_W,
+        q_text_fingerprint_exact,
+    )
+
+    got = q_text_fingerprint_exact(spark, "/root/testdata/sf0.001")
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert r.fp_min <= r.fp_max
+        assert 1 <= r.n_winnow <= max(r.n_shingles - _FP_WINNOW_W + 1, 1)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = docs.select("doc_id", F.lower("text").alias("t"))
+    fp = got.join(key, "doc_id")
+    # group by normalized text: every clone group must collapse to ONE
+    # distinct (fp_min, fp_max, n_winnow) triple
+    bad = (
+        fp.groupBy("t")
+        .agg(
+            F.countDistinct("fp_min", "fp_max", "n_winnow").alias("nfp")
+        )
+        .filter(F.col("nfp") > 1)
+        .count()
+    )
+    assert bad == 0
