@@ -160,6 +160,10 @@ EXTENDED = [
     "q_attribution_decay",  # multi-touch time-decay credit
     "q_sim_pairs_lsh",    # capped RP-banding similarity edges
     "q_text_fingerprint_exact",  # certified winnowing fingerprint
+    "q_privacy_ldiversity",  # l-diversity sensitive-value census
+    "q_anomaly_iqr",      # Tukey-fence outlier census
+    "q_ab_ztest",         # two-proportion experiment readout
+    "q_pareto_share",     # revenue-concentration readout
 ]
 
 

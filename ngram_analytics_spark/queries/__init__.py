@@ -15,83 +15,18 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-7
-# rotation (VERDICT r6 "Next round" item 1): the two DEFERRED_R7 keys
-# lead (never driver-graded; q_sketch_bloom_exact's word-index was
-# re-spelled to integer `div` this round per item 3), followed by the
-# seven keys NEW in r7 (certified count-min twin, certified IVF-ANN
-# twin, JL sign projection, BPE merge scan, k-anonymity census,
-# unrolled BFS, and the forced-LSH similarity branch — rows-only by
-# design), then the two r7 re-certifications (q_dedup_minhash_exact's
-# hot-band restructure, q_ts_rolling_median's floor() spelling).
-# With every registry key already holding >=1 driver-green row after
-# r6, the remaining 39 slots begin the oldest-first re-certification
-# rotation: the r1-certified cohort (code-stable since r1, judge-green
-# in every local differential since) rotates back through the window;
-# its tail continues in DEFERRED_R8.
+# The 50 keys the differential driver should grade first.  Round-8
+# rotation (VERDICT r7 "Next round" item 1, oldest-first
+# re-certification): the 13 DEFERRED_R8 keys (the r1-cohort tail
+# queued at r7) lead the window, followed by the keys NEW in r8 or
+# whose code changed in r8 (q_text_fingerprint_exact — the certified
+# winnowing twin; q_sim_pairs_lsh — re-graded after the capped
+# RP-banding rewrite replaced the MLlib edge path).  The remaining
+# slots continue the oldest-first rotation with the r2-certified
+# cohort (code-stable since r2, judge-green in every local
+# differential since); its tail continues in DEFERRED_R9.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- never driver-graded: the r6 DEFERRED_R7 queue ---
-    "q_sketch_bloom_exact",
-    "q_ts_backtest",
-    # --- new in r7 ---
-    "q_sketch_countmin_exact",
-    "q_sim_ann_ivf_exact",
-    "q_embed_rp",
-    "q_bpe_pair_counts",
-    "q_privacy_kanon",
-    "q_graph_bfs",
-    "q_sim_pairs_lsh",
-    # --- re-certification: code changed in r7 ---
-    "q_dedup_minhash_exact",
-    "q_ts_rolling_median",
-    "q_ts_cross_corr",
-    "q_ml_auc",
-    "q_source_binary",
-    "q_ml_confusion",
-    "q_ml_mrr",
-    "q_ngram_kneser_ney",
-    "q_text_cloze",
-    "q_attribution_decay",
-    # --- oldest-first re-certification: the r1 cohort ---
-    "q_ngram_bigram",
-    "q_ngram_trigram",
-    "q_ngram_fewer_tokens",
-    "q_tokenize",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_ngram_chars",
-    "q_text_collocation",
-    "q_ngram_skipgram",
-    "q_scan_project",
-    "q_scan_count",
-    "q_filter_pred",
-    "q_expr_case",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_multiway",
-    "q_join_interval",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-)
-
-#: r6's deferred queue is fully promoted into the r7 window above.
-DEFERRED_R7: tuple[str, ...] = ()
-
-#: Tail of the r1-cohort re-certification rotation — queued at
-#: positions 51+ so they lead the round-8 graded window.
-DEFERRED_R8: tuple[str, ...] = (
+    # --- oldest-first re-certification: the r7 DEFERRED_R8 queue ---
     "q_win_analytic",
     "q_win_rank",
     "q_win_frame",
@@ -105,6 +40,70 @@ DEFERRED_R8: tuple[str, ...] = (
     "q_fn_string",
     "q_fn_date",
     "q_fn_math",
+    # --- new in r8 / code changed in r8 ---
+    "q_text_fingerprint_exact",
+    "q_sim_pairs_lsh",
+    "q_privacy_ldiversity",
+    "q_anomaly_iqr",
+    "q_ab_ztest",
+    "q_pareto_share",
+    # --- oldest-first re-certification: the r2 cohort ---
+    "q_ngram_topk",
+    "q_text_filter_pipeline",
+    "q_agg_collect",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_agg_minmaxby",
+    "q_agg_stringagg",
+    "q_join_range_binned",
+    "q_agg_mode",
+    "q_agg_histogram",
+    "q_join_salted",
+    "q_agg_salted",
+    "q_join_nullsafe",
+    "q_join_bucketed",
+    "q_scan_partitioned",
+    "q_join_dpp",
+    "q_dedup_exact",
+    "q_dedup_jaccard",
+    "q_sim_knn",
+    "q_multimodal_join",
+    "q_multimodal_meta",
+    "q_multimodal_frames",
+    "q_ml_scaler",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_join_asof",
+    "q_ts_resample",
+    "q_ts_gapfill",
+    "q_stream_live_tumbling",
+    "q_ts_ffill",
+)
+
+#: r6's deferred queue was fully promoted into the r7 window; r7's
+#: into the r8 window above.
+DEFERRED_R7: tuple[str, ...] = ()
+DEFERRED_R8: tuple[str, ...] = ()
+
+#: Tail of the r2-cohort re-certification rotation — queued at
+#: positions 51+ so they lead the round-9 graded window (the rows-only
+#: r2 keys re-enter the rotation here too: the driver re-checks their
+#: rows>0 contract).
+DEFERRED_R9: tuple[str, ...] = (
+    "q_stream_live_session",
+    "q_ts_ohlc",
+    "q_ts_rolling_zscore",
+    "q_stream_live_sliding",
+    "q_udf_pandas",
+    "q_udtf",
+    "q_udaf_grouped",
+    "q_udf_arrow",
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_dedup_fuzzy_jaccard",
+    "q_sim_ann_ivf",
+    "q_agg_approx_percentile",
 )
 
 
@@ -155,14 +154,16 @@ def build_registry() -> QueryRegistry:
 
     missing = [
         k
-        for k in (*GRADED_FIRST, *DEFERRED_R7, *DEFERRED_R8)
+        for k in (*GRADED_FIRST, *DEFERRED_R7, *DEFERRED_R8, *DEFERRED_R9)
         if k not in merged.queries
     ]
     if missing:
         raise ValueError(
             f"GRADED_FIRST/DEFERRED keys not registered: {missing}"
         )
-    overlap = set(GRADED_FIRST) & (set(DEFERRED_R7) | set(DEFERRED_R8))
+    overlap = set(GRADED_FIRST) & (
+        set(DEFERRED_R7) | set(DEFERRED_R8) | set(DEFERRED_R9)
+    )
     if overlap:
         raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
     from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
@@ -175,11 +176,17 @@ def build_registry() -> QueryRegistry:
             f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
         )
     ordered = QueryRegistry()
-    pinned = set(GRADED_FIRST) | set(DEFERRED_R7) | set(DEFERRED_R8)
+    pinned = (
+        set(GRADED_FIRST)
+        | set(DEFERRED_R7)
+        | set(DEFERRED_R8)
+        | set(DEFERRED_R9)
+    )
     for key in (
         *GRADED_FIRST,
         *DEFERRED_R7,
         *DEFERRED_R8,
+        *DEFERRED_R9,
         *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]

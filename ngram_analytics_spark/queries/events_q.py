@@ -1749,3 +1749,232 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_attribution_decay.__doc__ = q_attribution_decay.__doc__.format(
     d=_AD_WINDOW_D
 )
+
+
+# -------------------------------------------------- IQR outlier census
+
+#: Tukey fence multiplier (1.5 x IQR), spelled as exact integer 2x/3x
+#: scaling so the fences never leave int64 tick space.
+_IQR_BUCKET = 1e4
+
+
+@REG.register(
+    "q_anomaly_iqr",
+    oracle="""
+        WITH r AS (
+            SELECT event_type,
+                   (CAST(floor(abs(value) * 100.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN value < 0 THEN -1
+                            WHEN value > 0 THEN 1 ELSE 0 END)) AS t
+            FROM events
+        ), vc AS (
+            SELECT event_type, t, CAST(count(*) AS BIGINT) AS c
+            FROM r GROUP BY event_type, t
+        ), cum AS (
+            SELECT event_type, t, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY t)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS tot
+            FROM vc
+        ), cuts AS (
+            SELECT event_type,
+                   min(CASE WHEN cum >= CAST(ceil(0.25 * tot) AS BIGINT)
+                            THEN t END) AS q1,
+                   min(CASE WHEN cum >= CAST(ceil(0.75 * tot) AS BIGINT)
+                            THEN t END) AS q3
+            FROM cum GROUP BY event_type
+        )
+        SELECT v.event_type,
+               CAST(sum(v.c) AS BIGINT) AS n,
+               min(k.q1) AS q1_tick,
+               min(k.q3) AS q3_tick,
+               CAST(sum(CASE WHEN 2 * v.t < 2 * k.q1 - 3 * (k.q3 - k.q1)
+                             THEN v.c ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN 2 * v.t > 2 * k.q3 + 3 * (k.q3 - k.q1)
+                             THEN v.c ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(floor(sum(CASE WHEN 2 * v.t < 2 * k.q1
+                                        - 3 * (k.q3 - k.q1)
+                                     OR 2 * v.t > 2 * k.q3
+                                        + 3 * (k.q3 - k.q1)
+                              THEN v.c ELSE 0 END)
+                          * 1000000.0 / sum(v.c)) AS BIGINT)
+                   AS outlier_ppm
+        FROM vc v JOIN cuts k ON v.event_type = k.event_type
+        GROUP BY v.event_type
+        ORDER BY v.event_type
+    """,
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5 x IQR) outlier census per event type: the
+    boxplot-rule complement to q_anomaly_mad's median/MAD detector —
+    quartile-based fences are the robust-statistics default when the
+    tail is asymmetric (MAD assumes symmetric spread; fences track Q1
+    and Q3 independently).
+
+    Quartiles are DISCRETE rank-selected values (the q_winsorize
+    discipline: value at sorted position ceil(q*n), a value present in
+    the data) computed on the integer-cent VALUE domain — so Q1/Q3,
+    the IQR, and both fences are exact int64s, and the 1.5x fence
+    multiplier rides a 2x/3x integer scaling (2t < 2q1 - 3iqr) that
+    never materializes a fractional tick.
+
+    Plan: fact rows compress to the (type, cent-tick) value domain
+    with ONE map-side-combined count agg; grouped_value_cumsum runs
+    the running mass in $100 tick buckets (window partitions bounded
+    by the value domain in one bucket, never fact rows); the cuts
+    table (5 rows) broadcasts back onto the compressed domain. No
+    per-row ranks anywhere; at 100 TB the only fact-width shuffle is
+    the initial compress."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "events")
+    vc = (
+        e.select("event_type", _quantized(F.col("value"), 100.0).alias("t"))
+        .groupBy("event_type", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = grouped_value_cumsum(vc, "event_type", "t", "c", _IQR_BUCKET)
+    cuts = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.25 * F.col("tot")).cast("long"),
+                F.col("t"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.75 * F.col("tot")).cast("long"),
+                F.col("t"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_low = 2 * F.col("t") < 2 * F.col("q1") - 3 * iqr
+    is_high = 2 * F.col("t") > 2 * F.col("q3") + 3 * iqr
+    return (
+        vc.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n"),
+            F.min("q1").alias("q1_tick"),
+            F.min("q3").alias("q3_tick"),
+            F.sum(F.when(is_low, F.col("c")).otherwise(0)).alias("n_low"),
+            F.sum(F.when(is_high, F.col("c")).otherwise(0)).alias(
+                "n_high"
+            ),
+            F.floor(
+                F.sum(
+                    F.when(is_low | is_high, F.col("c")).otherwise(0)
+                )
+                * F.lit(1_000_000.0)
+                / F.sum("c")
+            )
+            .cast("long")
+            .alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- two-proportion A/B z-test
+
+#: conversion event for the experiment readout
+_AB_CONV = "purchase"
+
+
+@REG.register(
+    "q_ab_ztest",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   max(CASE WHEN event_type = '{_AB_CONV}'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ), v AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS c
+            FROM u GROUP BY variant
+        ), w AS (
+            SELECT min(CASE WHEN variant = 0 THEN n END) AS n0,
+                   min(CASE WHEN variant = 0 THEN c END) AS c0,
+                   min(CASE WHEN variant = 1 THEN n END) AS n1,
+                   min(CASE WHEN variant = 1 THEN c END) AS c1
+            FROM v
+        )
+        SELECT n0, c0, n1, c1,
+               CAST(floor(c0 * 1000000.0 / n0) AS BIGINT) AS rate0_ppm,
+               CAST(floor(c1 * 1000000.0 / n1) AS BIGINT) AS rate1_ppm,
+               CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+                    ELSE {oracle_round4det(
+                        "(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)"
+                        " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+                        " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+                        " * (1.0 / n0 + 1.0 / n1))"
+                    )} END AS z
+        FROM w
+    """,
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for a hash-split experiment:
+    variant = user_id % 2, conversion = the user emitted at least one
+    '{_AB_CONV}' event; reports per-arm sample sizes, conversion
+    counts/rates, and the pooled-variance z statistic — the
+    experimentation primitive a behavioral pipeline runs continuously
+    next to its funnels (q_funnel) and drift monitors (q_ks_drift).
+
+    Determinism: counts are exact ints; the z formula uses only
+    IEEE-deterministic ops (divide, multiply, sqrt — sqrt is
+    correctly-rounded on both engines, the q_sample_temperature
+    adjudication) spelled in the identical operand order on both
+    sides, then tie-safe round4det. Rates floor to ppm ints.
+
+    Plan: ONE user_id-keyed map-side-combined agg (per-user conversion
+    flag), a 2-row variant agg, and a 1-row pivot — after the user
+    compress, nothing scales with event volume. At 100 TB the
+    experiment readout is a single shuffle on the natural user key."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == _AB_CONV, 1).otherwise(0)
+        ).alias("conv")
+    )
+    v = (
+        u.select((F.col("user_id") % 2).alias("variant"), "conv")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
+    )
+    w = v.agg(
+        F.min(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.min(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.min(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.min(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    degenerate = (F.col("c0") + F.col("c1") == 0) | (
+        F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.floor(F.col("c0") * F.lit(1_000_000.0) / F.col("n0"))
+        .cast("long")
+        .alias("rate0_ppm"),
+        F.floor(F.col("c1") * F.lit(1_000_000.0) / F.col("n1"))
+        .cast("long")
+        .alias("rate1_ppm"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(round4det((p0 - p1) / F.nullif(se, F.lit(0.0))))
+        .alias("z"),
+    )

@@ -695,3 +695,87 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ------------------------------------------------- l-diversity census
+
+#: minimum distinct sensitive values per equivalence class (Machanavajjhala
+#: et al., "l-diversity: privacy beyond k-anonymity")
+_LDIV_L = 3
+
+
+@REG.register(
+    "q_privacy_ldiversity",
+    oracle=f"""
+        WITH cls AS (
+            SELECT n.n_name, c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS sz,
+                   CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_name, c.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_div,
+               CAST(sum(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END)
+                    AS BIGINT) AS n_rows_low,
+               CAST(floor(sum(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END)
+                          * 1000000.0 / sum(sz)) AS BIGINT) AS low_div_ppm
+        FROM cls GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (Machanavajjhala et al.): k-anonymity's
+    class-SIZE guarantee (q_privacy_kanon) says nothing when every
+    order in a small class shares one priority — this query measures,
+    per quasi-identifier class (nation, market segment), how many
+    DISTINCT sensitive values (order priority) the class holds, and
+    reports per segment the classes below l={_LDIV_L} plus the row
+    mass a generalization pass would have to rework.
+
+    Plan: customer->nation is a broadcast dim join; customer->orders
+    keys on custkey (the fact shuffle); then ONE map-side-combined
+    groupBy on the QI tuple carrying (count, count distinct priority)
+    — the distinct rides the 5-value priority domain so the partial
+    state is bounded — and a segment rollup over |classes| rows. At
+    100 TB the class table is QI-domain-bounded, exactly like kanon.
+
+    Determinism: pure integer counts; the ppm ratio floor-quantizes
+    through identical doubles."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    cls = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("o_orderpriority").alias("l"),
+        )
+    )
+    low = F.col("l") < _LDIV_L
+    return (
+        cls.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("l").alias("min_l"),
+            F.sum(F.when(low, 1).otherwise(0)).alias("n_low_div"),
+            F.sum(F.when(low, F.col("sz")).otherwise(0)).alias(
+                "n_rows_low"
+            ),
+            F.floor(
+                F.sum(F.when(low, F.col("sz")).otherwise(0))
+                * F.lit(1_000_000.0)
+                / F.sum("sz")
+            )
+            .cast("long")
+            .alias("low_div_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
+    _quantized,
     davg_fixed,
     dsum_fixed,
     oracle_davg_fixed,
@@ -922,4 +923,125 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_price"
         ),
         "n_lines",
+    )
+
+
+# ------------------------------------------- Pareto revenue concentration
+
+#: spend-tick bucket for the value-domain running sums (cents)
+_PARETO_BUCKET = 1e7
+
+
+@REG.register(
+    "q_pareto_share",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
+                                 AS BIGINT)
+                            * (CASE WHEN o_totalprice < 0 THEN -1
+                                    WHEN o_totalprice > 0 THEN 1
+                                    ELSE 0 END)) AS BIGINT) AS v
+            FROM orders GROUP BY o_custkey
+        ), vc AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS c,
+                   CAST(v * count(*) AS BIGINT) AS rev
+            FROM s GROUP BY v
+        ), cum AS (
+            SELECT v, c, rev,
+                   SUM(c) OVER (ORDER BY v) AS cum_c,
+                   SUM(rev) OVER (ORDER BY v) AS cum_rev,
+                   SUM(c) OVER () AS n,
+                   SUM(rev) OVER () AS tot
+            FROM vc
+        ), k AS (
+            SELECT v, c, rev, cum_c, cum_rev, n, tot,
+                   greatest(n // 10, 1) AS kk,
+                   (tot + 1) // 2 AS half,
+                   n - cum_c + c AS cnt_ge,
+                   n - cum_c AS cnt_gt,
+                   tot - cum_rev + rev AS rev_ge,
+                   tot - cum_rev AS rev_gt
+            FROM cum
+        )
+        SELECT CAST(min(n) AS BIGINT) AS n_customers,
+               CAST(min(tot) AS BIGINT) AS total_cents,
+               CAST(min(kk) AS BIGINT) AS top_decile_k,
+               CAST(min(CASE WHEN cnt_ge >= kk AND cnt_gt < kk
+                             THEN cnt_ge END) AS BIGINT) AS top_cnt,
+               CAST(floor(min(CASE WHEN cnt_ge >= kk AND cnt_gt < kk
+                                   THEN rev_ge END)
+                          * 1000000.0 / min(tot)) AS BIGINT)
+                   AS top_share_ppm,
+               CAST(min(CASE WHEN rev_gt < half AND rev_ge >= half
+                                  AND v > 0
+                             THEN cnt_gt + (half - rev_gt + v - 1) // v
+                             END) AS BIGINT) AS n_half
+        FROM k
+    """,
+)
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue-concentration readout over per-customer
+    spend: the share of total revenue held by the top decile of
+    customers, and the minimum number of customers that covers half
+    of all revenue — the concentration statistics a sampling/mix
+    planner reads next to q_corpus_gini's token-mass inequality and
+    q_skew_profile's key-skew census.
+
+    Everything is exact int64 arithmetic on the spend VALUE domain:
+    per-customer spend compresses to (spend, customer-count) rows, the
+    running masses ride grouped_value_cumsum (window partitions
+    bounded by the cent domain inside one bucket), and both rank
+    selections are interval hits on the cumulative masses — the top-
+    decile boundary row is the unique value with count-above >= K and
+    strictly-above < K; the half-coverage row is the unique value
+    whose revenue interval contains (tot+1)//2, with the within-tie
+    remainder an exact ceiling division (every tied customer
+    contributes exactly v cents).
+
+    Plan: one custkey-keyed agg (map-side combined), one value-domain
+    compress, the triangular-offset cumsum, ONE final single-row agg.
+    No per-row ranks, no unpartitioned windows, nothing driver-side.
+    At 100 TB the only fact-width shuffle is the custkey agg."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(_quantized(F.col("o_totalprice"), 100.0)).alias("v")
+    )
+    vc = s.groupBy("v").agg(F.count("*").alias("c")).select(
+        F.lit(0).alias("g"),
+        "v",
+        "c",
+        (F.col("v") * F.col("c")).alias("rev"),
+    )
+    cum = grouped_value_cumsum(vc, "g", "v", ["c", "rev"], _PARETO_BUCKET)
+    kk = F.greatest(
+        F.expr("tot_c div 10").cast("long"), F.lit(1).cast("long")
+    )
+    half = F.expr("(tot_rev + 1) div 2")
+    cnt_ge = F.col("tot_c") - F.col("cum_c") + F.col("c")
+    cnt_gt = F.col("tot_c") - F.col("cum_c")
+    rev_ge = F.col("tot_rev") - F.col("cum_rev") + F.col("rev")
+    rev_gt = F.col("tot_rev") - F.col("cum_rev")
+    top_row = (cnt_ge >= kk) & (cnt_gt < kk)
+    half_row = (rev_gt < half) & (rev_ge >= half) & (F.col("v") > 0)
+    n50 = cnt_gt + F.expr(
+        "((tot_rev + 1) div 2 - (tot_rev - cum_rev) + v - 1) div v"
+    )
+    return cum.agg(
+        F.min("tot_c").cast("long").alias("n_customers"),
+        F.min("tot_rev").cast("long").alias("total_cents"),
+        F.min(kk).cast("long").alias("top_decile_k"),
+        F.min(F.when(top_row, cnt_ge)).cast("long").alias("top_cnt"),
+        F.floor(
+            F.min(F.when(top_row, rev_ge))
+            * F.lit(1_000_000.0)
+            / F.min("tot_rev")
+        )
+        .cast("long")
+        .alias("top_share_ppm"),
+        F.min(F.when(half_row, n50)).cast("long").alias("n_half"),
     )

@@ -345,6 +345,11 @@ NESTED_LOOP_OK = {
     "q_basket_lift",         # 1-row order-count broadcast under the
                              # ppm projection
     "q_paginate_keyset",     # 1-row boundary-key scalar broadcast
+    "q_pareto_share",        # triangular offset join over the spend-
+                             # BUCKET summary (~tick_range/1e7 rows, a
+                             # constant of the value domain — q_ml_auc
+                             # class); the group key is a literal so
+                             # Catalyst folds the equi side
 }
 
 
