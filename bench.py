@@ -164,6 +164,10 @@ EXTENDED = [
     "q_anomaly_iqr",      # Tukey-fence outlier census
     "q_ab_ztest",         # two-proportion experiment readout
     "q_pareto_share",     # revenue-concentration readout
+    "q_ml_calibration",   # reliability-diagram calibration census
+    "q_ml_precision_at_k",  # retrieval precision/recall at k
+    "q_ml_feature_hash",  # hashing-trick featurization summary
+    "q_ml_chi2",          # chi-square token selection per class
 ]
 
 

@@ -47,6 +47,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_anomaly_iqr",
     "q_ab_ztest",
     "q_pareto_share",
+    "q_ml_calibration",
+    "q_ml_precision_at_k",
+    "q_ml_feature_hash",
+    "q_ml_chi2",
     # --- oldest-first re-certification: the r2 cohort ---
     "q_ngram_topk",
     "q_text_filter_pipeline",
@@ -75,10 +79,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_stream_sliding",
     "q_stream_session",
     "q_join_asof",
-    "q_ts_resample",
-    "q_ts_gapfill",
-    "q_stream_live_tumbling",
-    "q_ts_ffill",
 )
 
 #: r6's deferred queue was fully promoted into the r7 window; r7's
@@ -91,6 +91,10 @@ DEFERRED_R8: tuple[str, ...] = ()
 #: r2 keys re-enter the rotation here too: the driver re-checks their
 #: rows>0 contract).
 DEFERRED_R9: tuple[str, ...] = (
+    "q_ts_resample",
+    "q_ts_gapfill",
+    "q_stream_live_tumbling",
+    "q_ts_ffill",
     "q_stream_live_session",
     "q_ts_ohlc",
     "q_ts_rolling_zscore",

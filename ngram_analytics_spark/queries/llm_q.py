@@ -2348,3 +2348,277 @@ def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_mrr.__doc__ = q_ml_mrr.__doc__.format(nq=_MRR_NQ, k=_MRR_K)
+
+
+# ------------------------------------------------ calibration census
+
+#: reliability-diagram geometry: confidence = min(|e1|, 1) in 1e-6
+#: ticks, 10 equal-width bins (top bin inclusive), positive = label>=5
+_CAL_BINS = 10
+
+
+@REG.register(
+    "q_ml_calibration",
+    oracle=f"""
+        WITH r AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000) AS s,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        )
+        SELECT least(s // 100000, {_CAL_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s) // count(*) AS BIGINT) AS conf_ppm,
+               CAST((sum(pos) * 1000000) // count(*) AS BIGINT)
+                   AS pos_ppm,
+               CAST(abs(sum(s) // count(*)
+                        - (sum(pos) * 1000000) // count(*)) AS BIGINT)
+                   AS gap_ppm
+        FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration census: bucket the classifier
+    confidence (the q_ml_auc score geometry, clipped to [0,1]) into
+    {b} equal-width bins and report per bin the mean confidence vs the
+    observed positive rate — the |conf - freq| gaps are the summands
+    of expected calibration error, completing the eval family
+    (q_ml_auc ranks, q_ml_confusion decisions, q_ml_mrr retrieval,
+    this query probability quality).
+
+    Determinism: confidence rides 1e-6 integer ticks, so mean
+    confidence is an integer `div` of exact sums, the positive rate is
+    an exact ppm `div`, and the gap is integer |a-b| — no doubles
+    anywhere after the per-row tick quantization.
+
+    Plan: one scan, per-row tick + bin, ONE {b}-group
+    map-side-combined aggregate (constant state per task). Nothing
+    scales with corpus size but the scan."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    s = F.least(
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("long"), F.lit(1_000_000)
+    )
+    r = e.select(
+        s.alias("s"),
+        F.when(F.col("label") >= _AUC_POS_MIN, 1).otherwise(0).alias("pos"),
+    )
+    return (
+        r.groupBy(
+            F.least(
+                F.expr("s div 100000"), F.lit(_CAL_BINS - 1)
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("sum(s) div count(*)").cast("long").alias("conf_ppm"),
+            F.expr("(sum(pos) * 1000000) div count(*)")
+            .cast("long")
+            .alias("pos_ppm"),
+            F.abs(
+                F.expr(
+                    "sum(s) div count(*)"
+                    " - (sum(pos) * 1000000) div count(*)"
+                )
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+q_ml_calibration.__doc__ = q_ml_calibration.__doc__.format(b=_CAL_BINS)
+
+
+# ------------------------------------------- retrieval precision@k
+
+_PK_K = 5
+_PK_NQ = 10
+
+
+@REG.register(
+    "q_ml_precision_at_k",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT qid, ql, nl FROM (
+                SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_AB} DESC, b.vec_id ASC
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+                WHERE a.vec_id < {_PK_NQ}
+            ) WHERE rn <= {_PK_K}
+        ), rel AS (
+            SELECT q.vec_id AS qid,
+                   CAST(count(*) FILTER (
+                       WHERE c.label = q.label
+                             AND c.vec_id != q.vec_id) AS BIGINT)
+                       AS n_rel
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {_PK_NQ}
+            GROUP BY q.vec_id
+        )
+        SELECT r.qid,
+               CAST(min(rel.n_rel) AS BIGINT) AS n_rel,
+               CAST(sum(CASE WHEN r.nl = r.ql THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               CAST((sum(CASE WHEN r.nl = r.ql THEN 1 ELSE 0 END)
+                     * 1000000) // {_PK_K} AS BIGINT) AS p_at_k_ppm,
+               CAST((sum(CASE WHEN r.nl = r.ql THEN 1 ELSE 0 END)
+                     * 1000000) // greatest(min(rel.n_rel), 1)
+                    AS BIGINT) AS r_at_k_ppm
+        FROM ranked r JOIN rel ON rel.qid = r.qid
+        GROUP BY r.qid ORDER BY r.qid
+    """,
+)
+def q_ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval precision/recall at k={k}: for each query vector
+    (vec_id < {nq}), count same-label neighbors in the exact cosine
+    top-{k} against the total same-label corpus mass — the set-overlap
+    complement to q_ml_mrr's rank-position statistic (P@k is the
+    metric ANN serving SLOs quote; R@k certifies corpus coverage).
+
+    Determinism: hit counts are exact ints; both ratios are integer
+    ppm `div`s; the ranking reuses the q_sim_knn fold-order cosine
+    with full tiebreaks.
+
+    Plan: brute_force_knn broadcasts the {nq}-row query side against
+    the corpus scan; the relevant-mass side is ONE label-keyed count
+    joined to the {nq}-row query labels (never corpus x corpus);
+    final agg groups {nq} rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    top = brute_force_knn(
+        emb, emb.filter(F.col("vec_id") < _PK_NQ), k=_PK_K
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    lbl_mass = emb.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    rel = (
+        emb.filter(F.col("vec_id") < _PK_NQ)
+        .join(F.broadcast(lbl_mass), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("n_lbl") - 1).alias("n_rel"),
+        )
+    )
+    hits = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nl") == F.col("ql"), 1).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return (
+        hits.join(F.broadcast(rel), "query_id")
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.col("hits").cast("long").alias("hits"),
+            F.expr(f"(hits * 1000000) div {_PK_K}")
+            .cast("long")
+            .alias("p_at_k_ppm"),
+            F.expr("(hits * 1000000) div greatest(n_rel, 1)")
+            .cast("long")
+            .alias("r_at_k_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+q_ml_precision_at_k.__doc__ = q_ml_precision_at_k.__doc__.format(
+    k=_PK_K, nq=_PK_NQ
+)
+
+
+# --------------------------------------------- hashing-trick features
+
+#: hashed feature space width (the "hashing trick", Weinberger et al.:
+#: dimension = hash(token) mod D, sign = an independent hash bit)
+_FH_DIM = 64
+
+
+@REG.register(
+    "q_ml_feature_hash",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                       AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+        ), d AS (
+            SELECT doc_id, h % {_FH_DIM} AS dim,
+                   CAST(sum(CASE WHEN (h // {_FH_DIM}) % 2 = 1
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS val
+            FROM t GROUP BY doc_id, h % {_FH_DIM}
+        )
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE val != 0) AS BIGINT) AS nnz,
+               CAST(sum(abs(val)) AS BIGINT) AS l1,
+               CAST(sum(dim * val) AS BIGINT) AS chk
+        FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., feature
+    hashing): every token maps to dimension md5(tok) mod {d} with an
+    independent md5-bit sign, accumulating a fixed-width signed count
+    vector per document — the fixed-schema featurizer a training
+    pipeline runs when the vocabulary is unbounded (no vocab build, no
+    dictionary broadcast). Emits per doc the nonzero count, l1 mass,
+    and a dim-weighted checksum of the hashed vector (the certifiable
+    scalar summary of the full vector).
+
+    Determinism: md5-chunk hash (bit-identical engines), integer
+    signed sums only.
+
+    Plan: token explode -> ONE (doc, dim)-keyed map-side-combined sum
+    (state bounded by {d} dims per doc) -> doc-keyed rollup. Both
+    shuffles key on doc_id(+dim); at 100 TB the vector state per task
+    is constant-width."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dd = (
+        t.select(
+            "doc_id",
+            (F.col("h") % _FH_DIM).alias("dim"),
+            F.when(
+                F.expr(f"(h div {_FH_DIM}) % 2 = 1"), 1
+            ).otherwise(-1).alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    return (
+        dd.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("val") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nnz"),
+            F.sum(F.abs("val")).cast("long").alias("l1"),
+            F.sum(F.col("dim") * F.col("val")).cast("long").alias("chk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q_ml_feature_hash.__doc__ = q_ml_feature_hash.__doc__.format(d=_FH_DIM)

@@ -873,3 +873,133 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm(tp, tp + fn).alias("recall_ppm"),
         ppm(2 * tp, 2 * tp + fp + fn).alias("f1_ppm"),
     )
+
+
+# -------------------------------------------- chi-square token selection
+
+#: top tokens kept per language class
+_CHI2_TOPK = 5
+
+
+@REG.register(
+    "q_ml_chi2",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), nn AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+            FROM documents
+        ), tok_df AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM dt GROUP BY tok
+        ), lang_df AS (
+            SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nl
+            FROM documents GROUP BY lang
+        ), cell AS (
+            SELECT d.lang, d.tok, CAST(count(*) AS BIGINT) AS a,
+                   min(t.df) AS df, min(l.nl) AS nl
+            FROM dt d
+            JOIN tok_df t ON t.tok = d.tok
+            JOIN lang_df l ON l.lang = d.lang
+            GROUP BY d.lang, d.tok
+        ), x2 AS (
+            SELECT lang, tok, a, df - a AS b, nl - a AS c,
+                   (SELECT n FROM nn) - nl - df + a AS d,
+                   ((CAST((SELECT n FROM nn) AS DOUBLE)
+                     * CAST(a * ((SELECT n FROM nn) - nl - df + a)
+                            - (df - a) * (nl - a) AS DOUBLE))
+                    / CAST(df * ((SELECT n FROM nn) - df) AS DOUBLE))
+                   * (CAST(a * ((SELECT n FROM nn) - nl - df + a)
+                           - (df - a) * (nl - a) AS DOUBLE)
+                      / CAST(nl * ((SELECT n FROM nn) - nl) AS DOUBLE))
+                       AS chi2
+            FROM cell
+        )
+        SELECT lang, tok, a, b, c, d,
+               {oracle_round4det("chi2")} AS chi2
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY chi2 DESC, tok ASC) AS rn
+            FROM x2
+        ) WHERE rn <= {_CHI2_TOPK}
+        ORDER BY lang, tok
+    """,
+)
+def q_ml_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: for every (language, token) pair,
+    the 2x2 contingency chi-square between document-level token
+    presence and class membership, keeping the top {k} tokens per
+    language — the classical supervised vocabulary-selection pass a
+    text classifier runs before featurization (q_ml_feature_hash is
+    its unsupervised complement).
+
+    Determinism: all four contingency cells are exact int64 counts;
+    chi2 = (N*x/((a+b)(c+d))) * (x/((a+c)(b+d))) with x = ad - bc is
+    spelled as the identical multiply/divide chain on both engines
+    over exactly-representable integer-valued doubles, then tie-safe
+    round4det; the per-class top-{k} breaks ties on the token string.
+    (Cell products ride int64 — exact up to ~3e9 docs per class;
+    beyond that the cells would need DECIMAL widening.)
+
+    Plan: ONE distinct (doc, token) explode feeds three
+    map-side-combined aggs (cells, token doc-frequency, class sizes);
+    token-df joins key on the token, class sizes broadcast (class
+    domain); the top-k is a rank-limit window over the (class x vocab)
+    aggregate — Spark lowers rn<=k to WindowGroupLimit, bounded per
+    map task, never fact rows."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).distinct()
+    n_total = d.select(F.countDistinct("doc_id").alias("n"))
+    tok_df = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    lang_df = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("nl"))
+    cell = (
+        dt.groupBy("lang", "tok")
+        .agg(F.count("*").alias("a"))
+        .join(tok_df, "tok")
+        .join(F.broadcast(lang_df), "lang")
+        .crossJoin(F.broadcast(n_total))
+    )
+    x2 = cell.select(
+        "lang",
+        "tok",
+        "a",
+        (F.col("df") - F.col("a")).alias("b"),
+        (F.col("nl") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("nl") - F.col("df") + F.col("a")).alias("d"),
+        F.expr(
+            "((cast(n as double)"
+            " * cast(a * (n - nl - df + a) - (df - a) * (nl - a)"
+            "        as double))"
+            " / cast(df * (n - df) as double))"
+            " * (cast(a * (n - nl - df + a) - (df - a) * (nl - a)"
+            "         as double)"
+            "    / cast(nl * (n - nl) as double))"
+        ).alias("chi2_raw"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_raw").desc(), F.col("tok").asc()
+    )
+    return (
+        x2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHI2_TOPK)
+        .select(
+            "lang",
+            "tok",
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            round4det(F.col("chi2_raw")).alias("chi2"),
+        )
+        .orderBy("lang", "tok")
+    )
+
+
+q_ml_chi2.__doc__ = q_ml_chi2.__doc__.format(k=_CHI2_TOPK)

@@ -345,6 +345,11 @@ NESTED_LOOP_OK = {
     "q_basket_lift",         # 1-row order-count broadcast under the
                              # ppm projection
     "q_paginate_keyset",     # 1-row boundary-key scalar broadcast
+    "q_ml_precision_at_k",   # brute_force_knn: broadcast 10-row query
+                             # side against the corpus scan (q_ml_mrr
+                             # class)
+    "q_ml_chi2",             # 1-row corpus-total broadcast
+                             # (q_text_collocation class)
     "q_pareto_share",        # triangular offset join over the spend-
                              # BUCKET summary (~tick_range/1e7 rows, a
                              # constant of the value domain — q_ml_auc
