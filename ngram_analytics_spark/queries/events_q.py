@@ -1978,3 +1978,96 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round4det((p0 - p1) / F.nullif(se, F.lit(0.0))))
         .alias("z"),
     )
+
+
+# ------------------------------------------------ SAX symbolization
+
+#: 4-symbol SAX breakpoints (standard-normal quartiles); one double
+#: literal so both engines compare against identical bits
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+
+
+@REG.register(
+    "q_ts_sax",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS m,
+                   CAST(sum(y * y) AS BIGINT) AS sq
+            FROM daily GROUP BY event_type
+        ), u AS (
+            SELECT d.event_type, d.x, d.y,
+                   CAST(d.y * s.n - s.m AS DOUBLE) AS uu,
+                   sqrt(CAST(s.n * s.sq - s.m * s.m AS DOUBLE)) AS r
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        )
+        SELECT event_type, x, y,
+               CAST({" + ".join(
+                   f"(CASE WHEN uu >= {b} * r THEN 1 ELSE 0 END)"
+                   for b in _SAX_BP
+               )} AS INTEGER) AS sym
+        FROM u ORDER BY event_type, x
+    """,
+)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh symbolic aggregate approximation,
+    word length = series length): z-normalize each event type's daily
+    count series and map every day to one of 4 symbols at the
+    standard-normal quartile breakpoints — the discretization that
+    turns time series into strings so motif/anomaly mining can run
+    with the text machinery (the n-gram operators upstream).
+
+    Determinism (the z-score hazard): z = (y - m/n)/sigma poisons
+    every comparison with a rounded mean. Multiplying through by
+    n*sigma makes both sides exact: u = n*y - m is an exact int64 and
+    z >= b  <=>  u >= b * sqrt(n*sq - m*m) — one sqrt (correctly
+    rounded on both engines) times one literal, compared against an
+    integer-valued double. A constant series (r = 0) lands every day
+    on symbol 2 identically. (n*sq rides int64 — exact to ~3e9 events
+    per type-day; beyond that the moments would need DECIMAL.)
+
+    Plan: daily rollup (map-side combined, the only pass over raw
+    events), a per-type 3-scalar moment agg broadcast back onto the
+    ~365-row-per-type daily table. Nothing but the rollup scales with
+    event volume."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("m"),
+        F.sum(F.col("y") * F.col("y")).alias("sq"),
+    )
+    u = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "x",
+        "y",
+        (F.col("y") * F.col("n") - F.col("m"))
+        .cast("double")
+        .alias("uu"),
+        F.sqrt(
+            (F.col("n") * F.col("sq") - F.col("m") * F.col("m")).cast(
+                "double"
+            )
+        ).alias("r"),
+    )
+    sym = None
+    for b in _SAX_BP:
+        term = F.when(F.col("uu") >= F.lit(b) * F.col("r"), 1).otherwise(0)
+        sym = term if sym is None else sym + term
+    return u.select(
+        "event_type", "x", "y", sym.cast("int").alias("sym")
+    ).orderBy("event_type", "x")

@@ -304,3 +304,126 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg_fixed_weighted(clipped, F.col("c"), "clipped_mean"),
         )
     )
+
+
+# ------------------------------------------- range-partition planner
+
+#: target partition count for the planned range-partitioned write
+_RPP_PARTS = 8
+_RPP_BUCKET = 1e7
+
+
+@REG.register(
+    "q_range_partition_plan",
+    oracle=f"""
+        WITH s AS (
+            SELECT (CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
+                         AS BIGINT)
+                    * (CASE WHEN o_totalprice < 0 THEN -1
+                            WHEN o_totalprice > 0 THEN 1
+                            ELSE 0 END)) AS v
+            FROM orders
+        ), vc AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v
+        ), cum AS (
+            SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+                   SUM(c) OVER () AS n
+            FROM vc
+        ), b AS (
+            SELECT {", ".join(
+                f"min(CASE WHEN cum >= ({i} * n + {_RPP_PARTS - 1})"
+                f" // {_RPP_PARTS} THEN v END) AS b{i}"
+                for i in range(1, _RPP_PARTS)
+            )}
+            FROM cum
+        ), assigned AS (
+            SELECT vc.v, vc.c,
+                   {" + ".join(
+                       f"(CASE WHEN vc.v > b.b{i} THEN 1 ELSE 0 END)"
+                       for i in range(1, _RPP_PARTS)
+                   )} AS part_id
+            FROM vc CROSS JOIN b
+        )
+        SELECT part_id, CAST(min(v) AS BIGINT) AS lo_tick,
+               CAST(max(v) AS BIGINT) AS hi_tick,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(floor(sum(c) * 1000000.0
+                          / (SELECT sum(c) FROM vc)) AS BIGINT)
+                   AS share_ppm
+        FROM assigned GROUP BY part_id ORDER BY part_id
+    """,
+)
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planner: the discrete (i/P)-quantile
+    split points a range-partitioned 100 TB write (or a
+    repartitionByRange exchange) needs, plus the realized per-partition
+    row counts and mass shares the plan would produce — the layout
+    complement to q_zorder_layout (multi-dim clustering) and
+    q_skew_profile (what happens when you DON'T plan boundaries).
+
+    Boundaries are DISCRETE rank-selected values (the q_winsorize
+    discipline) at exact integer rank targets ceil(i*n/P) spelled as
+    (i*n + P - 1) div P — no ceil-of-double anywhere. Duplicate
+    boundaries (a value spanning a whole stride) merge partitions,
+    exactly as repartitionByRange would.
+
+    Plan: fact rows compress to the cent-tick value domain (ONE
+    map-side-combined agg), grouped_value_cumsum runs the running
+    mass, a 1-row boundary struct broadcasts back onto the compressed
+    domain for assignment (P-1 CASE terms), and the final agg groups
+    P partitions. No per-row ranks; the only fact-width work is the
+    initial compress."""
+    from ngram_analytics_spark.functions.deterministic import _quantized
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    vc = (
+        o.select(_quantized(F.col("o_totalprice"), 100.0).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .select(F.lit(0).alias("g"), "v", "c")
+    )
+    cum = grouped_value_cumsum(vc, "g", "v", "c", _RPP_BUCKET)
+    b = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(
+                        f"({i} * tot + {_RPP_PARTS - 1})"
+                        f" div {_RPP_PARTS}"
+                    ),
+                    F.col("v"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _RPP_PARTS)
+        ]
+    )
+    part = None
+    for i in range(1, _RPP_PARTS):
+        term = F.when(F.col("v") > F.col(f"b{i}"), 1).otherwise(0)
+        part = term if part is None else part + term
+    tot = vc.agg(F.sum("c").alias("tot_c"))
+    return (
+        vc.crossJoin(F.broadcast(b))
+        .select(part.alias("part_id"), "v", "c")
+        .groupBy("part_id")
+        .agg(
+            F.min("v").cast("long").alias("lo_tick"),
+            F.max("v").cast("long").alias("hi_tick"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_id",
+            "lo_tick",
+            "hi_tick",
+            "n_rows",
+            F.floor(F.col("n_rows") * F.lit(1_000_000.0) / F.col("tot_c"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("part_id")
+    )
