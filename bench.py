@@ -168,6 +168,8 @@ EXTENDED = [
     "q_ml_precision_at_k",  # retrieval precision/recall at k
     "q_ml_feature_hash",  # hashing-trick featurization summary
     "q_ml_chi2",          # chi-square token selection per class
+    "q_ts_sax",           # 4-symbol SAX daily-series symbolization
+    "q_range_partition_plan",  # range-partition boundary planner
 ]
 
 

@@ -355,6 +355,8 @@ NESTED_LOOP_OK = {
                              # constant of the value domain — q_ml_auc
                              # class); the group key is a literal so
                              # Catalyst folds the equi side
+    "q_range_partition_plan",  # same machinery as q_pareto_share +
+                             # 1-row boundary/total broadcasts
 }
 
 
