@@ -170,6 +170,8 @@ EXTENDED = [
     "q_ml_chi2",          # chi-square token selection per class
     "q_ts_sax",           # 4-symbol SAX daily-series symbolization
     "q_range_partition_plan",  # range-partition boundary planner
+    "q_embed_pq",         # product-quantization codebook assignment
+    "q_hilbert_layout",   # Hilbert-curve clustering key
 ]
 
 

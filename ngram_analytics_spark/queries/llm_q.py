@@ -2622,3 +2622,128 @@ def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_feature_hash.__doc__ = q_ml_feature_hash.__doc__.format(d=_FH_DIM)
+
+
+# ------------------------------------------- product quantization
+
+#: PQ geometry: 64 dims = 4 subspaces x 16 dims, 8 centroids each
+#: (Jegou et al., "product quantization for nearest neighbor search")
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 8
+_PQ_CENT_H = (
+    "CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+def _pq_dist_sql(m: int, vec: str, cent: str, base: int) -> str:
+    """Left-associated squared-L2 fold over subspace m's 16 dims —
+    identical operand order on both engines (base=1 DuckDB, 0 Spark)."""
+    terms = []
+    for i in range(_PQ_SUB):
+        idx = m * _PQ_SUB + i + base
+        a = f"CAST({vec}[{idx}] AS DOUBLE)"
+        b = f"CAST({cent}[{idx}] AS DOUBLE)"
+        terms.append(f"(({a}) - ({b})) * (({a}) - ({b}))")
+    return " + ".join(terms)
+
+
+@REG.register(
+    "q_embed_pq",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS centv
+            FROM embeddings
+            ORDER BY {_PQ_CENT_H} ASC, vec_id ASC LIMIT {_PQ_K}
+        ){"".join(
+            f''', a{m} AS (
+            SELECT vec_id, cid, d FROM (
+                SELECT e.vec_id, c.cid,
+                       {_pq_dist_sql(m, "e.embedding", "c.centv", 1)} AS d,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_pq_dist_sql(m, "e.embedding",
+                                                  "c.centv", 1)} ASC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )'''
+            for m in range(_PQ_M)
+        )}
+        SELECT a0.vec_id,
+               a0.cid AS code0, a1.cid AS code1,
+               a2.cid AS code2, a3.cid AS code3,
+               {oracle_round4det("a0.d + a1.d + a2.d + a3.d")} AS err
+        FROM a0
+        JOIN a1 ON a1.vec_id = a0.vec_id
+        JOIN a2 ON a2.vec_id = a0.vec_id
+        JOIN a3 ON a3.vec_id = a0.vec_id
+        ORDER BY a0.vec_id
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codebook assignment (Jegou et al.): split
+    the 64-dim embedding into {m} x {sub}-dim subspaces, assign each
+    sub-vector to its nearest of {k} md5-picked centroids, and emit
+    the {m}-byte PQ code plus the total squared reconstruction error —
+    the compression layer an ANN index (q_sim_ann_ivf) adds when the
+    raw vectors no longer fit memory (IVF-PQ), completing the
+    vector-index family (RP-LSH banding / IVF cells / PQ codes).
+
+    Centroid pick reuses the q_sim_ann_ivf_exact discipline (smallest
+    md5-hex-prefix integers — engine-reproducible); every distance is
+    a left-associated squared-L2 fold over exactly-cast doubles with
+    cid tiebreaks, so the argmin per subspace is bit-identical; the
+    reconstruction error sums the four sub-distances in fixed order
+    and rounds tie-safe.
+
+    Plan: ONE {k}-row centroid broadcast cross onto the corpus scan
+    computing all {m} sub-distances per pair, then ONE vec_id-keyed
+    aggregate taking min(struct(d, cid)) per subspace (map-side
+    combined, constant state — never a per-subspace join). At 100 TB
+    the only data-sized work is the linear scan; codebook training
+    (k-means on a sample) is q_ml_kmeans_step composed upstream."""
+    emb = load(spark, sf_dir, "embeddings")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    )
+    cent = (
+        emb.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(_PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+        )
+    )
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        *[
+            F.expr(_pq_dist_sql(m, "embedding", "centv", 0)).alias(f"d{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    g = j.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.col(f"d{m}").alias("d"), F.col("cid").alias("c")
+                )
+            ).alias(f"s{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    return g.select(
+        "vec_id",
+        *[F.col(f"s{m}.c").alias(f"code{m}") for m in range(_PQ_M)],
+        round4det(
+            F.col("s0.d") + F.col("s1.d") + F.col("s2.d") + F.col("s3.d")
+        ).alias("err"),
+    ).orderBy("vec_id")
+
+
+q_embed_pq.__doc__ = q_embed_pq.__doc__.format(
+    m=_PQ_M, sub=_PQ_SUB, k=_PQ_K
+)

@@ -357,6 +357,10 @@ NESTED_LOOP_OK = {
                              # Catalyst folds the equi side
     "q_range_partition_plan",  # same machinery as q_pareto_share +
                              # 1-row boundary/total broadcasts
+    "q_embed_pq",            # 8-row PQ-centroid broadcast cross onto
+                             # the scan (q_ml_kmeans_step class)
+    "q_hilbert_layout",      # 1-row scale-ranges broadcast
+                             # (q_zorder_layout class)
 }
 
 

@@ -611,3 +611,43 @@ def test_winnowing_fingerprint_invariants(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_hilbert_step_logic_is_exact_curve():
+    """The unrolled div/mod xy2d in q_hilbert_layout must BE the
+    Hilbert curve: bijective over the 256x256 grid and unit-step
+    (consecutive codes are Manhattan-distance-1 neighbors — the
+    locality property the layout claims). Pure-python mirror of the
+    SQL step expressions, no Spark needed."""
+
+    def xy2d_sql(x, y):
+        d = 0
+        for k in range(8):
+            s = 2 ** (7 - k)
+            rx = (x // s) % 2
+            ry = (y // s) % 2
+            q = (
+                0
+                if (rx == 0 and ry == 0)
+                else (1 if rx == 0 else (2 if ry == 1 else 3))
+            )
+            d = d + s * s * q
+            xm = x % s
+            ym = y % s
+            if ry == 1:
+                x, y = xm, ym
+            elif rx == 1:
+                x, y = s - 1 - ym, s - 1 - xm
+            else:
+                x, y = ym, xm
+        return d
+
+    inv = {}
+    for x in range(256):
+        for y in range(256):
+            inv[xy2d_sql(x, y)] = (x, y)
+    assert len(inv) == 65536  # bijective
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(65535)
+    )
