@@ -172,6 +172,9 @@ EXTENDED = [
     "q_range_partition_plan",  # range-partition boundary planner
     "q_embed_pq",         # product-quantization codebook assignment
     "q_hilbert_layout",   # Hilbert-curve clustering key
+    "q_ml_lift_gain",     # decile gains/lift table
+    "q_dedup_prefix",     # per-source prefix-duplicate census
+    "q_schema_evolution", # mergeSchema union-read census
 ]
 
 

@@ -2747,3 +2747,195 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_embed_pq.__doc__ = q_embed_pq.__doc__.format(
     m=_PQ_M, sub=_PQ_SUB, k=_PQ_K
 )
+
+
+# ------------------------------------------------ decile gains table
+
+#: gains-table geometry: 10 score deciles, descending-score order
+_LIFT_DECILES = 10
+_LIFT_BUCKET = 100_000.0
+
+
+@REG.register(
+    "q_ml_lift_gain",
+    oracle=f"""
+        WITH r AS (
+            SELECT (CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0
+                            THEN -1
+                            WHEN CAST(embedding[1] AS DOUBLE) > 0
+                            THEN 1 ELSE 0 END)) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), vc AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(pos) AS BIGINT) AS p
+            FROM r GROUP BY t
+        ), cum AS (
+            -- descending-score ranks: mass at-or-above this score
+            SELECT t, c, p,
+                   SUM(c) OVER (ORDER BY t DESC) AS cum_c,
+                   SUM(p) OVER (ORDER BY t DESC) AS cum_p,
+                   SUM(c) OVER () AS n, SUM(p) OVER () AS np
+            FROM vc
+        ), dec AS (
+            -- a score row belongs to the decile of its LAST rank;
+            -- decile of rank k (1-based) = ((k - 1) * D) // n
+            SELECT ((cum_c - 1) * {_LIFT_DECILES}) // n AS decile,
+                   c, p, n, np
+            FROM cum
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST((sum(p) * 1000000) // max(np) AS BIGINT)
+                   AS gain_share_ppm,
+               CAST(((sum(p) * max(n)) * 1000000)
+                    // (sum(c) * max(np)) AS BIGINT) AS lift_ppm
+        FROM dec GROUP BY decile ORDER BY decile
+    """,
+)
+def q_ml_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table: rank the corpus by classifier score
+    (the q_ml_auc geometry), cut into {d} population deciles, and
+    report per decile the positive mass captured (gains) and the
+    concentration vs base rate (lift) — the campaign-targeting eval
+    a scoring pipeline publishes next to AUC (how much of the
+    positive class do the top 10% of scores capture?).
+
+    Decile assignment rides the score VALUE domain: a score's
+    descending-rank interval [cum-c+1, cum] lands in the decile of
+    its last rank, ((cum-1)*D) div n — exact integer arithmetic, ties
+    stay together (same-score rows can never straddle a model
+    decision), so deciles are value-aligned exactly like
+    repartitionByRange boundaries. Gains/lift are integer ppm `div`s
+    of exact count products.
+
+    Plan: per-row tick quantization, ONE map-side-combined
+    (score-tick) compress, grouped_value_cumsum over tick buckets
+    (window partitions bounded by the value domain), {d}-group final
+    agg. No per-row ranks; the only fact-width pass is the scan."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    vc = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("c"), F.sum("pos").alias("p"))
+        .select(F.lit(0).alias("g"), (-F.col("t")).alias("nt"), "c", "p")
+    )
+    cum = grouped_value_cumsum(vc, "g", "nt", ["c", "p"], _LIFT_BUCKET)
+    dec = cum.select(
+        F.expr(
+            f"((cum_c - 1) * {_LIFT_DECILES}) div tot_c"
+        ).alias("decile"),
+        "c",
+        "p",
+        F.col("tot_c").alias("n"),
+        F.col("tot_p").alias("np"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum("p").cast("long").alias("n_pos"),
+            F.expr("(sum(p) * 1000000) div max(np)")
+            .cast("long")
+            .alias("gain_share_ppm"),
+            F.expr("((sum(p) * max(n)) * 1000000) div (sum(c) * max(np))")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+q_ml_lift_gain.__doc__ = q_ml_lift_gain.__doc__.format(d=_LIFT_DECILES)
+
+
+# -------------------------------------------- prefix-duplicate census
+
+#: normalized-prefix length for the prefix-dup pass (chars)
+_PFX_LEN = 64
+
+
+@REG.register(
+    "q_dedup_prefix",
+    oracle=f"""
+        WITH g AS (
+            SELECT source,
+                   md5(substring(lower(trim(text)), 1, {_PFX_LEN})) AS h,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM documents GROUP BY source, 2
+        )
+        SELECT source,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(floor(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END)
+                          * 1000000.0 / sum(sz)) AS BIGINT) AS dup_ppm
+        FROM g GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate census per source: documents sharing the same
+    normalized {n}-char prefix are near-certain template/boilerplate
+    duplicates even when their tails diverge — the cheap first dedup
+    pass web-scale pipelines run BEFORE shingle-based near-dup (exact
+    dedup misses a changed tail; MinHash pays the full shingle cost),
+    reported per ingestion source so a polluted feed is visible
+    directly (the q_source_quality observability convention).
+
+    Plan: ONE map-side-combined groupBy on (source, prefix-md5) — the
+    hash key is 16 bytes regardless of document length — then a
+    source-keyed rollup over the group table. Exactly the
+    q_dedup_exact shuffle shape; at 100 TB the only fact-width
+    exchange carries 16-byte keys.
+
+    Determinism: md5 prefix hash (bit-identical engines), integer
+    counts, floor-ppm."""
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source",
+            F.md5(
+                F.substring(F.lower(F.trim(F.col("text"))), 1, _PFX_LEN)
+            ).alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("sz"))
+    )
+    dup = F.col("sz") > 1
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(dup, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.floor(
+                F.sum(F.when(dup, F.col("sz")).otherwise(0))
+                * F.lit(1_000_000.0)
+                / F.sum("sz")
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+q_dedup_prefix.__doc__ = q_dedup_prefix.__doc__.format(n=_PFX_LEN)

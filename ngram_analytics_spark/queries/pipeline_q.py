@@ -1459,3 +1459,71 @@ def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_cloze.__doc__ = q_text_cloze.__doc__.format(m=_CLOZE_MOD)
+
+
+# --------------------------------------------- schema-evolution read
+
+@REG.register(
+    "q_schema_evolution",
+    oracle=f"""
+        SELECT coalesce(CASE WHEN o_orderstatus = 'O'
+                             THEN o_orderpriority END, 'none') AS prio,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN o_orderstatus = 'O'
+                               THEN o_orderpriority END) AS BIGINT)
+                   AS n_with_prio,
+               {oracle_dsum_fixed("o_totalprice", 2)} AS price
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): an ingest directory whose
+    early batch wrote (orderkey, totalprice) and whose later batch
+    added o_orderpriority is read back as ONE table with the union
+    schema — old rows surface NULL for the added column, exactly the
+    contract Delta/Iceberg schema evolution gives a 100 TB ingest that
+    cannot rewrite history. The aggregate proves both the union
+    (row/price mass per priority with 'none' for pre-evolution rows)
+    and the column back-fill semantics.
+
+    The oracle never reads the temp files — it states the same
+    semantics over the source table (the q_source_csv round-trip
+    discipline), so a mergeSchema bug (dropped batch, misaligned
+    column, default instead of NULL) breaks the hash.
+
+    Plan: two partitioned parquet writes, one mergeSchema scan
+    (footer-schema union is metadata work, scan stays columnar +
+    pushdown), broadcast-free single agg. Price mass rides int64
+    cents."""
+    import os
+
+    out = os.path.join(
+        "/tmp",
+        "nas_src_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "schema_evo",
+    )
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("none")).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count("o_orderpriority").cast("long").alias("n_with_prio"),
+            dsum_fixed("o_totalprice", "price", digits=2),
+        )
+        .orderBy("prio")
+    )

@@ -359,6 +359,8 @@ NESTED_LOOP_OK = {
                              # 1-row boundary/total broadcasts
     "q_embed_pq",            # 8-row PQ-centroid broadcast cross onto
                              # the scan (q_ml_kmeans_step class)
+    "q_ml_lift_gain",        # triangular offset join over the score-
+                             # BUCKET summary (q_ml_auc class)
     "q_hilbert_layout",      # 1-row scale-ranges broadcast
                              # (q_zorder_layout class)
 }
