@@ -175,6 +175,9 @@ EXTENDED = [
     "q_ml_lift_gain",     # decile gains/lift table
     "q_dedup_prefix",     # per-source prefix-duplicate census
     "q_schema_evolution", # mergeSchema union-read census
+    "q_sample_coreset",   # greedy k-center diversity pick
+    "q_privacy_pseudonym",  # keyed-surrogate linkage audit
+    "q_dq_freshness",     # arrival/staleness audit
 ]
 
 

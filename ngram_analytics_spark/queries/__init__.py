@@ -58,6 +58,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_lift_gain",
     "q_dedup_prefix",
     "q_schema_evolution",
+    "q_sample_coreset",
+    "q_privacy_pseudonym",
+    "q_dq_freshness",
     # --- oldest-first re-certification: the r2 cohort ---
     "q_ngram_topk",
     "q_text_filter_pipeline",
@@ -76,9 +79,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_scan_partitioned",
     "q_join_dpp",
     "q_dedup_exact",
-    "q_dedup_jaccard",
-    "q_sim_knn",
-    "q_multimodal_join",
 )
 
 #: r6's deferred queue was fully promoted into the r7 window; r7's
@@ -91,6 +91,9 @@ DEFERRED_R8: tuple[str, ...] = ()
 #: r2 keys re-enter the rotation here too: the driver re-checks their
 #: rows>0 contract).
 DEFERRED_R9: tuple[str, ...] = (
+    "q_dedup_jaccard",
+    "q_sim_knn",
+    "q_multimodal_join",
     "q_multimodal_meta",
     "q_multimodal_frames",
     "q_ml_scaler",

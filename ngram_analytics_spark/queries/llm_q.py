@@ -2939,3 +2939,152 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_prefix.__doc__ = q_dedup_prefix.__doc__.format(n=_PFX_LEN)
+
+
+# ------------------------------------------- k-center coreset pick
+
+#: greedy k-center (Gonzalez farthest-first traversal) sample size
+_KC_K = 8
+
+
+def _kc_dist_sql(vec: str, cent: str, base: int) -> str:
+    """Left-associated squared-L2 fold over all 64 dims — identical
+    operand order both engines (base=1 DuckDB, 0 Spark)."""
+    terms = []
+    for i in range(64):
+        a = f"CAST({vec}[{i + base}] AS DOUBLE)"
+        b = f"CAST({cent}[{i + base}] AS DOUBLE)"
+        terms.append(f"(({a}) - ({b})) * (({a}) - ({b}))")
+    return " + ".join(terms)
+
+
+def _kc_oracle() -> str:
+    dist = _kc_dist_sql("p.embedding", "b.cv", 1)
+    parts = [
+        f"""
+        WITH seed AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings
+            ORDER BY {_PQ_CENT_H} ASC, vec_id ASC LIMIT 1
+        ), p1 AS (
+            SELECT e.vec_id, e.embedding,
+                   {_kc_dist_sql("e.embedding", "s.cv", 1)} AS dmin
+            FROM embeddings e CROSS JOIN seed s
+        )"""
+        .replace("s.cv", "s.cv")
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f""", b{r} AS (
+            SELECT vec_id AS cid, embedding AS cv, dmin
+            FROM p{r - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1
+        )"""
+        )
+        if r < _KC_K:
+            parts.append(
+                f""", p{r} AS (
+            SELECT p.vec_id, p.embedding,
+                   least(p.dmin, {dist.replace("b.cv", f"b.cv")}) AS dmin
+            FROM p{r - 1} p CROSS JOIN b{r} b
+        )"""
+            )
+    selects = [
+        "SELECT 1 AS step, cid, 0.0 AS sel_dist FROM seed"
+    ] + [
+        f"SELECT {r} AS step, cid, {oracle_round4det('dmin')}"
+        f" AS sel_dist FROM b{r}"
+        for r in range(2, _KC_K + 1)
+    ]
+    return "".join(parts) + " ".join(
+        ["\n", " UNION ALL ".join(selects), "ORDER BY step"]
+    )
+
+
+@REG.register("q_sample_coreset", oracle=_kc_oracle())
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset pick (Gonzalez farthest-first
+    traversal): seed with the md5-picked vector, then {k}-1 times take
+    the point FARTHEST from the chosen set — the diversity-sampling
+    primitive of data curation (a k-center set 2-approximates the
+    optimal covering radius, so the coreset spans the embedding space
+    instead of oversampling dense clusters the way uniform sampling
+    does). Emits each selected center with its distance-to-set at
+    selection time — the decreasing radii ARE the coverage curve.
+
+    Determinism: every distance is the left-associated 64-term
+    squared-L2 fold (identical doubles both engines); argmax breaks
+    ties on vec_id; the seed reuses the q_sim_ann_ivf_exact md5 pick.
+
+    Plan: {k}-1 unrolled rounds, each ONE TakeOrdered(1) argmax + a
+    1-row broadcast updating the per-point running min-distance, with
+    per-round eager localCheckpoint truncating lineage (the
+    operators/graph.py iterative discipline — the frame is referenced
+    twice per round, so an unbroken chain would double the plan every
+    round). At 100 TB each round is one linear scan + one 1-row
+    broadcast; k rounds of k scans is the honest cost of exact greedy
+    k-center — the sketch alternative (k-means|| style oversampling)
+    trades exactness for fewer passes and belongs upstream of
+    q_ml_kmeans_step."""
+    emb = load(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seed = (
+        emb.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    pts = (
+        emb.crossJoin(F.broadcast(seed))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_kc_dist_sql("embedding", "cv", 0)).alias("dmin"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = [
+        seed.select(
+            F.lit(1).alias("step"),
+            "cid",
+            F.lit(0.0).alias("sel_dist"),
+        )
+    ]
+    for r in range(2, _KC_K + 1):
+        best = (
+            pts.orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cv"),
+                F.col("dmin").alias("bd"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chosen.append(
+            best.select(
+                F.lit(r).alias("step"),
+                "cid",
+                round4det(F.col("bd")).alias("sel_dist"),
+            )
+        )
+        if r < _KC_K:
+            pts = (
+                pts.crossJoin(F.broadcast(best.select("cv")))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.least(
+                        F.col("dmin"),
+                        F.expr(_kc_dist_sql("embedding", "cv", 0)),
+                    ).alias("dmin"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = chosen[0]
+    for c in chosen[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step")
+
+
+q_sample_coreset.__doc__ = q_sample_coreset.__doc__.format(k=_KC_K)

@@ -779,3 +779,157 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------- pseudonymization audit
+
+@REG.register(
+    "q_privacy_pseudonym",
+    oracle="""
+        WITH k AS (
+            SELECT c_custkey,
+                   substring(md5('cust|' || CAST(c_custkey AS VARCHAR)),
+                             1, 16) AS surrogate
+            FROM customer
+        ), j AS (
+            SELECT k.surrogate, o.o_totalprice
+            FROM orders o JOIN k ON o.o_custkey = k.c_custkey
+        )
+        SELECT CAST(count(DISTINCT surrogate) AS BIGINT)
+                   AS n_surrogates,
+               CAST((SELECT count(DISTINCT c_custkey) FROM customer)
+                    AS BIGINT) AS n_keys,
+               CAST(count(*) AS BIGINT) AS n_orders_linked,
+               CAST(sum(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS linked_cents
+        FROM j
+    """,
+)
+def q_privacy_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization with referential integrity: replace the
+    customer key by a keyed-md5 surrogate (16 hex chars, domain-
+    prefixed so the same integer in another table can never collide
+    into the same pseudonym space), then prove the de-identified fact
+    table still joins losslessly — surrogate cardinality equals key
+    cardinality (collision-free at this scale) and every order still
+    links with its full revenue mass. The release-side complement to
+    q_text_pii (content scrubbing) and q_gdpr_cascade (deletion):
+    analytics continue on pseudonyms, re-identification requires the
+    (absent) key table.
+
+    Plan: surrogate projection is per-row md5 (scan-stage); the link
+    proof is the natural custkey join re-keyed on the surrogate; ONE
+    global aggregate. Counts exact; revenue rides int64 cents.
+
+    At 100 TB, 64-bit surrogates would birthday-collide above ~5e9
+    keys — the 16-hex (64-bit) prefix is sized for this corpus and the
+    census COUNTS collisions instead of assuming none (n_surrogates
+    < n_keys would be the alarm)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    k = c.select(
+        "c_custkey",
+        F.substring(
+            F.md5(F.concat(F.lit("cust|"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("surrogate"),
+    )
+    nk = c.agg(F.countDistinct("c_custkey").alias("n_keys"))
+    j = o.join(k, o.o_custkey == k.c_custkey)
+    return (
+        j.agg(
+            F.countDistinct("surrogate").cast("long").alias("n_surrogates"),
+            F.count("*").cast("long").alias("n_orders_linked"),
+            F.sum(
+                F.floor(F.abs("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("linked_cents"),
+        )
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "n_surrogates",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "n_orders_linked",
+            "linked_cents",
+        )
+    )
+
+
+# ------------------------------------------------- freshness audit
+
+@REG.register(
+    "q_dq_freshness",
+    oracle="""
+        WITH days AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), span AS (
+            SELECT event_type, min(d) AS d0, max(d) AS d1,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM days GROUP BY event_type
+        )
+        SELECT event_type, d0 AS first_day, d1 AS last_day,
+               CAST(d1 - d0 + 1 AS BIGINT) AS span_days,
+               n_days AS present_days,
+               CAST(d1 - d0 + 1 - n_days AS BIGINT) AS missing_days,
+               n_events,
+               CAST((SELECT max(d) FROM days) - d1 AS BIGINT)
+                   AS staleness_days
+        FROM span ORDER BY event_type
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / completeness audit per event type: calendar span,
+    days with data vs missing days inside the span, and staleness
+    relative to the newest day anywhere in the feed — the
+    data-quality monitor a pipeline reads before trusting a partition
+    (q_dq_checks validates VALUES; this validates ARRIVAL; q_ts_gapfill
+    then repairs the gaps it finds).
+
+    Plan: daily rollup (the only fact-width pass, map-side combined),
+    per-type span agg over the ~365-row-per-type day table, 1-row
+    global-max broadcast for staleness. All integers (epoch days)."""
+    e = load(spark, sf_dir, "events")
+    days = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    span = days.groupBy("event_type").agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.count("*").alias("present_days"),
+        F.sum("n").alias("n_events"),
+    )
+    gmax = days.agg(F.max("d").alias("gmax"))
+    return (
+        span.crossJoin(F.broadcast(gmax))
+        .select(
+            "event_type",
+            F.col("first_day").cast("long").alias("first_day"),
+            F.col("last_day").cast("long").alias("last_day"),
+            (F.col("last_day") - F.col("first_day") + 1)
+            .cast("long")
+            .alias("span_days"),
+            F.col("present_days").cast("long").alias("present_days"),
+            (
+                F.col("last_day") - F.col("first_day") + 1
+                - F.col("present_days")
+            )
+            .cast("long")
+            .alias("missing_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("gmax") - F.col("last_day"))
+            .cast("long")
+            .alias("staleness_days"),
+        )
+        .orderBy("event_type")
+    )

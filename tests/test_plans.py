@@ -361,6 +361,10 @@ NESTED_LOOP_OK = {
                              # the scan (q_ml_kmeans_step class)
     "q_ml_lift_gain",        # triangular offset join over the score-
                              # BUCKET summary (q_ml_auc class)
+    "q_sample_coreset",      # 1-row seed/argmax-center broadcasts per
+                             # unrolled k-center round (kcore class)
+    "q_privacy_pseudonym",   # 1-row key-cardinality broadcast
+    "q_dq_freshness",        # 1-row global-max-day broadcast
     "q_hilbert_layout",      # 1-row scale-ranges broadcast
                              # (q_zorder_layout class)
 }
