@@ -178,6 +178,8 @@ EXTENDED = [
     "q_sample_coreset",   # greedy k-center diversity pick
     "q_privacy_pseudonym",  # keyed-surrogate linkage audit
     "q_dq_freshness",     # arrival/staleness audit
+    "q_cohort_ltv",       # weekly cohort lifetime-value matrix
+    "q_embed_centroid_drift",  # per-label two-half centroid drift
 ]
 
 

@@ -2071,3 +2071,89 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "event_type", "x", "y", sym.cast("int").alias("sym")
     ).orderBy("event_type", "x")
+
+
+# --------------------------------------------------- cohort LTV matrix
+
+#: LTV matrix granularity: weekly cohorts x weekly age buckets
+_LTV_BUCKET_D = 7
+
+
+@REG.register(
+    "q_cohort_ltv",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   CAST(floor(abs(value) * 100.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN value < 0 THEN -1
+                           WHEN value > 0 THEN 1 ELSE 0 END) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), cohort AS (
+            SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id
+        ), sizes AS (
+            SELECT d0 // {_LTV_BUCKET_D} AS cohort_wk,
+                   CAST(count(*) AS BIGINT) AS cohort_users
+            FROM cohort GROUP BY 1
+        )
+        SELECT c.d0 // {_LTV_BUCKET_D} AS cohort_wk,
+               (e.d - c.d0) // {_LTV_BUCKET_D} AS age_wk,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(e.cents) AS BIGINT) AS revenue_cents,
+               min(s.cohort_users) AS cohort_users,
+               CAST(sum(e.cents) // min(s.cohort_users) AS BIGINT)
+                   AS ltv_cents_per_user
+        FROM ev e
+        JOIN cohort c ON c.user_id = e.user_id
+        JOIN sizes s ON s.cohort_wk = c.d0 // {_LTV_BUCKET_D}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: purchasers grouped by
+    first-purchase week, each (cohort week, age week) cell carrying
+    purchase count, revenue mass, and cumulative-free per-user value —
+    the revenue companion to q_retention's activity triangle (growth
+    teams read the two side by side: did week-N users stick, and what
+    did they spend as they aged?).
+
+    Plan: the purchase slice compresses per user (min-day cohort dim,
+    ONE user_id-keyed agg co-partitioned with the fact join); weekly
+    cohort sizes are a ~n_weeks-row dim joined broadcast; the matrix
+    agg groups (weeks x weeks) cells — calendar-bounded state. Revenue
+    rides int64 cents end to end; per-user LTV is an integer `div`.
+
+    Determinism: epoch-day/week integers, exact cents, integer
+    division."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+        _quantized(F.col("value"), 100.0).alias("cents"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    sizes = cohort.groupBy(
+        F.expr(f"d0 div {_LTV_BUCKET_D}").alias("cohort_wk")
+    ).agg(F.count("*").alias("cohort_users"))
+    return (
+        ev.join(cohort, "user_id")
+        .withColumn("cohort_wk", F.expr(f"d0 div {_LTV_BUCKET_D}"))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .groupBy(
+            "cohort_wk",
+            F.expr(f"(d - d0) div {_LTV_BUCKET_D}").alias("age_wk"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.min("cohort_users").alias("cohort_users"),
+            F.expr("sum(cents) div min(cohort_users)")
+            .cast("long")
+            .alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
+    _quantized,
     oracle_round4det,
     round4det,
 )
@@ -3088,3 +3089,97 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sample_coreset.__doc__ = q_sample_coreset.__doc__.format(k=_KC_K)
+
+
+# --------------------------------------- embedding centroid drift
+
+@REG.register(
+    "q_embed_centroid_drift",
+    oracle="""
+        WITH t AS (
+            SELECT label, vec_id % 2 AS half, CAST(u.i AS INTEGER) AS dim,
+                   (CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT)
+                    * (CASE WHEN CAST(embedding[u.i] AS DOUBLE) < 0
+                            THEN -1
+                            WHEN CAST(embedding[u.i] AS DOUBLE) > 0
+                            THEN 1 ELSE 0 END)) AS tick
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        ), d AS (
+            SELECT label, dim,
+                   CAST(sum(CASE WHEN half = 0 THEN tick END)
+                        AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN half = 1 THEN tick END)
+                        AS BIGINT) AS s1,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1
+            FROM t GROUP BY label, dim
+        ), c AS (
+            SELECT label, n0, n1,
+                   (CAST(floor(abs((CAST(s0 AS DOUBLE) / n0
+                                    - CAST(s1 AS DOUBLE) / n1)
+                                   * (CAST(s0 AS DOUBLE) / n0
+                                      - CAST(s1 AS DOUBLE) / n1))
+                               + 0.5) AS BIGINT)) AS c2
+            FROM d
+        )
+        SELECT label, CAST(min(n0) AS BIGINT) AS n_half0,
+               CAST(min(n1) AS BIGINT) AS n_half1,
+               CAST(sum(c2) AS BIGINT) AS drift2_tick
+        FROM c GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus halves
+    (even vs odd vec_id — the two-snapshot proxy): squared L2 distance
+    between the halves' per-label centroids, the embedding-space
+    counterpart of q_ks_drift's scalar distribution test (an
+    embedding pipeline re-run on a new crawl compares its centroids
+    before trusting the index).
+
+    Determinism (the summation-order hazard): per-dim means are
+    deterministic doubles (exact int tick sums / counts), but adding
+    64 squared gaps in SUM order is not — each dim's squared gap is
+    floor-quantized to an exact int64 tick FIRST, so the final
+    per-label reduction is order-independent integer addition.
+
+    Plan: ONE posexplode over the embedding array (linear, the
+    q_embed_stats pass shape), (label, dim)-keyed map-side-combined
+    agg carrying both halves' sums as parallel weights (the KS
+    dual-weight discipline), then a label rollup over the
+    (labels x 64) domain. The only fact-width pass is the explode."""
+    e = load(spark, sf_dir, "embeddings")
+    t = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("p", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("p") + 1).alias("dim"),
+        _quantized(F.col("x").cast("double"), 1e6).alias("tick"),
+    )
+    d = t.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("tick"))).alias("s0"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, F.col("tick"))).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    gap = (
+        F.col("s0").cast("double") / F.col("n0")
+        - F.col("s1").cast("double") / F.col("n1")
+    )
+    c2 = F.floor(F.abs(gap * gap) + F.lit(0.5)).cast("long")
+    return (
+        d.select("label", "n0", "n1", c2.alias("c2"))
+        .groupBy("label")
+        .agg(
+            F.min("n0").cast("long").alias("n_half0"),
+            F.min("n1").cast("long").alias("n_half1"),
+            F.sum("c2").cast("long").alias("drift2_tick"),
+        )
+        .orderBy("label")
+    )
