@@ -180,6 +180,7 @@ EXTENDED = [
     "q_dq_freshness",     # arrival/staleness audit
     "q_cohort_ltv",       # weekly cohort lifetime-value matrix
     "q_embed_centroid_drift",  # per-label two-half centroid drift
+    "q_multimodal_dedup", # binary-payload sha256 dedup census
 ]
 
 

@@ -63,6 +63,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_dq_freshness",
     "q_cohort_ltv",
     "q_embed_centroid_drift",
+    "q_multimodal_dedup",
     # --- oldest-first re-certification: the r2 cohort ---
     "q_ngram_topk",
     "q_text_filter_pipeline",
@@ -78,7 +79,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_agg_salted",
     "q_join_nullsafe",
     "q_join_bucketed",
-    "q_scan_partitioned",
 )
 
 #: r6's deferred queue was fully promoted into the r7 window; r7's
@@ -91,6 +91,7 @@ DEFERRED_R8: tuple[str, ...] = ()
 #: r2 keys re-enter the rotation here too: the driver re-checks their
 #: rows>0 contract).
 DEFERRED_R9: tuple[str, ...] = (
+    "q_scan_partitioned",
     "q_join_dpp",
     "q_dedup_exact",
     "q_dedup_jaccard",

@@ -3183,3 +3183,76 @@ def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------- binary payload dedup
+
+@REG.register(
+    "q_multimodal_dedup",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, sha256(text) AS h,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        ), g AS (
+            SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keep_id, min(nb) AS n_bytes
+            FROM b GROUP BY h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_blobs_unique,
+               CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+               CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1
+                             ELSE 0 END) AS BIGINT) AS n_redundant,
+               CAST(sum(CASE WHEN n_copies > 1
+                             THEN (n_copies - 1) * n_bytes
+                             ELSE 0 END) AS BIGINT) AS bytes_reclaimable,
+               CAST(sum(n_copies * n_bytes) AS BIGINT) AS bytes_total
+        FROM g
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload (blob) dedup census: sha256 over the opaque
+    payload column of the multimodal table groups byte-identical
+    blobs, reporting redundant copy count and reclaimable bytes — the
+    content-addressable-storage pass an image/audio lake runs before
+    feature extraction (dedup the BYTES once, decode once, fan the
+    features back out; q_dedup_exact is its text-side sibling).
+
+    Plan: per-row sha256 at scan stage — the shuffle key is the
+    32-byte digest, never the payload, so at 100 TB the exchange
+    carries hashes while the blobs stay columnar in place; ONE
+    digest-keyed map-side-combined agg + a 1-row census rollup.
+
+    Determinism: sha256 is standard across engines; counts and byte
+    masses are exact ints."""
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    g = (
+        blobs.select(
+            "doc_id",
+            F.sha2(F.col("payload"), 256).alias("h"),
+            F.col("meta.n_bytes").cast("long").alias("nb"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.min("nb").alias("n_bytes"),
+        )
+    )
+    dup = F.col("n_copies") > 1
+    return g.agg(
+        F.count("*").cast("long").alias("n_blobs_unique"),
+        F.sum("n_copies").cast("long").alias("n_blobs"),
+        F.sum(F.when(dup, F.col("n_copies") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_redundant"),
+        F.sum(
+            F.when(dup, (F.col("n_copies") - 1) * F.col("n_bytes"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("bytes_reclaimable"),
+        F.sum(F.col("n_copies") * F.col("n_bytes"))
+        .cast("long")
+        .alias("bytes_total"),
+    )
