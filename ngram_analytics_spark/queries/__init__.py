@@ -18,13 +18,14 @@ from ngram_analytics_spark.registry import QueryRegistry
 # The 50 keys the differential driver should grade first.  Round-8
 # rotation (VERDICT r7 "Next round" item 1, oldest-first
 # re-certification): the 13 DEFERRED_R8 keys (the r1-cohort tail
-# queued at r7) lead the window, followed by the keys NEW in r8 or
-# whose code changed in r8 (q_text_fingerprint_exact — the certified
-# winnowing twin; q_sim_pairs_lsh — re-graded after the capped
-# RP-banding rewrite replaced the MLlib edge path).  The remaining
-# slots continue the oldest-first rotation with the r2-certified
-# cohort (code-stable since r2, judge-green in every local
-# differential since); its tail continues in DEFERRED_R9.
+# queued at r7) lead the window; then the 22 keys NEW in r8
+# (q_text_fingerprint_exact through q_multimodal_dedup below) plus
+# ONE r8 re-certification (q_sim_pairs_lsh — re-graded after the
+# capped RP-banding rewrite replaced the MLlib edge path and made the
+# branch SQL-certifiable).  The remaining 14 slots continue the
+# oldest-first rotation with the start of the r2-certified cohort
+# (code-stable since r2, judge-green in every local differential
+# since); its tail continues in DEFERRED_R9.
 GRADED_FIRST: tuple[str, ...] = (
     # --- oldest-first re-certification: the r7 DEFERRED_R8 queue ---
     "q_win_analytic",
