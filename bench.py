@@ -181,6 +181,8 @@ EXTENDED = [
     "q_cohort_ltv",       # weekly cohort lifetime-value matrix
     "q_embed_centroid_drift",  # per-label two-half centroid drift
     "q_multimodal_dedup", # binary-payload sha256 dedup census
+    "q_bpe_apply",        # one BPE merge iteration end-to-end
+    "q_stream_live_freshness",  # live per-type staleness monitor
 ]
 
 

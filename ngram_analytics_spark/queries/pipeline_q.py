@@ -1527,3 +1527,122 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ------------------------------------------------ BPE merge apply
+
+@REG.register(
+    "q_bpe_apply",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY tok
+        ), pairs AS (
+            SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM vocab, UNNEST(range(1, len(tok))) AS u(i)
+            WHERE len(tok) >= 2
+            GROUP BY 1
+        ), top1 AS (
+            SELECT pair FROM pairs
+            ORDER BY n DESC, pair ASC LIMIT 1
+        ), applied AS (
+            SELECT v.cnt,
+                   len(v.tok) AS len_before,
+                   (len(v.tok)
+                    - len(replace(v.tok, t.pair, ''))) // 2 AS occ
+            FROM vocab v CROSS JOIN top1 t
+        )
+        SELECT (SELECT pair FROM top1) AS merged_pair,
+               CAST(sum(cnt * occ) AS BIGINT) AS n_merges,
+               CAST(sum(CASE WHEN occ > 0 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_tokens_affected,
+               CAST(sum(cnt * len_before) AS BIGINT) AS chars_before,
+               CAST(sum(cnt * (len_before - occ)) AS BIGINT)
+                   AS chars_after,
+               CAST(floor(sum(cnt * occ) * 1000000.0
+                          / sum(cnt * len_before)) AS BIGINT)
+                   AS reduction_ppm
+        FROM applied
+    """,
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration END-TO-END: pick the highest-count
+    adjacent character pair (the q_bpe_pair_counts statistic) and
+    APPLY the merge across the corpus — reporting merges performed,
+    tokens touched, and the exact symbol-stream compression the merge
+    buys (the quantity the trainer's greedy objective maximizes;
+    Sennrich et al.).
+
+    Merge semantics: non-overlapping left-to-right replacement —
+    string replace() in BOTH engines scans left-to-right, exactly the
+    BPE greedy application order, and each merge shortens the symbol
+    stream by one, so occurrences = (len - len(after-removal)) / 2
+    without materializing merged strings.
+
+    Scale plan: both the pair scan AND the apply run over the DISTINCT
+    vocabulary with frequency weights (the q_bpe_pair_counts trick) —
+    at 100 TB the merge step never touches the raw token stream; the
+    winning pair is a 1-row TakeOrdered broadcast.
+
+    Determinism: integer counts/lengths; top-1 ties break on the pair
+    string (ASCII corpus alphabet)."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "cnt",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    top1 = (
+        pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    applied = vocab.crossJoin(F.broadcast(top1)).select(
+        "cnt",
+        F.length("tok").alias("len_before"),
+        F.expr(
+            "(length(tok) - length(replace(tok, pair, ''))) div 2"
+        ).alias("occ"),
+        "pair",
+    )
+    return applied.agg(
+        F.min("pair").alias("merged_pair"),
+        F.sum(F.col("cnt") * F.col("occ")).cast("long").alias("n_merges"),
+        F.sum(F.when(F.col("occ") > 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_affected"),
+        F.sum(F.col("cnt") * F.col("len_before"))
+        .cast("long")
+        .alias("chars_before"),
+        F.sum(F.col("cnt") * (F.col("len_before") - F.col("occ")))
+        .cast("long")
+        .alias("chars_after"),
+        F.floor(
+            F.sum(F.col("cnt") * F.col("occ"))
+            * F.lit(1_000_000.0)
+            / F.sum(F.col("cnt") * F.col("len_before"))
+        )
+        .cast("long")
+        .alias("reduction_ppm"),
+    )

@@ -1568,3 +1568,56 @@ def _ds_ticks(c):
         F.floor(F.abs(c) * 1_000_000.0 + F.lit(0.5)).cast("long")
         * F.when(c < 0, -1).when(c > 0, 1).otherwise(0)
     )
+
+
+# ---------------------------------------- live freshness monitor
+
+@REG.register(
+    "q_stream_live_freshness",
+    oracle=f"""
+        SELECT event_type,
+               strftime(max(ts), '{TS_FMT_DUCK}') AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', max(ts),
+                    (SELECT max(ts) FROM events)) AS BIGINT)
+                   AS staleness_s
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_live_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type feed-freshness monitor under REAL Structured
+    Streaming: max event-time and event count per type, with
+    staleness relative to the newest event anywhere — the continuous
+    companion to q_dq_freshness's batch audit (a stuck upstream shows
+    up as one type's last_seen freezing while the global max
+    advances). Batch-stream parity certified by the shared oracle.
+
+    Plan: an UNWATERMARKED complete-mode max/count agg — per-type
+    state is two scalars, the cheapest possible streaming state (no
+    windows, no eviction needed because the aggregate itself is
+    bounded by the type domain); the staleness join is a 1-row
+    broadcast of the global max onto the 5-row result."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.max("ts").alias("mx"), F.count("*").alias("n_events")
+    )
+    name = "t_fresh_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    t = spark.table(name)
+    gmax = t.agg(F.max("mx").alias("gmx"))
+    return (
+        t.crossJoin(F.broadcast(gmax))
+        .select(
+            "event_type",
+            F.date_format("mx", TS_FMT_SPARK).alias("last_seen"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.unix_timestamp("gmx") - F.unix_timestamp("mx"))
+            .cast("long")
+            .alias("staleness_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -365,6 +365,10 @@ NESTED_LOOP_OK = {
                              # unrolled k-center round (kcore class)
     "q_privacy_pseudonym",   # 1-row key-cardinality broadcast
     "q_dq_freshness",        # 1-row global-max-day broadcast
+    "q_bpe_apply",           # 1-row top-pair broadcast onto the
+                             # vocabulary (q_text_collocation class)
+    "q_stream_live_freshness",  # 1-row global-max broadcast onto the
+                             # 5-row sink table
     "q_hilbert_layout",      # 1-row scale-ranges broadcast
                              # (q_zorder_layout class)
 }
