@@ -183,6 +183,7 @@ EXTENDED = [
     "q_multimodal_dedup", # binary-payload sha256 dedup census
     "q_bpe_apply",        # one BPE merge iteration end-to-end
     "q_stream_live_freshness",  # live per-type staleness monitor
+    "q_compaction_plan",  # contiguous small-file compaction groups
 ]
 
 

@@ -582,3 +582,106 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+# --------------------------------------------- compaction planner
+
+#: compaction target size (bytes) and synthetic row width: "files"
+#: are (order-week, priority) ingest partitions, bytes = rows x 200
+_CMP_TARGET = 1 << 20
+_CMP_ROW_B = 200
+
+
+@REG.register(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH files AS (
+            SELECT (date_diff('day', DATE '1970-01-01', o_orderdate)
+                    // 7) * 10
+                   + CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                       AS fkey,
+                   CAST(count(*) * {_CMP_ROW_B} AS BIGINT) AS bytes
+            FROM orders GROUP BY 1
+        ), cum AS (
+            SELECT fkey, bytes,
+                   SUM(bytes) OVER (ORDER BY fkey) AS cum
+            FROM files
+        ), grp AS (
+            SELECT fkey, bytes,
+                   CAST((cum - bytes) // {_CMP_TARGET} AS BIGINT)
+                       AS group_id
+            FROM cum
+        )
+        SELECT group_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               min(fkey) AS first_file, max(fkey) AS last_file,
+               CAST(sum(CASE WHEN bytes < {_CMP_TARGET} // 4
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_files
+        FROM grp GROUP BY group_id ORDER BY group_id
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: key-ordered ingest partitions
+    ("files": (order-week, priority) cells with byte sizes) are
+    packed into contiguous ~1 MiB compaction groups by running-byte
+    assignment — group = exclusive-cumulative-bytes div target, the
+    sort-then-cut strategy real lakehouse OPTIMIZE jobs use (contiguous
+    in sort order preserves clustering, unlike first-fit bin packing
+    which shuffles unrelated key ranges together). Reports per group
+    the file count, byte mass, key span, and how many small files it
+    absorbs — completing the layout family (q_zorder_layout /
+    q_hilbert_layout cluster; q_range_partition_plan splits;
+    this compacts).
+
+    Plan: ONE map-side-combined rollup builds the file table (bounded
+    by the week x priority domain, never order rows),
+    grouped_value_cumsum runs the byte cumsum over that bounded
+    domain, and the group census aggregates ~total/target rows. The
+    only fact-width pass is the rollup.
+
+    Determinism: epoch-week/priority integer keys, exact byte sums,
+    integer division group cuts."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    files = (
+        o.groupBy(
+            (
+                F.floor(
+                    F.datediff(
+                        F.col("o_orderdate"),
+                        F.to_date(F.lit("1970-01-01")),
+                    )
+                    / 7
+                ).cast("long")
+                * 10
+                + F.substring("o_orderpriority", 1, 1).cast("long")
+            ).alias("fkey")
+        )
+        .agg((F.count("*") * _CMP_ROW_B).cast("long").alias("bytes"))
+        .select(F.lit(0).alias("g"), "fkey", "bytes")
+    )
+    cum = grouped_value_cumsum(files, "g", "fkey", "bytes", 1000.0)
+    grp = cum.select(
+        "fkey",
+        "bytes",
+        F.expr(f"(cum - bytes) div {_CMP_TARGET}").alias("group_id"),
+    )
+    small = F.col("bytes") < _CMP_TARGET // 4
+    return (
+        grp.groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("fkey").alias("first_file"),
+            F.max("fkey").alias("last_file"),
+            F.sum(F.when(small, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_files"),
+        )
+        .orderBy("group_id")
+    )

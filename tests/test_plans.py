@@ -369,6 +369,9 @@ NESTED_LOOP_OK = {
                              # vocabulary (q_text_collocation class)
     "q_stream_live_freshness",  # 1-row global-max broadcast onto the
                              # 5-row sink table
+    "q_compaction_plan",     # triangular offset join over the file-
+                             # domain bucket summary (q_pareto_share
+                             # class)
     "q_hilbert_layout",      # 1-row scale-ranges broadcast
                              # (q_zorder_layout class)
 }
