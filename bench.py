@@ -184,6 +184,8 @@ EXTENDED = [
     "q_bpe_apply",        # one BPE merge iteration end-to-end
     "q_stream_live_freshness",  # live per-type staleness monitor
     "q_compaction_plan",  # contiguous small-file compaction groups
+    "q_text_cooc",        # windowed co-occurrence (GloVe statistic)
+    "q_stream_live_ab",   # live per-variant experiment counters
 ]
 
 

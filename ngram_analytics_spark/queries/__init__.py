@@ -18,11 +18,11 @@ from ngram_analytics_spark.registry import QueryRegistry
 # The 50 keys the differential driver should grade first.  Round-8
 # rotation (VERDICT r7 "Next round" item 1, oldest-first
 # re-certification): the 13 DEFERRED_R8 keys (the r1-cohort tail
-# queued at r7) lead the window; then the 25 keys NEW in r8
-# (q_text_fingerprint_exact through q_compaction_plan below) plus
+# queued at r7) lead the window; then the 27 keys NEW in r8
+# (q_text_fingerprint_exact through q_stream_live_ab below) plus
 # ONE r8 re-certification (q_sim_pairs_lsh — re-graded after the
 # capped RP-banding rewrite replaced the MLlib edge path and made the
-# branch SQL-certifiable).  The remaining 11 slots continue the
+# branch SQL-certifiable).  The remaining 9 slots continue the
 # oldest-first rotation with the start of the r2-certified cohort
 # (code-stable since r2, judge-green in every local differential
 # since); its tail continues in DEFERRED_R9.
@@ -68,6 +68,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_bpe_apply",
     "q_stream_live_freshness",
     "q_compaction_plan",
+    "q_text_cooc",
+    "q_stream_live_ab",
     # --- oldest-first re-certification: the r2 cohort ---
     "q_ngram_topk",
     "q_text_filter_pipeline",
@@ -78,8 +80,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_agg_stringagg",
     "q_join_range_binned",
     "q_agg_mode",
-    "q_agg_histogram",
-    "q_join_salted",
 )
 
 #: r6's deferred queue was fully promoted into the r7 window; r7's
@@ -92,6 +92,8 @@ DEFERRED_R8: tuple[str, ...] = ()
 #: r2 keys re-enter the rotation here too: the driver re-checks their
 #: rows>0 contract).
 DEFERRED_R9: tuple[str, ...] = (
+    "q_agg_histogram",
+    "q_join_salted",
     "q_agg_salted",
     "q_join_nullsafe",
     "q_join_bucketed",

@@ -1003,3 +1003,89 @@ def q_ml_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_chi2.__doc__ = q_ml_chi2.__doc__.format(k=_CHI2_TOPK)
+
+
+# ------------------------------------------ windowed co-occurrence
+
+#: symmetric context window (tokens either side) and top-k pairs
+_COOC_WIN = 2
+_COOC_TOPK = 30
+
+
+@REG.register(
+    "q_text_cooc",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                   string_split(lower(text), ' ')[u.i] AS w
+            FROM documents,
+                 UNNEST(range(1, len(string_split(text, ' ')) + 1))
+                     AS u(i)
+        ), pairs AS (
+            SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN b.i - a.i = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_adjacent
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.i > a.i AND b.i - a.i <= {_COOC_WIN}
+            WHERE a.w != '' AND b.w != ''
+            GROUP BY 1, 2
+        )
+        SELECT w1, w2, n, n_adjacent FROM pairs
+        ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {_COOC_TOPK}
+    """,
+)
+def q_text_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts (symmetric +/-{w} token window,
+    unordered pairs): the corpus statistic embedding trainers consume
+    (GloVe factorizes exactly this matrix; word2vec negative sampling
+    draws from it) — one window size up from q_text_collocation's
+    adjacent-bigram PMI. Top-{k} pairs with total and adjacent-only
+    counts.
+
+    Plan: ONE posexplode (the only fact-width pass), then a doc_id-
+    keyed self-join with the residual band predicate 0 < j - i <= {w}
+    — co-partitioned on the equi key, output bounded by w x token
+    count (never quadratic in document length); pair agg is map-side
+    combined on the vocab x vocab domain; top-{k} is a TakeOrdered.
+    At 100 TB this is the standard two-shuffle co-occurrence build.
+
+    Determinism: integer counts; unordered pairs canonicalized with
+    least/greatest; ties break on the pair strings (ASCII corpus)."""
+    d = load(spark, sf_dir, "documents")
+    pos = spread(d).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w").filter(
+        F.col("w") != ""
+    )
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("ib") > F.col("ia"))
+            & (F.col("ib") - F.col("ia") <= _COOC_WIN)
+        )
+        .groupBy(
+            F.least("wa", "wb").alias("w1"),
+            F.greatest("wa", "wb").alias("w2"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("ib") - F.col("ia") == 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_adjacent"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_COOC_TOPK)
+
+
+q_text_cooc.__doc__ = q_text_cooc.__doc__.format(
+    w=_COOC_WIN, k=_COOC_TOPK
+)

@@ -1621,3 +1621,72 @@ def q_stream_live_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------------------------- live experiment monitor
+
+@REG.register(
+    "q_stream_live_ab",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS conv,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(variant AS BIGINT) AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_converted,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST((sum(conv) * 1000000) // count(*) AS BIGINT)
+                   AS conv_ppm
+        FROM u GROUP BY variant ORDER BY variant
+    """,
+)
+def q_stream_live_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live experiment monitor under REAL Structured Streaming:
+    per-variant user counts, conversions and conversion rate,
+    continuously maintained — the streaming feed that q_ab_ztest's
+    batch readout formalizes at decision time (dashboards watch this;
+    the z-test fires on the snapshot). Batch-stream parity certified
+    by the shared oracle.
+
+    Plan: complete-mode two-level streaming aggregate — per-user
+    conversion flag state (keyed on user_id, two scalars), then the
+    2-row variant rollup; no watermark needed because both aggregates
+    are domain-bounded (users; variants). The one large state is the
+    per-user map, which is exactly the state a real experiment
+    pipeline must hold anyway (dedup by user), sharded by key across
+    executors at scale.
+
+    Determinism: integer counts and a ppm integer division."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    events = S.read_events_stream(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+        F.count("*").alias("n_events"),
+    )
+    name = "t_ab_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(per_user, name, output_mode="complete")
+    u = spark.table(name)
+    return (
+        u.select(
+            (F.col("user_id") % 2).alias("variant"), "conv", "n_events"
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_converted"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr("(sum(conv) * 1000000) div count(*)")
+            .cast("long")
+            .alias("conv_ppm"),
+        )
+        .orderBy("variant")
+    )
