@@ -536,7 +536,13 @@ def rp_candidate_pairs(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         .withColumn("_nrm", l2_norm(F.col("v"), None))
-        .filter(F.col("_nrm") > 0)
+        # size guard BEFORE the projections: zip_with against the
+        # dim-length sign rows NULL-pads any other-length vector,
+        # which nulls every bucket and collapses ALL rows into ONE
+        # signature group — silently reinstating the n^2 intra-group
+        # fanout this operator exists to bound. Off-dim vectors are
+        # excluded from banding (callers pass dim explicitly).
+        .filter((F.col("_nrm") > 0) & (F.size("v") == dim))
     )
 
     # ALL buckets in ONE compact HOF expression: transform over the

@@ -2029,7 +2029,8 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     z >= b  <=>  u >= b * sqrt(n*sq - m*m) — one sqrt (correctly
     rounded on both engines) times one literal, compared against an
     integer-valued double. A constant series (r = 0) lands every day
-    on symbol 2 identically. (n*sq rides int64 — exact to ~3e9 events
+    on symbol 3 identically (u = 0 satisfies all three >= tests
+    against +/-0.0) on both engines. (n*sq rides int64 — exact to ~3e9 events
     per type-day; beyond that the moments would need DECIMAL.)
 
     Plan: daily rollup (map-side combined, the only pass over raw

@@ -2791,10 +2791,11 @@ _LIFT_BUCKET = 100_000.0
         SELECT CAST(decile AS BIGINT) AS decile,
                CAST(sum(c) AS BIGINT) AS n,
                CAST(sum(p) AS BIGINT) AS n_pos,
-               CAST((sum(p) * 1000000) // max(np) AS BIGINT)
-                   AS gain_share_ppm,
+               CAST((sum(p) * 1000000) // greatest(max(np), 1)
+                   AS BIGINT) AS gain_share_ppm,
                CAST(((sum(p) * max(n)) * 1000000)
-                    // (sum(c) * max(np)) AS BIGINT) AS lift_ppm
+                    // (sum(c) * greatest(max(np), 1)) AS BIGINT)
+                   AS lift_ppm
         FROM dec GROUP BY decile ORDER BY decile
     """,
 )
@@ -2851,10 +2852,13 @@ def q_ml_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n"),
             F.sum("p").cast("long").alias("n_pos"),
-            F.expr("(sum(p) * 1000000) div max(np)")
+            F.expr("(sum(p) * 1000000) div greatest(max(np), 1)")
             .cast("long")
             .alias("gain_share_ppm"),
-            F.expr("((sum(p) * max(n)) * 1000000) div (sum(c) * max(np))")
+            F.expr(
+                "((sum(p) * max(n)) * 1000000)"
+                " div (sum(c) * greatest(max(np), 1))"
+            )
             .cast("long")
             .alias("lift_ppm"),
         )
@@ -2972,7 +2976,6 @@ def _kc_oracle() -> str:
                    {_kc_dist_sql("e.embedding", "s.cv", 1)} AS dmin
             FROM embeddings e CROSS JOIN seed s
         )"""
-        .replace("s.cv", "s.cv")
     ]
     for r in range(2, _KC_K + 1):
         parts.append(
@@ -2985,7 +2988,7 @@ def _kc_oracle() -> str:
             parts.append(
                 f""", p{r} AS (
             SELECT p.vec_id, p.embedding,
-                   least(p.dmin, {dist.replace("b.cv", f"b.cv")}) AS dmin
+                   least(p.dmin, {dist}) AS dmin
             FROM p{r - 1} p CROSS JOIN b{r} b
         )"""
             )
@@ -3196,7 +3199,7 @@ def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), g AS (
             SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
-                   min(doc_id) AS keep_id, min(nb) AS n_bytes
+                   min(nb) AS n_bytes
             FROM b GROUP BY h
         )
         SELECT CAST(count(*) AS BIGINT) AS n_blobs_unique,
@@ -3228,14 +3231,12 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = to_blob_table(load(spark, sf_dir, "documents"))
     g = (
         blobs.select(
-            "doc_id",
             F.sha2(F.col("payload"), 256).alias("h"),
             F.col("meta.n_bytes").cast("long").alias("nb"),
         )
         .groupBy("h")
         .agg(
             F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("keep_id"),
             F.min("nb").alias("n_bytes"),
         )
     )

@@ -905,6 +905,8 @@ _CHI2_TOPK = 5
             JOIN lang_df l ON l.lang = d.lang
             GROUP BY d.lang, d.tok
         ), x2 AS (
+            -- df=n (token in every doc) or nl=n (single-class corpus)
+            -- zeroes a denominator: chi2 undefined, row excluded
             SELECT lang, tok, a, df - a AS b, nl - a AS c,
                    (SELECT n FROM nn) - nl - df + a AS d,
                    ((CAST((SELECT n FROM nn) AS DOUBLE)
@@ -916,6 +918,7 @@ _CHI2_TOPK = 5
                       / CAST(nl * ((SELECT n FROM nn) - nl) AS DOUBLE))
                        AS chi2
             FROM cell
+            WHERE df < (SELECT n FROM nn) AND nl < (SELECT n FROM nn)
         )
         SELECT lang, tok, a, b, c, d,
                {oracle_round4det("chi2")} AS chi2
@@ -965,6 +968,13 @@ def q_ml_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tok_df, "tok")
         .join(F.broadcast(lang_df), "lang")
         .crossJoin(F.broadcast(n_total))
+    )
+    # degenerate guard (ANSI mode): df = n or nl = n zeroes a chi2
+    # denominator — the statistic is undefined there (a universal
+    # token / single-class corpus carries no selection signal), so
+    # the row is excluded on BOTH engines rather than NULLed
+    cell = cell.filter(
+        (F.col("df") < F.col("n")) & (F.col("nl") < F.col("n"))
     )
     x2 = cell.select(
         "lang",

@@ -676,10 +676,14 @@ def test_cosine_edges_lsh_skips_zero_norm_vectors(spark):
         (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: must be skipped
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # dim=4 matches the vectors: pre-r8 this test "passed" with the
+    # default dim=64 only because the NULL-padded zip_with collapsed
+    # every row into one signature group (the exact bug the off-dim
+    # guard now closes — see test_rp_banding_excludes_off_dim_vectors)
     got = {
         (r.id_a, r.id_b)
         for r in cosine_edges(
-            df, min_cos=0.9, method="lsh", bucket_length=4.0
+            df, min_cos=0.9, method="lsh", bucket_length=4.0, dim=4
         ).collect()
     }
     assert got == {(1, 2)}
@@ -1441,3 +1445,35 @@ def test_kneser_ney_sums_to_one(spark):
     for w1 in lam:
         full = obs[w1] + lam[w1] * total_cont
         assert abs(full - 1.0) < 1e-12, (w1, full)
+
+
+def test_rp_banding_excludes_off_dim_vectors(spark):
+    """Vectors whose length differs from `dim` must be EXCLUDED from
+    RP banding, not NULL-poison the signature fold: pre-guard, a
+    mixed-dim corpus collapsed every row into one all-NULL signature
+    group and emitted the full quadratic pair set (code-review r8
+    finding). With the guard, off-dim rows produce no candidates."""
+    import numpy as np
+
+    from ngram_analytics_spark.operators.similarity import (
+        rp_candidate_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(32)]) for i in range(40)
+    ]  # ALL vectors off-dim (32 != 64)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert rp_candidate_pairs(df).count() == 0
+
+    # mixed corpus: only the 64-dim rows may band; candidate ids stay
+    # inside the on-dim id range
+    rows64 = [
+        (100 + i, [float(x) for x in rng.randn(64)]) for i in range(30)
+    ]
+    mixed = spark.createDataFrame(
+        rows + rows64, "vec_id long, embedding array<float>"
+    )
+    got = rp_candidate_pairs(mixed).collect()
+    for r in got:
+        assert r.id_a >= 100 and r.id_b >= 100
