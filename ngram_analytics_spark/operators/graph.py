@@ -199,6 +199,7 @@ def knn_graph_edges(
     vec_col: str = "embedding",
     k: int = 3,
     min_cos: float = 0.2,
+    dim: int = 64,
 ) -> DataFrame:
     """Directed k-nearest-neighbor graph over an embedding corpus:
     for every vector, edges to its top-``k`` cosine neighbors at or
@@ -223,8 +224,11 @@ def knn_graph_edges(
     # and Catalyst executes the (expensive) similarity kernel once per
     # branch — materialize it once instead (eager localCheckpoint):
     # 2 kernel executions -> 1 for every consumer of the kNN graph.
+    # dim reaches the LSH branch's banding guard (r8): RDD-backed
+    # frames have unknown plan stats and route to LSH, where off-dim
+    # vectors are EXCLUDED from banding rather than NULL-collapsed
     pairs = cosine_edges(
-        corpus, id_col, vec_col, min_cos=min_cos
+        corpus, id_col, vec_col, min_cos=min_cos, dim=dim
     ).localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),

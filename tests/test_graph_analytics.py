@@ -68,7 +68,7 @@ class TestKnnGraphEdges:
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         )
-        got = knn_graph_edges(emb, k=2, min_cos=0.1).collect()
+        got = knn_graph_edges(emb, k=2, min_cos=0.1, dim=3).collect()
         for r in got:
             assert (r["src"] < 4) == (r["dst"] < 4), r
         # every node found 2 same-cluster neighbors
@@ -84,9 +84,10 @@ class TestKnnGraphEdges:
             rows, "vec_id long, embedding array<float>"
         )
         got = (
-            knn_graph_edges(emb, k=3, min_cos=0.5)
+            knn_graph_edges(emb, k=3, min_cos=0.5, dim=2)
             .groupBy("src")
             .agg(F.count("*").alias("d"))
             .collect()
         )
+        assert got  # vacuous-pass guard: the graph must have edges
         assert all(r["d"] <= 3 for r in got)
