@@ -400,6 +400,12 @@ def _estimate_rows(df: DataFrame) -> int:
     ratio (~1-4x for float arrays) — fine for an order-of-magnitude
     dispatch threshold, and the conservative direction (under-estimating
     keeps the exact path longer, never degrades recall).
+
+    RDD-backed frames (e.g. createDataFrame toys) expose UNKNOWN
+    statistics (sizeInBytes = Long.MaxValue), so they route to the
+    LSH branch regardless of true size — conservative for cost at
+    scale; callers with non-default vector dims must pass ``dim`` so
+    the banding guard keeps them (knn_graph_edges forwards it).
     """
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     row_count = stats.rowCount()
