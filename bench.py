@@ -16,6 +16,24 @@ import sys
 import time
 
 
+#: Host-drift sentinel (VERDICT r8 "Next round" item 3): three pinned,
+#: code-frozen r1 headline queries whose plans have not changed since
+#: round 1, with their frozen anchor timings from the r7 official
+#: driver record (headline 7.134 s = 1.05x the 6.8 s anchor — the last
+#: near-idle official reading; constants documented in BASELINE.md
+#: "Host-drift sentinel").  The headline JSON carries
+#: drift = (min-of-runs sum of the three) / DRIFT_ANCHOR_TOTAL so the
+#: driver and judge can mechanically separate environment slowdown
+#: from code regression: code never changes these queries, so any
+#: drift >> 1.0 is the host, and headline/drift approximates the
+#: de-drifted engine number.
+DRIFT_SENTINELS = {
+    "q_filter_pred": 0.147,
+    "q_sort_limit": 0.108,
+    "q_dedup_exact": 0.181,
+}
+DRIFT_ANCHOR_TOTAL = round(sum(DRIFT_SENTINELS.values()), 3)  # 0.436
+
 HEADLINE = [
     "q_agg_group",        # TPC-H Q1 shape
     "q_join_multiway",    # 5-table star join
@@ -344,17 +362,19 @@ def main() -> int:
         "w",
     ) as f:
         json.dump(detail, f, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if all(s in timings for s in DRIFT_SENTINELS):
+        headline["drift"] = round(
+            sum(timings[s] for s in DRIFT_SENTINELS) / DRIFT_ANCHOR_TOTAL,
+            2,
         )
-    )
+    print(json.dumps(headline))
     return 0
 
 
