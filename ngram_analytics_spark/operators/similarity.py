@@ -455,9 +455,17 @@ RP_EDGE_SEED = 7
 #: fanout buys almost no recall per candidate, so the operator SKIPS
 #: it.  This makes worst-case candidate volume LINEAR in corpus rows:
 #: <= n_tables * n_groups * cap / 2 group pairs regardless of data
-#: distribution (plus exact-clone pairs, which are output the operator
-#: must emit anyway).  Exact clones are immune: identical full
-#: signatures collapse to ONE group before banding.
+#: distribution, PLUS intra-group pairs.  A full-signature collision
+#: group is usually exact clones (identical vectors collapse to ONE
+#: group before banding, so clone clusters cost their own pairs and
+#: nothing more — pairs the operator must emit anyway), but
+#: NEAR-identical vectors that agree on all n_tables*band_width
+#: bucketed projections land in the same group too, and intra-group
+#: pairs are emitted UNCAPPED: a corpus that is one tight cluster
+#: inside a single bucket quantum still fans out quadratically in
+#: that cluster's size.  That is the semantically-required output
+#: (all such pairs pass the min_cos re-check), not wasted candidate
+#: volume — the linear bound above is a bound on NON-emitted work.
 RP_EDGE_BUCKET_CAP = 64
 
 

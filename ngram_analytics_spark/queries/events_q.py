@@ -2126,7 +2126,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides int64 cents end to end; per-user LTV is an integer `div`.
 
     Determinism: epoch-day/week integers, exact cents, integer
-    division."""
+    division. Spark `div` and DuckDB `//` both truncate toward zero
+    on BIGINT (verified), so ltv_cents_per_user is engine-identical
+    even if a refund-heavy cell ever made sum(cents) negative — the
+    signed `cents` quantization keeps refunds' sign on both sides
+    (the q_privacy_kanon truncation-note discipline)."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select(

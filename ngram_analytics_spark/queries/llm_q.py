@@ -273,7 +273,7 @@ _RPL_BCOLS = ", ".join(f"b{t}" for t in range(_RPL_TABLES * _RPL_BW))
             SELECT id,
                    {", ".join(_rpl_bucket_sql(t)
                               for t in range(_RPL_TABLES * _RPL_BW))}
-            FROM e WHERE nrm > 0
+            FROM e WHERE nrm > 0 AND len(embedding) = {_RPL_DIM}
         ), grp AS (
             SELECT min(id) AS gid, {_RPL_BCOLS}
             FROM s GROUP BY {_RPL_BCOLS}

@@ -1498,11 +1498,15 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents."""
     import os
 
+    # the app-id suffix makes the write->mergeSchema-read round-trip
+    # safe under concurrent sessions on one host (e.g. bench while a
+    # diffcheck runs) — each session round-trips its own directory
     out = os.path.join(
         "/tmp",
         "nas_src_roundtrip",
         os.path.basename(os.path.normpath(sf_dir)),
         "schema_evo",
+        spark.sparkContext.applicationId,
     )
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderstatus") == "F").select(
