@@ -1650,3 +1650,190 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reduction_ppm"),
     )
+
+
+# ------------------------------------------- BPE training loop
+
+#: unrolled merge rounds for the end-to-end trainer
+_BPE_LOOP_ROUNDS = 3
+
+#: DuckDB-side round template pieces (chained CTEs; see oracle below)
+_BPE_V0 = r"""
+        v0 AS (
+            SELECT ',,' || regexp_replace(tok, '(.)', '\1,,', 'g') AS enc,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY 1
+        )
+"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"v{r - 1}"
+    return f"""
+        , p{r} AS (
+            SELECT s.syms[u.i] || ',' || s.syms[u.i + 1] AS pair,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM (
+                SELECT list_filter(string_split(enc, ','),
+                                   x -> x != '') AS syms, cnt
+                FROM {prev}
+            ) s, UNNEST(range(1, len(s.syms))) AS u(i)
+            GROUP BY 1
+        ), t{r} AS (
+            SELECT pair, n FROM p{r}
+            ORDER BY n DESC, pair ASC LIMIT 1
+        ), v{r} AS (
+            SELECT replace(enc,
+                       ',' || replace(t.pair, ',', ',,') || ',',
+                       ',' || replace(t.pair, ',', '') || ',') AS enc,
+                   cnt
+            FROM {prev} CROSS JOIN t{r} t
+        ), s{r} AS (
+            SELECT CAST({r} AS BIGINT) AS rnd,
+                   (SELECT replace(pair, ',', '|') FROM t{r})
+                       AS merged_pair,
+                   (SELECT n FROM t{r}) AS pair_n,
+                   CAST(sum(cnt * len(list_filter(
+                       string_split(enc, ','), x -> x != '')))
+                       AS BIGINT) AS stream_syms
+            FROM v{r}
+        )
+    """
+
+
+@REG.register(
+    "q_bpe_train_loop",
+    oracle="WITH " + _BPE_V0
+    + "".join(_bpe_round_sql(r) for r in range(1, _BPE_LOOP_ROUNDS + 1))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _BPE_LOOP_ROUNDS + 1)
+    )
+    + ") ORDER BY rnd",
+)
+def q_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END BPE tokenizer training, {r} merge rounds unrolled
+    (VERDICT r8 "Next round" item 6): each round counts adjacent
+    SYMBOL pairs over the weighted vocabulary, broadcasts the argmax
+    pair, and applies the merge — so round 2 merges against round 1's
+    merged symbols, the real Sennrich et al. training loop rather than
+    q_bpe_apply's single iteration. Per round: the merged pair, its
+    corpus-weighted count, and the symbol-stream length after the
+    merge (the greedy objective's progress).
+
+    Symbol-sequence representation: words are DOUBLE-comma-separated
+    symbol strings (",,h,,e,,l,,l,,o,,"), so a merge of pair (a,b) is
+    ONE string replace of ",a,,b," -> ",ab,". The doubled separator
+    is what makes a single replace pass EXACT greedy left-to-right
+    non-overlapping merging: each match consumes only the inner comma
+    of each flanking ",," (the replacement restores it), so adjacent
+    occurrences share no characters — with single commas (",a,b," in
+    ",a,b,a,b,") consecutive matches share the boundary comma and
+    replace() silently skips every second link; two passes fix
+    alternating chains but same-symbol runs like ",a,a,a,a,a," still
+    land a different matching (and for runs >= 9 a different merge
+    COUNT) than greedy. replace() scans left-to-right identically in
+    both engines; tests/test_properties.py pins the Spark result to a
+    symbol-level pure-Python greedy trainer on run/chain-heavy words.
+    The corpus alphabet is comma-free (FIXTURES.md ASCII tokens),
+    asserted nowhere because the encoding would hash-fail loudly if
+    it ever weren't.
+
+    Scale plan (the q_bpe_pair_counts discipline, looped): every
+    round runs over the DISTINCT vocabulary with frequency weights —
+    the token stream is touched ONCE to build vocab; each round is a
+    vocab-sized pair explode (map-side combined, <= |alphabet|^2-ish
+    key domain), a 1-row TakeOrdered broadcast, and a per-row
+    replace. Per-round eager localCheckpoint keeps the twice-
+    referenced vocab's plan linear (the q_ml_gd_loop / q_graph_kcore
+    unroll discipline).
+
+    Determinism: integer counts; argmax ties break on the pair string
+    (ASCII); merged_pair renders the comma as '|' for display."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.expr(
+                "concat(',,', regexp_replace(tok, '(.)', '$1,,'))"
+            ).alias("enc"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    syms_expr = "filter(split(enc, ','), x -> x != '')"
+    stats_frames = []
+    for rnd in range(1, _BPE_LOOP_ROUNDS + 1):
+        pairs = (
+            vocab.select("cnt", F.expr(syms_expr).alias("syms"))
+            # length >= 2 BEFORE the sequence lambda: Spark's
+            # sequence(1, 0) yields DESCENDING [1, 0], not empty
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode_outer(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(element_at(syms, i), ',',"
+                        " element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .filter(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = (
+            pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    "replace(enc,"
+                    " concat(',', replace(pair, ',', ',,'), ','),"
+                    " concat(',', replace(pair, ',', ''), ','))"
+                ).alias("enc"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats_frames.append(
+            vocab.agg(
+                F.sum(
+                    F.col("cnt")
+                    * F.size(F.expr(syms_expr))
+                )
+                .cast("long")
+                .alias("stream_syms")
+            )
+            .crossJoin(F.broadcast(top))
+            .select(
+                F.lit(rnd).cast("long").alias("rnd"),
+                F.expr("replace(pair, ',', '|')").alias("merged_pair"),
+                F.col("n").cast("long").alias("pair_n"),
+                "stream_syms",
+            )
+        )
+    out = stats_frames[0]
+    for fr in stats_frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("rnd")
+
+
+q_bpe_train_loop.__doc__ = q_bpe_train_loop.__doc__.format(
+    r=_BPE_LOOP_ROUNDS
+)

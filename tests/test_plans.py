@@ -367,6 +367,8 @@ NESTED_LOOP_OK = {
     "q_dq_freshness",        # 1-row global-max-day broadcast
     "q_bpe_apply",           # 1-row top-pair broadcast onto the
                              # vocabulary (q_text_collocation class)
+    "q_bpe_train_loop",      # 1-row top-pair broadcast per unrolled
+                             # merge round (q_bpe_apply class x 3)
     "q_stream_live_freshness",  # 1-row global-max broadcast onto the
                              # 5-row sink table
     "q_compaction_plan",     # triangular offset join over the file-

@@ -651,3 +651,78 @@ def test_hilbert_step_logic_is_exact_curve():
         abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
         for i in range(65535)
     )
+
+
+def _bpe_greedy_ref(word_counts: dict[str, int], rounds: int):
+    """Canonical symbol-level greedy BPE trainer (Sennrich et al.):
+    per round, count weighted adjacent pairs over the vocabulary,
+    pick argmax (ties on the comma-joined pair string ascending),
+    then merge left-to-right non-overlapping with skip-both."""
+    vocab = [(list(w), c) for w, c in sorted(word_counts.items())]
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "," + kv[0][1])
+        )
+        nxt = []
+        for syms, c in vocab:
+            ns: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nxt.append((ns, c))
+        vocab = nxt
+        out.append(
+            (rnd, a + "|" + b, n, sum(c * len(s) for s, c in vocab))
+        )
+    return out
+
+
+def test_bpe_train_loop_is_exact_greedy(spark, tmp_path):
+    """q_bpe_train_loop's doubled-separator replace merge must equal
+    the canonical symbol-level greedy trainer EXACTLY — including the
+    corners where the single-comma encoding diverges: same-symbol
+    runs (",a,a,a,a,a," skips every second link under single commas;
+    length-9 runs even change the merge COUNT) and alternating
+    chains. The corpus below is built to make (a,a)-style pairs win
+    the early rounds so those corners are actually exercised."""
+    from ngram_analytics_spark.queries.pipeline_q import (
+        _BPE_LOOP_ROUNDS,
+        q_bpe_train_loop,
+    )
+
+    words = {
+        "aaaaaaaaa": 5,  # run of 9: double-replace trick under-merges
+        "aaaaa": 4,      # run of 5: different positions than greedy
+        "ababab": 3,     # alternating chain
+        "banana": 2,
+        "bookkeeper": 2,
+        "zebra": 1,
+    }
+    texts = []
+    for w, c in words.items():
+        texts.extend([w] * c)
+    # two docs so the token stream isn't one row
+    docs = [
+        (0, " ".join(texts[::2]), "en", "s0", 1),
+        (1, " ".join(texts[1::2]), "en", "s1", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r.rnd, r.merged_pair, r.pair_n, r.stream_syms)
+        for r in q_bpe_train_loop(spark, str(tmp_path)).collect()
+    ]
+    want = _bpe_greedy_ref(words, _BPE_LOOP_ROUNDS)
+    assert got == want
