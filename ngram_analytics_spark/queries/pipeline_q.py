@@ -82,13 +82,14 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread + explode_outer (r6 discipline): the single-row-group scan
     # plus explode's inferred size() filter otherwise evaluates the
     # 4-gram lambda per consumer on ONE task (2.1 -> 0.9 s at sf0.1)
+    # tokenizer hoisted to its own projection (longdoc probe r9):
+    # split() as the lambda's array argument re-evaluates per element
     sh = (
         spread(d)
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
-            F.explode_outer(
-                ngram_col(F.split("text", " "), _DECON_N)
-            ).alias("g"),
+            F.explode_outer(ngram_col("toks", _DECON_N)).alias("g"),
         )
         .filter(F.col("g").isNotNull())
     )
@@ -149,10 +150,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). Docs with <2 tokens have no bigrams and drop out, same
     as the oracle's unnest of an empty list."""
     d = load(spark, sf_dir, "documents")
+    # tokenizer hoisted to its own projection (longdoc probe r9:
+    # 54.7x at equal token mass with split() inside the lambda)
     per = (
-        d.select(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
             "doc_id",
-            F.explode(ngram_col(F.split("text", " "), 2)).alias("g"),
+            F.explode(ngram_col("toks", 2)).alias("g"),
         )
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
@@ -526,8 +530,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread + explode_outer (r6 discipline): the single-row-group scan
     # plus explode's inferred filter otherwise evaluates the bigram
     # lambda twice on one task (ref + incoming branches)
-    d = spread(load(spark, sf_dir, "documents"))
-    grams = F.array_distinct(ngram_col(F.split("text", " "), 2))
+    # tokenizer hoisted to its own projection (longdoc probe r9)
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = F.array_distinct(ngram_col("toks", 2))
     ref = (
         d.filter(F.col("doc_id") % 5 != 0)
         .select(F.explode_outer(grams).alias("ng"))
@@ -767,13 +774,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread + explode_outer (r6 discipline — same fix as q_decontam):
     # two consumers each ran the 4-gram lambda on the single scan task
+    # tokenizer hoisted (longdoc probe r9 — same fix as q_decontam)
     sh = (
         spread(d)
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
-            F.explode_outer(
-                ngram_col(F.split("text", " "), _DECON_N)
-            ).alias("g"),
+            F.explode_outer(ngram_col("toks", _DECON_N)).alias("g"),
         )
         .filter(F.col("g").isNotNull())
     )
@@ -1117,8 +1124,11 @@ def q_sketch_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread + explode_outer (r6 discipline): the documents scan is one
     # row group and plain explode's inferred filter would evaluate the
     # 4-gram lambda below the exchange on that single task
-    d = spread(load(spark, sf_dir, "documents"))
-    grams = F.array_distinct(ngram_col(F.split("text", " "), _BLOOM_N))
+    # tokenizer hoisted to its own projection (longdoc probe r9)
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = F.array_distinct(ngram_col("toks", _BLOOM_N))
     ref = (
         d.filter(F.col("doc_id") % 5 != 0)
         .select(F.explode_outer(grams).alias("bg"))
@@ -1416,7 +1426,12 @@ def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence(1, 0) descending hazard cannot arise here."""
     from ngram_analytics_spark.operators import spread
 
-    toks = F.split("text", " ")
+    # tokenizer hoisted to its own projection (longdoc probe r9:
+    # 25.9x at equal token mass): element_at(split(text), i) in the
+    # transform lambdas re-ran the split once per ELEMENT; as a
+    # projected column (referenced 4x — CollapseProject keeps it) the
+    # lambdas index the materialized array in O(1)
+    toks = F.col("toks")
     idx = F.sequence(F.lit(1), F.size(toks))
     is_masked = (
         lambda i: F.conv(
@@ -1438,7 +1453,10 @@ def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     masked_idx = F.filter(idx, is_masked)
-    return spread(load(spark, sf_dir, "documents")).select(
+    return (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(masked_idx).cast("long").alias("n_masked"),
@@ -1455,6 +1473,7 @@ def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(masked_idx, lambda i: F.element_at(toks, i)),
             " ",
         ).alias("target_text"),
+        )
     )
 
 

@@ -291,13 +291,22 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min/max xxhash64 over
     character 8-gram shingles of the normalized text — the classic
-    rolling-hash near-dup fingerprint (deterministic within Spark)."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "_fp_hashes",
-        F.expr(
-            "transform(sequence(1, greatest(length(text) - 7, 1)),"
-            " i -> xxhash64(substring(lower(text), i, 8)))"
-        ),
+    rolling-hash near-dup fingerprint (deterministic within Spark).
+
+    Shingles slice a hoisted lowercased-chars array: substring(lower
+    (text), i, 8) in the lambda re-lowercases per element AND pays
+    UTF8String's O(i) offset scan — O(len^2) per doc (longdoc probe
+    r9); the array slice is O(8)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), "").alias("_lc"))
+        .withColumn(
+            "_fp_hashes",
+            F.expr(
+                "transform(sequence(1, greatest(size(_lc) - 7, 1)),"
+                " i -> xxhash64(array_join(slice(_lc, i, 8), '')))"
+            ),
+        )
     )
     return d.select(
         "doc_id",
@@ -362,13 +371,24 @@ def q_text_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits (bit-identical engines); min/max/distinct-count over exact
     ints; the winnow slice clamps identically at the array tail."""
     w = _FP_WINNOW_W
-    d = spread(load(spark, sf_dir, "documents")).withColumn(
-        "_hs",
-        F.expr(
-            "transform(sequence(1, greatest(length(text) - 7, 1)),"
-            " i -> CAST(conv(substring(md5(substring(lower(text), i, 8)),"
-            " 1, 8), 16, 10) AS BIGINT))"
-        ),
+    # lowercased chars hoisted to an array column: the lambda's
+    # substring(lower(text), i, 8) re-lowercases per element and pays
+    # UTF8String's O(i) offset scan — O(len^2) per doc (longdoc probe
+    # r9: 47.3x at equal token mass); slice on the array is O(8) and
+    # size(_lc) == length(text) keeps the sequence bound identical
+    # (empty text: _lc = [''] joins back to '' like substring did)
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.split(F.lower("text"), "").alias("_lc"))
+        .withColumn(
+            "_hs",
+            F.expr(
+                "transform(sequence(1, greatest(size(_lc) - 7, 1)),"
+                " i -> CAST(conv(substring("
+                "md5(array_join(slice(_lc, i, 8), '')),"
+                " 1, 8), 16, 10) AS BIGINT))"
+            ),
+        )
     )
     return d.select(
         "doc_id",
@@ -425,13 +445,23 @@ def q_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 5-gram shingles (the n-gram operator at character
     granularity — the shingling primitive behind MinHash/winnowing):
     per-doc total and distinct shingle counts. Per-row transform only —
-    no shuffle."""
-    d = load(spark, sf_dir, "documents")
+    no shuffle.
+
+    Shingles ride a hoisted CHARS array, not substr(text, i, 5):
+    UTF8String.substring scans from the string head to find the char
+    offset, so per-position substr is O(i) and the doc total O(len^2)
+    (longdoc probe r9: 66.2x at equal token mass); slice() on the
+    pre-split array indexes directly — O(5) per position. chars is
+    referenced twice (sequence bound + lambda) so CollapseProject
+    keeps it materialized."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", "").alias("chars")
+    )
     shingles = F.when(
         F.length("text") >= 5,
         F.transform(
-            F.sequence(F.lit(1), F.length("text") - 4),
-            lambda i: F.col("text").substr(i, F.lit(5)),
+            F.sequence(F.lit(1), F.size("chars") - 4),
+            lambda i: F.array_join(F.slice("chars", i, 5), ""),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return d.select(
@@ -537,16 +567,22 @@ def q_ngram_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-skip bigrams ((t[i], t[i+2]) pairs) — the context-window
     widening of the reference's n-gram operator — aggregated corpus-
     wide. Same shape as q_ngram_topk: per-row transform, explode, one
-    map-side-combined aggregation."""
+    map-side-combined aggregation.
+
+    The tokenizer is hoisted to its OWN projection: split() passed as
+    the lambda's array argument re-evaluates once per ELEMENT —
+    O(tokens^2) per document (longdoc probe r9: 73.7x at equal token
+    mass on 100x-longer docs; hoisted it reads ~1x). skipgram_col
+    references toks 4x, so CollapseProject cannot re-inline the
+    non-cheap split."""
     from ngram_analytics_spark.operators.ngram import skipgram_col
 
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
             "doc_id",
-            F.explode(skipgram_col(F.split("text", " "), 1)).alias(
-                "skipgram"
-            ),
+            F.explode(skipgram_col("toks", 1)).alias("skipgram"),
         )
         .groupBy("skipgram")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))

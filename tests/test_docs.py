@@ -110,3 +110,33 @@ def test_survey_declared_key_counts_match_registry():
         f"SURVEY.md claims declared-key counts {stale} but the registry "
         f"holds {len(reg.queries)} — update the prose (or drop the number)"
     )
+
+
+def test_no_tokenizer_expression_inside_positional_lambdas():
+    """Array-building expressions must be HOISTED to their own
+    projected column before any positional lambda consumes them:
+    ``ngram_col(F.split(...))`` / ``skipgram_col(F.split(...))`` /
+    ``element_at(F.split(...), i)`` re-evaluate the split once per
+    lambda ELEMENT — O(tokens^2) per document.  Invisible on the
+    short shipped corpus, 18-74x on 100x-longer documents at equal
+    token mass (tools/longdoc_probe.py, round 9).  Pass a hoisted
+    column name instead; the hoisted column is referenced >= 2 times
+    by the n-gram operators, so CollapseProject cannot re-inline the
+    non-cheap split."""
+    pat = re.compile(
+        r"(?:ngram_col|skipgram_col)\(\s*F\.split\("
+        r"|element_at\(\s*F\.split\("
+        r"|\.substr\(\s*i\b"
+    )
+    offenders = []
+    for path in sorted(
+        (REPO / "ngram_analytics_spark" / "queries").rglob("*.py")
+    ):
+        src = path.read_text()
+        for m in pat.finditer(src):
+            line = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{path.name}:{line}")
+    assert not offenders, (
+        "tokenizer expression inside a positional lambda — hoist "
+        f"the split to its own projection first: {offenders}"
+    )
