@@ -506,6 +506,62 @@ def _combo_pairs(col):
     )
 
 
+def rp_signatures(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = RP_EDGE_TABLES,
+    band_width: int = RP_EDGE_BAND_WIDTH,
+    bucket_length: float = RP_EDGE_BUCKET_LEN,
+    seed: int = RP_EDGE_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bs) signature frame — the projection stage of
+    :func:`rp_candidate_pairs`, factored out so occupancy monitors
+    (queries/llm_q.py q_embed_bucket_stats) and the pair generator
+    share one bucket definition: bs[t] = floor((v . w_t) / ||v|| /
+    bucket_length) for the n_tables*band_width md5-literal +/-1
+    hyperplanes of :func:`rp_signs`.
+
+    Zero-norm and off-dim vectors are dropped (the size guard runs
+    BEFORE the projections: zip_with against the dim-length sign rows
+    NULL-pads any other-length vector, which nulls every bucket and
+    collapses ALL rows into ONE signature group — silently
+    reinstating the n^2 intra-group fanout the banding exists to
+    bound).
+
+    All buckets ride ONE compact HOF expression: transform over the
+    literal sign matrix, aggregate(zip_with) dot fold per hyperplane.
+    The fold is bit-identical to the oracle's left-associated chain
+    (functions/vectors.py: 0.0 + t1 is exact, same IEEE op order), so
+    values match the 48 explicit CAST-chain columns in the SQL twin.
+    An unrolled per-projection chain spelling was tried first and
+    produced a 9.8 MiB task binary (48 x dim term trees, re-inlined
+    into every consumer of the signature groupBy) that cost ~50 s of
+    plan/codegen churn PER RUN on 500 rows; the HOF form keeps the
+    plan a few KB at identical output."""
+    n_proj = n_tables * band_width
+    signs = rp_signs(n_proj, dim, seed)
+    base = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("_nrm", l2_norm(F.col("v"), None))
+        .filter((F.col("_nrm") > 0) & (F.size("v") == dim))
+    )
+    matrix = ", ".join(
+        "array(" + ", ".join(f"{float(s)}D" for s in row) + ")"
+        for row in signs
+    )
+    bucket_expr = (
+        f"transform(array({matrix}), w -> "
+        f"floor((aggregate(zip_with(v, w, (x, s) -> x * s), 0D, "
+        f"(acc, x) -> acc + x) / _nrm) / {float(bucket_length)}D))"
+    )
+    return base.select("id", F.expr(bucket_expr).alias("bs"))
+
+
 def rp_candidate_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -542,43 +598,16 @@ def rp_candidate_pairs(
     Zero-norm vectors have no direction and are dropped (same contract
     as the previous MLlib path, which dropped them before the fit).
     """
-    n_proj = n_tables * band_width
-    signs = rp_signs(n_proj, dim, seed)
-    base = (
-        corpus.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .withColumn("_nrm", l2_norm(F.col("v"), None))
-        # size guard BEFORE the projections: zip_with against the
-        # dim-length sign rows NULL-pads any other-length vector,
-        # which nulls every bucket and collapses ALL rows into ONE
-        # signature group — silently reinstating the n^2 intra-group
-        # fanout this operator exists to bound. Off-dim vectors are
-        # excluded from banding (callers pass dim explicitly).
-        .filter((F.col("_nrm") > 0) & (F.size("v") == dim))
+    sig = rp_signatures(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_tables=n_tables,
+        band_width=band_width,
+        bucket_length=bucket_length,
+        seed=seed,
+        dim=dim,
     )
-
-    # ALL buckets in ONE compact HOF expression: transform over the
-    # literal sign matrix, aggregate(zip_with) dot fold per hyperplane.
-    # The fold is bit-identical to the oracle's left-associated chain
-    # (functions/vectors.py: 0.0 + t1 is exact, same IEEE op order),
-    # so values match the 48 explicit CAST-chain columns in the SQL
-    # twin.  An unrolled per-projection chain spelling was tried first
-    # and produced a 9.8 MiB task binary (48 x dim term trees,
-    # re-inlined into every consumer of the signature groupBy) that
-    # cost ~50 s of plan/codegen churn PER RUN on 500 rows; the HOF
-    # form keeps the plan a few KB at identical output.
-    matrix = ", ".join(
-        "array(" + ", ".join(f"{float(s)}D" for s in row) + ")"
-        for row in signs
-    )
-    bucket_expr = (
-        f"transform(array({matrix}), w -> "
-        f"floor((aggregate(zip_with(v, w, (x, s) -> x * s), 0D, "
-        f"(acc, x) -> acc + x) / _nrm) / {float(bucket_length)}D))"
-    )
-    sig = base.select("id", F.expr(bucket_expr).alias("bs"))
     grp = sig.groupBy("bs").agg(
         F.min("id").alias("gid"),
         F.sort_array(F.collect_list("id")).alias("members"),

@@ -15,83 +15,21 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-8
-# rotation (VERDICT r7 "Next round" item 1, oldest-first
-# re-certification): the 13 DEFERRED_R8 keys (the r1-cohort tail
-# queued at r7) lead the window; then the 27 keys NEW in r8
-# (q_text_fingerprint_exact through q_stream_live_ab below) plus
-# ONE r8 re-certification (q_sim_pairs_lsh — re-graded after the
-# capped RP-banding rewrite replaced the MLlib edge path and made the
-# branch SQL-certifiable).  The remaining 9 slots continue the
-# oldest-first rotation with the start of the r2-certified cohort
-# (code-stable since r2, judge-green in every local differential
-# since); its tail continues in DEFERRED_R9.
+# The 50 keys the differential driver should grade first.  Round-9
+# rotation (VERDICT r8 "Next round" item 2): DEFERRED_R9's oldest-
+# first r2-cohort head leads (21 keys — the queue held 35; the window
+# also had to carry this round's 17 code-changed keys and 12 new
+# keys, so the queue's tail of 13 moves to DEFERRED_R10 below —
+# changed/new keys outrank hygiene re-certification because they are
+# the only rows with correctness RISK; every deferred key is
+# judge-green in each round's full local differential).  Then the 17
+# keys whose code or oracle changed in r9: the q_text_cooc offset-
+# lattice rewrite, q_sim_pairs_lsh (oracle off-dim guard + the
+# rp_signatures factoring), q_schema_evolution (app-id temp path),
+# and the 14 tokenizer-hoisting fixes from the long-document probe.
+# Last, the 12 keys NEW in r9.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- oldest-first re-certification: the r7 DEFERRED_R8 queue ---
-    "q_win_analytic",
-    "q_win_rank",
-    "q_win_frame",
-    "q_sort_limit",
-    "q_topk_pergroup",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    # --- new in r8 / code changed in r8 ---
-    "q_text_fingerprint_exact",
-    "q_sim_pairs_lsh",
-    "q_privacy_ldiversity",
-    "q_anomaly_iqr",
-    "q_ab_ztest",
-    "q_pareto_share",
-    "q_ml_calibration",
-    "q_ml_precision_at_k",
-    "q_ml_feature_hash",
-    "q_ml_chi2",
-    "q_ts_sax",
-    "q_range_partition_plan",
-    "q_embed_pq",
-    "q_hilbert_layout",
-    "q_ml_lift_gain",
-    "q_dedup_prefix",
-    "q_schema_evolution",
-    "q_sample_coreset",
-    "q_privacy_pseudonym",
-    "q_dq_freshness",
-    "q_cohort_ltv",
-    "q_embed_centroid_drift",
-    "q_multimodal_dedup",
-    "q_bpe_apply",
-    "q_stream_live_freshness",
-    "q_compaction_plan",
-    "q_text_cooc",
-    "q_stream_live_ab",
-    # --- oldest-first re-certification: the r2 cohort ---
-    "q_ngram_topk",
-    "q_text_filter_pipeline",
-    "q_agg_collect",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_agg_minmaxby",
-    "q_agg_stringagg",
-    "q_join_range_binned",
-    "q_agg_mode",
-)
-
-#: r6's deferred queue was fully promoted into the r7 window; r7's
-#: into the r8 window above.
-DEFERRED_R7: tuple[str, ...] = ()
-DEFERRED_R8: tuple[str, ...] = ()
-
-#: Tail of the r2-cohort re-certification rotation — queued at
-#: positions 51+ so they lead the round-9 graded window (the rows-only
-#: r2 keys re-enter the rotation here too: the driver re-checks their
-#: rows>0 contract).
-DEFERRED_R9: tuple[str, ...] = (
+    # --- oldest-first re-certification: DEFERRED_R9 head (r2 cohort) ---
     "q_agg_histogram",
     "q_join_salted",
     "q_agg_salted",
@@ -100,7 +38,6 @@ DEFERRED_R9: tuple[str, ...] = (
     "q_scan_partitioned",
     "q_join_dpp",
     "q_dedup_exact",
-    "q_dedup_jaccard",
     "q_sim_knn",
     "q_multimodal_join",
     "q_multimodal_meta",
@@ -114,6 +51,49 @@ DEFERRED_R9: tuple[str, ...] = (
     "q_ts_gapfill",
     "q_stream_live_tumbling",
     "q_ts_ffill",
+    # --- code/oracle changed in r9 ---
+    "q_text_cooc",
+    "q_sim_pairs_lsh",
+    "q_schema_evolution",
+    "q_ngram_skipgram",
+    "q_ngram_chars",
+    "q_text_repetition",
+    "q_text_fingerprint",
+    "q_text_fingerprint_exact",
+    "q_text_cloze",
+    "q_dedup_jaccard",
+    "q_dedup_containment",
+    "q_dedup_minhash_exact",
+    "q_boilerplate",
+    "q_decontam",
+    "q_ngram_novelty",
+    "q_pipeline_e2e",
+    "q_sketch_bloom_exact",
+    # --- new in r9 ---
+    "q_bpe_train_loop",
+    "q_stream_foreach_ab",
+    "q_ml_mcc",
+    "q_ml_brier",
+    "q_ml_ndcg",
+    "q_ml_target_encode",
+    "q_ml_cv_folds",
+    "q_graph_clustering_coeff",
+    "q_privacy_tcloseness",
+    "q_ts_bollinger",
+    "q_sample_negative",
+    "q_embed_bucket_stats",
+)
+
+#: r7's deferred queue was fully promoted into the r8 window; r8's
+#: window is archived in CORRECTNESS_r08.json.
+DEFERRED_R7: tuple[str, ...] = ()
+DEFERRED_R8: tuple[str, ...] = ()
+DEFERRED_R9: tuple[str, ...] = ()
+
+#: Tail of the r2-cohort re-certification rotation (the 13 DEFERRED_R9
+#: keys the r9 window had no room for — see the GRADED_FIRST comment)
+#: — queued so they lead the round-10 graded window.
+DEFERRED_R10: tuple[str, ...] = (
     "q_stream_live_session",
     "q_ts_ohlc",
     "q_ts_rolling_zscore",

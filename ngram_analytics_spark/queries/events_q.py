@@ -2162,3 +2162,124 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+# ------------------------------------------------ Bollinger bands
+
+#: rolling window (days) and band half-width (standard deviations)
+_BOLL_W = 7
+_BOLL_SD = 2
+
+
+@REG.register(
+    "q_ts_bollinger",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), win AS (
+            SELECT event_type, x, y,
+                   CAST(sum(y) OVER w AS BIGINT) AS s,
+                   CAST(sum(y * y) OVER w AS BIGINT) AS ss,
+                   CAST(count(*) OVER w AS BIGINT) AS nw
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY x
+                         ROWS BETWEEN {_BOLL_W - 1} PRECEDING
+                         AND CURRENT ROW)
+        ), b AS (
+            SELECT event_type, x,
+                   {_BOLL_W} * y - s AS dev,
+                   {_BOLL_SD} * sqrt(CAST({_BOLL_W} * ss - s * s
+                                          AS DOUBLE)) AS band
+            FROM win WHERE nw = {_BOLL_W}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN dev > band THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_up,
+               CAST(sum(CASE WHEN -dev > band THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_down,
+               CAST(max(abs(dev)) AS BIGINT) AS max_dev,
+               CAST(max(CASE WHEN dev > band THEN x END) AS BIGINT)
+                   AS last_up_x,
+               CAST(max(CASE WHEN -dev > band THEN x END) AS BIGINT)
+                   AS last_down_x
+        FROM b GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout census over the per-type daily-count
+    series: a {w}-day rolling mean +/- {k} rolling standard
+    deviations, counting the days that close outside the band — the
+    volatility-aware complement to q_ts_rolling_zscore (whose z-score
+    uses a global sigma) and the classic alerting rule between
+    q_anomaly_mad's robust fences and q_ts_cusum's drift statistic.
+
+    Determinism: the breach test is rearranged to integers-vs-sqrt —
+    y > mean + k*sigma over a {w}-row window is EXACTLY
+    {w}*y - sum > k*sqrt({w}*sumsq - sum^2) (LHS exact int64, RHS one
+    IEEE-correctly-rounded sqrt of an exact int) — no division, no
+    variance doubles; reported deviations are the exact integers.
+
+    Plan: ONE map-side-combined daily rollup (fact-width compress),
+    then ROWS windows over the per-type DAY series — calendar-bounded
+    partitions on the rollup, the q_ts_changepoint precedent; the
+    final per-type aggregate is 5 rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-(_BOLL_W - 1), W.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.sum("y").over(w).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("ss"),
+        F.count("*").over(w).alias("nw"),
+    ).filter(F.col("nw") == _BOLL_W)
+    b = win.select(
+        "event_type",
+        "x",
+        (F.lit(_BOLL_W) * F.col("y") - F.col("s")).alias("dev"),
+        (
+            F.lit(_BOLL_SD)
+            * F.sqrt(
+                (
+                    F.lit(_BOLL_W) * F.col("ss") - F.col("s") * F.col("s")
+                ).cast("double")
+            )
+        ).alias("band"),
+    )
+    up = F.col("dev") > F.col("band")
+    down = -F.col("dev") > F.col("band")
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(up, 1).otherwise(0)).cast("long").alias("n_up"),
+            F.sum(F.when(down, 1).otherwise(0))
+            .cast("long")
+            .alias("n_down"),
+            F.max(F.abs("dev")).cast("long").alias("max_dev"),
+            F.max(F.when(up, F.col("x"))).cast("long").alias("last_up_x"),
+            F.max(F.when(down, F.col("x")))
+            .cast("long")
+            .alias("last_down_x"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_ts_bollinger.__doc__ = q_ts_bollinger.__doc__.format(
+    w=_BOLL_W, k=_BOLL_SD
+)

@@ -690,3 +690,120 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(r=_BFS_R, m=_BFS_SEED_MOD)
+
+
+# ------------------------------------- clustering coefficient
+
+@REG.register(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+        WITH {_EDGES_CTE}, u AS (
+            SELECT DISTINCT least(src, dst) AS s1,
+                   greatest(src, dst) AS s2
+            FROM e
+        ), deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT s1 AS n FROM u
+                UNION ALL SELECT s2 FROM u
+            ) GROUP BY n
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.c AS z FROM
+                (SELECT s1 AS a, s2 AS b FROM u) e1
+            JOIN (SELECT s1 AS b, s2 AS c FROM u) e2 USING (b)
+            JOIN (SELECT s1 AS a, s2 AS c FROM u) e3 USING (a, c)
+        ), ntri AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+                SELECT x AS n FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY n
+        ), loc AS (
+            SELECT d.n, d.d, COALESCE(t.t, 0) AS t,
+                   CASE WHEN d.d >= 2 THEN
+                       COALESCE(t.t, 0) * 2000000 // (d.d * (d.d - 1))
+                   END AS cc_ppm
+            FROM deg d LEFT JOIN ntri t ON d.n = t.n
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(cc_ppm) AS BIGINT) AS n_deg2,
+               CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
+               CAST(sum(t) // 3 AS BIGINT) AS n_triangles,
+               CAST(sum(t) * 1000000 // sum(d * (d - 1)) AS BIGINT)
+                   AS transitivity_ppm,
+               CAST(sum(cc_ppm) // count(cc_ppm) AS BIGINT)
+                   AS avg_local_cc_ppm
+        FROM loc
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-coefficient census of the symmetrized 3-NN graph:
+    global transitivity (3*triangles / wedges) AND the average local
+    coefficient over deg>=2 nodes — the two standard cohesion
+    statistics (they differ under degree skew, which is why both are
+    reported), built from q_graph_triangles' closed-2-path machinery
+    plus a per-NODE triangle count (each triangle credits all three
+    corners).
+
+    Determinism: wedges = sum d*(d-1) and per-corner triangle counts
+    are exact integers; both coefficients are single integer `div`s
+    (local cc in ppm = 2t*1e6 div d(d-1), summed exactly before one
+    final div). sum(t) is divisible by 3 and sum(d*(d-1)) by 2 by
+    construction, so the / casts are exact.
+
+    Plan: the id-ordered edge table materializes once (eager
+    localCheckpoint — five consumers would each re-run the 3-NN GEMM
+    kernel); triangles are the same two hash equi-joins as
+    q_graph_triangles; everything after lives on the node domain
+    (node-keyed aggs + one LEFT join). At 100 TB: edge-keyed shuffles
+    only, never all-pairs."""
+    u = (
+        _edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("s1"),
+            F.greatest("src", "dst").alias("s2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        u.select(F.col("s1").alias("n"))
+        .unionAll(u.select(F.col("s2").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = u.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = u.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = u.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one pass over the triangle join: explode the three corners
+    # instead of a triple union (three consumers would re-execute the
+    # two-equi-join enumeration three times)
+    ntri = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "n"
+            )
+        )
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    loc = deg.join(ntri, "n", "left").select(
+        "d",
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr("coalesce(t, 0) * 2000000 div (d * (d - 1))"),
+        ).alias("cc_ppm"),
+    )
+    return loc.agg(
+        F.count("*").alias("n_nodes"),
+        F.count("cc_ppm").alias("n_deg2"),
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
+        F.expr("sum(t) div 3").cast("long").alias("n_triangles"),
+        F.expr("sum(t) * 1000000 div sum(d * (d - 1))")
+        .cast("long")
+        .alias("transitivity_ppm"),
+        F.expr("sum(cc_ppm) div count(cc_ppm)")
+        .cast("long")
+        .alias("avg_local_cc_ppm"),
+    )

@@ -3268,3 +3268,440 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_total"),
     )
+
+
+# --------------------------------------------------- Brier score
+
+@REG.register(
+    "q_ml_brier",
+    oracle=f"""
+        WITH r AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000) AS s,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum((s - pos * 1000000) * (s - pos * 1000000))
+                    // (count(*) * 1000000) AS BIGINT) AS brier_ppm,
+               CAST(sum(CASE WHEN pos = 1 THEN
+                            (s - 1000000) * (s - 1000000) ELSE 0 END)
+                    // NULLIF(sum(pos) * 1000000, 0) AS BIGINT)
+                   AS brier_pos_ppm,
+               CAST(sum(CASE WHEN pos = 0 THEN s * s ELSE 0 END)
+                    // NULLIF((count(*) - sum(pos)) * 1000000, 0)
+                    AS BIGINT) AS brier_neg_ppm,
+               CAST(sum(s) // count(*) AS BIGINT) AS mean_conf_ppm,
+               CAST(sum(pos) * 1000000 // count(*) AS BIGINT)
+                   AS base_rate_ppm
+        FROM r
+    """,
+)
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of the predicted probability)
+    over the q_ml_calibration confidence geometry, with the per-class
+    split — the scalar that ranks probability forecasters where the
+    reliability diagram shows the shape; together with the diagram it
+    completes the probability-quality pair (refinement + calibration
+    are exactly the Brier decomposition's terms).
+
+    Determinism: confidence rides 1e-6 integer ticks, so every
+    squared gap (s - 1e6*pos)^2 is an EXACT int64 (<= 1e12), the sums
+    are exact, and each reported score is one integer `div` — no
+    doubles after the per-row quantization. Units: ppm of the [0,1]
+    Brier score (0 = perfect, 1e6 = maximally wrong).
+
+    Plan: ONE scan, per-row tick arithmetic, ONE global aggregate
+    with 5 integer sums — constant state at any corpus size
+    (q_ml_confusion class)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    s = F.least(
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(1_000_000),
+    )
+    r = e.select(
+        s.alias("s"),
+        F.when(F.col("label") >= _AUC_POS_MIN, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    return r.agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr(
+            "sum((s - pos * 1000000) * (s - pos * 1000000))"
+            " div (count(*) * 1000000)"
+        )
+        .cast("long")
+        .alias("brier_ppm"),
+        F.expr(
+            "sum(case when pos = 1 then"
+            " (s - 1000000) * (s - 1000000) else 0 end)"
+            " div nullif(sum(pos) * 1000000, 0)"
+        )
+        .cast("long")
+        .alias("brier_pos_ppm"),
+        F.expr(
+            "sum(case when pos = 0 then s * s else 0 end)"
+            " div nullif((count(*) - sum(pos)) * 1000000, 0)"
+        )
+        .cast("long")
+        .alias("brier_neg_ppm"),
+        F.expr("sum(s) div count(*)").cast("long").alias("mean_conf_ppm"),
+        F.expr("sum(pos) * 1000000 div count(*)")
+        .cast("long")
+        .alias("base_rate_ppm"),
+    )
+
+
+# ------------------------------------------------------ NDCG@k
+
+_NDCG_K = 10
+_NDCG_NQ = 10
+#: integer ppm discounts floor(1e6/log2(i+1) + 0.5) for ranks 1..10 —
+#: log2 is NOT correctly-rounded cross-engine, so the discount table
+#: is a Python-computed literal embedded identically in BOTH engines;
+#: _NDCG_CUMW[j] = sum of the first j weights (the binary-gain IDCG)
+_NDCG_W = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_CUMW = (
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+)
+
+_NDCG_W_SQL = (
+    "CASE rn " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    ) + " END"
+)
+_NDCG_CUMW_SQL = (
+    "CASE rr " + " ".join(
+        f"WHEN {j + 1} THEN {c}" for j, c in enumerate(_NDCG_CUMW)
+    ) + " END"
+)
+
+
+@REG.register(
+    "q_ml_ndcg",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT qid, ql, nl, rn FROM (
+                SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_AB} DESC, b.vec_id ASC
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+                WHERE a.vec_id < {_NDCG_NQ}
+            ) WHERE rn <= {_NDCG_K}
+        ), dcg AS (
+            SELECT qid,
+                   CAST(sum(CASE WHEN nl = ql
+                            THEN {_NDCG_W_SQL} ELSE 0 END) AS BIGINT)
+                       AS dcg
+            FROM ranked GROUP BY qid
+        ), rel AS (
+            SELECT q.vec_id AS qid,
+                   least(CAST(count(*) FILTER (
+                       WHERE c.label = q.label
+                         AND c.vec_id != q.vec_id) AS BIGINT),
+                         {_NDCG_K}) AS rr
+            FROM embeddings q JOIN embeddings c ON true
+            WHERE q.vec_id < {_NDCG_NQ}
+            GROUP BY q.vec_id
+        ), per_q AS (
+            SELECT r.qid,
+                   CASE WHEN r.rr = 0 THEN 0
+                        ELSE COALESCE(d.dcg, 0) * 1000000
+                             // ({_NDCG_CUMW_SQL}) END AS ndcg_ppm
+            FROM rel r LEFT JOIN dcg d ON r.qid = d.qid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_perfect,
+               CAST(sum(ndcg_ppm) // count(*) AS BIGINT)
+                   AS mean_ndcg_ppm,
+               CAST(min(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm
+        FROM per_q
+    """,
+)
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval NDCG@{k}: binary same-label gain over the exact
+    cosine top-{k} for each query vector (vec_id < {nq}), normalized
+    by the ideal DCG given how many relevant items exist for the
+    query's label — the position-sensitive retrieval score that
+    completes the family (q_ml_mrr scores the FIRST hit, q_ml_
+    precision_at_k the hit COUNT, this one the full ranking shape).
+
+    Determinism: log2 discounts are NOT cross-engine safe, so ranks
+    carry a Python-precomputed integer ppm discount table embedded as
+    literals in both engines; DCG is an exact int sum, IDCG an exact
+    cumulative-table lookup on min(n_relevant, k), and per-query NDCG
+    one integer `div` — no floating log anywhere.
+
+    Plan: brute_force_knn broadcasts the {nq}-row query side against
+    the corpus scan; the relevant-count side is ONE label-keyed
+    aggregate broadcast back onto the queries; final aggregate is one
+    row (q_ml_mrr class)."""
+    emb = load(spark, sf_dir, "embeddings")
+    top = brute_force_knn(
+        emb, emb.filter(F.col("vec_id") < _NDCG_NQ), k=_NDCG_K
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    w_expr = F.expr(_NDCG_W_SQL.replace("rn", "rn"))
+    dcg = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .filter(F.col("nl") == F.col("ql"))
+        .groupBy("query_id")
+        .agg(F.sum(w_expr).cast("long").alias("dcg"))
+    )
+    lc = emb.groupBy("label").agg(F.count("*").alias("lbl_n"))
+    rel = (
+        emb.filter(F.col("vec_id") < _NDCG_NQ)
+        .select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(lc), "label")
+        .select(
+            "query_id",
+            F.least(
+                (F.col("lbl_n") - 1).cast("long"), F.lit(_NDCG_K)
+            ).alias("rr"),
+        )
+    )
+    per_q = rel.join(F.broadcast(dcg), "query_id", "left").select(
+        F.when(F.col("rr") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "coalesce(dcg, 0) * 1000000 div ("
+                + _NDCG_CUMW_SQL
+                + ")"
+            )
+        )
+        .cast("long")
+        .alias("ndcg_ppm")
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("ndcg_ppm") == 1_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+        F.expr("sum(ndcg_ppm) div count(*)")
+        .cast("long")
+        .alias("mean_ndcg_ppm"),
+        F.min("ndcg_ppm").cast("long").alias("min_ndcg_ppm"),
+    )
+
+
+q_ml_ndcg.__doc__ = q_ml_ndcg.__doc__.format(k=_NDCG_K, nq=_NDCG_NQ)
+
+
+# ------------------------------------------- target encoding
+
+#: additive-smoothing pseudo-count (rows of global prior blended in)
+_TENC_M = 10
+
+
+@REG.register(
+    "q_ml_target_encode",
+    oracle=f"""
+        WITH j AS (
+            SELECT c.c_mktsegment,
+                   CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), seg AS (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM j GROUP BY c_mktsegment
+        ), g AS (
+            SELECT CAST(sum(n) AS BIGINT) AS gn,
+                   CAST(sum(n_pos) AS BIGINT) AS gt
+            FROM seg
+        )
+        SELECT s.c_mktsegment, s.n, s.n_pos,
+               CAST(s.n_pos * 1000000 // s.n AS BIGINT) AS rate_ppm,
+               CAST((s.n_pos * g.gn + {_TENC_M} * g.gt) * 1000000
+                    // (g.gn * (s.n + {_TENC_M})) AS BIGINT)
+                   AS enc_ppm,
+               CAST(abs(s.n_pos * 1000000 // s.n
+                        - (s.n_pos * g.gn + {_TENC_M} * g.gt) * 1000000
+                          // (g.gn * (s.n + {_TENC_M}))) AS BIGINT)
+                   AS shrink_ppm
+        FROM seg s CROSS JOIN g
+        ORDER BY s.c_mktsegment
+    """,
+)
+def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the classic categorical-feature
+    trick): each market segment's urgent-order rate shrunk toward the
+    global prior with m={m} pseudo-counts — enc = (t_c + m*prior) /
+    (n_c + m), the leakage-safe encoding a feature pipeline would
+    join back onto the facts, completing the featurization family
+    (q_ml_feature_hash hashes, q_ml_chi2 selects, this one encodes).
+
+    Determinism: fully integer — the smoothed rate is the exact
+    rational (t_c*N + m*T) / (N*(n_c + m)) floor-quantized by one
+    integer `div`; no doubles anywhere.
+
+    Plan: ONE fact shuffle (orders->customer custkey join), ONE
+    map-side-combined groupBy on the 5-value segment domain, then the
+    global prior is a 1-row broadcast cross onto the 5-row segment
+    table. At 100 TB everything after the fact join lives on the
+    segment domain."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(
+        c.select("c_custkey", "c_mktsegment"),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        "c_mktsegment",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    g = seg.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("n_pos").cast("long").alias("gt"),
+    )
+    enc = F.expr(
+        f"(n_pos * gn + {_TENC_M} * gt) * 1000000"
+        f" div (gn * (n + {_TENC_M}))"
+    )
+    rate = F.expr("n_pos * 1000000 div n")
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            "n_pos",
+            rate.cast("long").alias("rate_ppm"),
+            enc.cast("long").alias("enc_ppm"),
+            F.abs(rate - enc).cast("long").alias("shrink_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------- LSH bucket occupancy
+
+def _rpl_band_key_sql(alias: str = "bk") -> str:
+    return (
+        "CASE j.bj "
+        + " ".join(
+            f"WHEN {j} THEN "
+            + " || '_' || ".join(
+                f"CAST(b{j * _RPL_BW + k} AS VARCHAR)"
+                for k in range(_RPL_BW)
+            )
+            for j in range(_RPL_TABLES)
+        )
+        + f" END AS {alias}"
+    )
+
+
+@REG.register(
+    "q_embed_bucket_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id AS id, embedding,
+                   {oracle_l2_norm("embedding")} AS nrm
+            FROM embeddings
+        ), s AS (
+            SELECT id,
+                   {", ".join(_rpl_bucket_sql(t)
+                              for t in range(_RPL_TABLES * _RPL_BW))}
+            FROM e WHERE nrm > 0 AND len(embedding) = {_RPL_DIM}
+        ), bands AS (
+            SELECT id, j.bj, {_rpl_band_key_sql()}
+            FROM s CROSS JOIN (
+                SELECT unnest(range({_RPL_TABLES})) AS bj
+            ) j
+        ), occ AS (
+            SELECT bj, bk, CAST(count(*) AS BIGINT) AS sz
+            FROM bands GROUP BY bj, bk
+        )
+        SELECT bj,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(sz) AS BIGINT) AS n_vecs,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singleton,
+               CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN sz > {_RPL_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_cap
+        FROM occ GROUP BY bj ORDER BY bj
+    """,
+)
+def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-index health monitor: per hash table, the band-bucket
+    occupancy census of the RP banding index that q_sim_pairs_lsh /
+    the 100 TB cosine_edges branch queries — bucket count, max
+    occupancy, singleton share, candidate-pair mass sum(sz*(sz-1))/2,
+    and buckets past RP_EDGE_BUCKET_CAP (the cells the pair
+    generator SKIPS). This is the table an operator reads to tune
+    band_width/bucket_length: candidate mass exploding or over-cap
+    buckets piling up means the index is degenerating toward n^2
+    before any query pays for it.
+
+    Shares operators.similarity.rp_signatures with the pair generator
+    (one bucket definition, factored r9) and the same 48-projection
+    oracle twin as q_sim_pairs_lsh — occupancy is counted on ROWS
+    (vectors), not clone-collapsed groups, because index pressure
+    comes from rows.
+
+    Determinism: bucket ids are floors of bit-identical doubles (the
+    q_sim_pairs_lsh discipline); everything after is integer counts.
+
+    Plan: per-row projection HOF (zero shuffles), one explode to the
+    24 (table, band-key) rows per vector, ONE map-side-combined
+    groupBy on (table, key), then a 24-group rollup. At 100 TB the
+    occupancy table is bounded by the bucket domain."""
+    from ngram_analytics_spark.operators.similarity import rp_signatures
+
+    sig = rp_signatures(load(spark, sf_dir, "embeddings"))
+    bands = sig.select(
+        F.expr(
+            f"explode(transform(sequence(0, {_RPL_TABLES - 1}),"
+            " j -> struct(cast(j as bigint) as bj,"
+            " concat("
+            + ", '_', ".join(
+                f"cast(element_at(bs, {_RPL_BW} * j + {k + 1}) as string)"
+                for k in range(_RPL_BW)
+            )
+            + ") as bk)))"
+        ).alias("b")
+    ).select("b.bj", "b.bk")
+    occ = bands.groupBy("bj", "bk").agg(F.count("*").alias("sz"))
+    return (
+        occ.groupBy("bj")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_vecs"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton"),
+            F.expr("sum(sz * (sz - 1)) div 2")
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("sz") > _RPL_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+        .orderBy("bj")
+    )

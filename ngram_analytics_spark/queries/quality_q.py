@@ -933,3 +933,138 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------------------------------------- t-closeness audit
+
+#: release threshold: a class violates t-closeness when its sensitive
+#: distribution sits more than 0.15 EMD from the global one
+_TCLOSE_T_PPM = 150_000
+
+
+@REG.register(
+    "q_privacy_tcloseness",
+    oracle=f"""
+        WITH j AS (
+            SELECT n.n_name, c.c_mktsegment,
+                   o.o_orderpriority AS s
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+        ), gs AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS cs FROM j GROUP BY s
+        ), g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+        cls_s AS (
+            SELECT n_name, c_mktsegment, s,
+                   CAST(count(*) AS BIGINT) AS cgs
+            FROM j GROUP BY n_name, c_mktsegment, s
+        ), cls AS (
+            SELECT n_name, c_mktsegment, CAST(sum(cgs) AS BIGINT) AS ng
+            FROM cls_s GROUP BY n_name, c_mktsegment
+        ), terms AS (
+            SELECT x.n_name, x.c_mktsegment,
+                   CAST(min(cls.ng) AS BIGINT) AS ng,
+                   CAST(sum(abs(x.cgs * g.n - gs.cs * cls.ng)
+                            - gs.cs * cls.ng) AS BIGINT) AS adj
+            FROM cls_s x
+            JOIN gs USING (s)
+            JOIN cls USING (n_name, c_mktsegment)
+            CROSS JOIN g
+            GROUP BY x.n_name, x.c_mktsegment
+        ), tt AS (
+            SELECT t.c_mktsegment, t.ng,
+                   CAST((g.n * t.ng + t.adj) * 1000000
+                        // (2 * t.ng * g.n) AS BIGINT) AS t_ppm
+            FROM terms t CROSS JOIN g
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(max(t_ppm) AS BIGINT) AS max_t_ppm,
+               CAST(sum(t_ppm) // count(*) AS BIGINT) AS avg_t_ppm,
+               CAST(sum(CASE WHEN t_ppm > {_TCLOSE_T_PPM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST(sum(CASE WHEN t_ppm > {_TCLOSE_T_PPM}
+                        THEN ng ELSE 0 END) AS BIGINT)
+                   AS rows_violating
+        FROM tt GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (Li/Li/Venkatasubramanian) — completes the
+    privacy-release triad: q_privacy_kanon bounds class SIZE,
+    q_privacy_ldiversity bounds sensitive-value VARIETY, and this
+    query bounds sensitive-value DISTRIBUTION distance: per QI class
+    (nation, market segment), the earth-mover's distance between the
+    class's order-priority distribution and the global one
+    (categorical ground distance: EMD = 1/2 sum |p_g(s) - p(s)|),
+    rolled up per segment with the classes above t=0.15.
+
+    Determinism: the EMD is computed as an EXACT integer rational —
+    sum_s |cgs*N - cs*ng| has absent-(class, s) terms folded in
+    algebraically (sum over absent s of cs*ng == N*ng minus the
+    present-row cs*ng sum), so t_ppm = (N*ng + adj) * 1e6 div
+    (2*ng*N) with zero doubles.
+
+    Plan: ONE fact shuffle (orders->customer), ONE map-side-combined
+    groupBy on (QI, sensitive) — the sensitive domain is 5-valued so
+    the class-sensitive table is QI-domain-bounded; the global
+    distribution is a 5-row broadcast, the total a 1-row broadcast;
+    everything after lives on the class domain (the kanon/ldiversity
+    discipline)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .select("n_name", "c_mktsegment", F.col("o_orderpriority").alias("s"))
+    )
+    cls_s = j.groupBy("n_name", "c_mktsegment", "s").agg(
+        F.count("*").alias("cgs")
+    )
+    gs = j.groupBy("s").agg(F.count("*").alias("cs"))
+    g = j.agg(F.count("*").alias("n"))
+    cls = cls_s.groupBy("n_name", "c_mktsegment").agg(
+        F.sum("cgs").alias("ng")
+    )
+    terms = (
+        cls_s.join(F.broadcast(gs), "s")
+        .join(F.broadcast(cls), ["n_name", "c_mktsegment"])
+        .crossJoin(F.broadcast(g))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.min("ng").cast("long").alias("ng"),
+            F.sum(
+                F.abs(F.col("cgs") * F.col("n") - F.col("cs") * F.col("ng"))
+                - F.col("cs") * F.col("ng")
+            )
+            .cast("long")
+            .alias("adj"),
+        )
+    )
+    tt = terms.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        "ng",
+        F.expr("(n * ng + adj) * 1000000 div (2 * ng * n)")
+        .cast("long")
+        .alias("t_ppm"),
+    )
+    viol = F.col("t_ppm") > _TCLOSE_T_PPM
+    return (
+        tt.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.max("t_ppm").alias("max_t_ppm"),
+            F.expr("sum(t_ppm) div count(*)")
+            .cast("long")
+            .alias("avg_t_ppm"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(viol, F.col("ng")).otherwise(0))
+            .cast("long")
+            .alias("rows_violating"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -447,3 +447,182 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
+
+
+# ------------------------------------------- cross-validation folds
+
+#: number of folds for the deterministic hash split
+_CV_K = 5
+
+
+@REG.register(
+    "q_ml_cv_folds",
+    oracle=f"""
+        WITH f AS (
+            SELECT CAST('0x' || substring(
+                       md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                       AS BIGINT) % {_CV_K} AS fold,
+                   o_custkey,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS pos,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ), per AS (
+            SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_custkeys,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM f GROUP BY fold
+        ), g AS (SELECT CAST(sum(n) AS BIGINT) AS gn FROM per)
+        SELECT p.fold, p.n,
+               CAST(p.n * 1000000 // g.gn AS BIGINT) AS share_ppm,
+               CAST(p.n_pos * 1000000 // p.n AS BIGINT) AS pos_ppm,
+               p.n_custkeys,
+               CAST(p.cents // p.n AS BIGINT) AS avg_cents
+        FROM per p CROSS JOIN g
+        ORDER BY p.fold
+    """,
+)
+def q_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {k}-fold cross-validation assignment: every
+    order lands in fold md5(o_orderkey) mod {k} — re-derivable on any
+    engine, stable under re-partitioning and re-runs (the property
+    that makes CV splits reproducible across a 1000-executor cluster
+    without materializing an assignment table) — plus the per-fold
+    balance census (row share, label rate, customer spread, average
+    order value) a training loop checks before trusting the split.
+
+    Determinism: the cross-engine md5-prefix integer idiom
+    (spark-engine convention: conv(substring(md5,1,8),16,10) ==
+    DuckDB '0x'-cast); all reported ratios are exact integer `div`s
+    over exact cent/count sums.
+
+    Plan: ONE scan, per-row hash, ONE {k}-group map-side-combined
+    aggregate (the countDistinct rides (fold, custkey) partial
+    state); fold totals broadcast as a 1-row cross onto {k} rows."""
+    o = load(spark, sf_dir, "orders")
+    f = o.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8),"
+            f" 16, 10) as bigint) % {_CV_K}"
+        ).alias("fold"),
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per = f.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    g = per.agg(F.sum("n").cast("long").alias("gn"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "fold",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 div gn").cast("long").alias("share_ppm"),
+            F.expr("n_pos * 1000000 div n").cast("long").alias("pos_ppm"),
+            "n_custkeys",
+            F.expr("cents div n").cast("long").alias("avg_cents"),
+        )
+        .orderBy("fold")
+    )
+
+
+q_ml_cv_folds.__doc__ = q_ml_cv_folds.__doc__.format(k=_CV_K)
+
+
+# -------------------------------------- negative-sampling table
+
+@REG.register(
+    "q_sample_negative",
+    oracle="""
+        WITH v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY tok
+        ), w AS (
+            SELECT tok, cnt,
+                   CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE)
+                                        * CAST(cnt AS DOUBLE)
+                                        * CAST(cnt AS DOUBLE))) * 1000)
+                        AS BIGINT) AS wt
+            FROM v
+        ), g AS (
+            SELECT CAST(sum(wt) AS BIGINT) AS tw,
+                   CAST(sum(cnt) AS BIGINT) AS tc
+            FROM w
+        )
+        SELECT w.tok, w.cnt, w.wt,
+               CAST(w.wt * 1000000 // g.tw AS BIGINT) AS w_share_ppm,
+               CAST(w.cnt * 1000000 // g.tc AS BIGINT) AS raw_share_ppm
+        FROM w CROSS JOIN g
+        ORDER BY w.wt DESC, w.tok ASC
+        LIMIT 20
+    """,
+)
+def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: unigram counts raised
+    to the 3/4 power (Mikolov et al. — flattens the head so frequent
+    tokens aren't drawn proportionally) with each token's smoothed vs
+    raw draw probability, top-20 — the sampling-distribution builder
+    an embedding-training pipeline materializes next to the vocab.
+
+    Determinism: cnt^0.75 is spelled sqrt(sqrt(d*d*d)) — multiply and
+    sqrt are IEEE correctly rounded on both engines (pow/ln are NOT,
+    the q_sample_temperature lesson), so the weight double is
+    bit-identical; per-term floor-to-1e-3-ticks makes the share
+    denominators exact int sums (order-independent), and shares are
+    integer `div`s.
+
+    Plan: one token explode (map-side combined) onto the vocabulary
+    domain, per-row weight arithmetic, a 1-row totals broadcast, and
+    TakeOrdered(20). Nothing but the explode scales with the corpus;
+    the table is vocab-bounded."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    v = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = v.select(
+        "tok",
+        "cnt",
+        F.expr(
+            "cast(floor(sqrt(sqrt(cast(cnt as double)"
+            " * cast(cnt as double)"
+            " * cast(cnt as double))) * 1000) as bigint)"
+        ).alias("wt"),
+    )
+    g = w.agg(
+        F.sum("wt").cast("long").alias("tw"),
+        F.sum("cnt").cast("long").alias("tc"),
+    )
+    return (
+        w.crossJoin(F.broadcast(g))
+        .select(
+            "tok",
+            "cnt",
+            "wt",
+            F.expr("wt * 1000000 div tw").cast("long").alias("w_share_ppm"),
+            F.expr("cnt * 1000000 div tc")
+            .cast("long")
+            .alias("raw_share_ppm"),
+        )
+        .orderBy(F.col("wt").desc(), F.col("tok").asc())
+        .limit(20)
+    )

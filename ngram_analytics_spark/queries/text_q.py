@@ -1154,3 +1154,128 @@ def q_text_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_cooc.__doc__ = q_text_cooc.__doc__.format(
     w=_COOC_WIN, k=_COOC_TOPK
 )
+
+
+# ------------------------------------- chance-corrected agreement
+
+@REG.register(
+    "q_ml_mcc",
+    oracle=f"""
+        WITH p AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+                   CASE WHEN {_SW_RATIO} >= 0.05 THEN 1 ELSE 0 END
+                       AS pred
+            FROM documents
+        ), c AS (
+            SELECT
+                CAST(sum(truth * pred) AS BIGINT) AS tp,
+                CAST(sum((1 - truth) * pred) AS BIGINT) AS fp,
+                CAST(sum(truth * (1 - pred)) AS BIGINT) AS fn,
+                CAST(sum((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+            FROM p
+        )
+        SELECT tp + fp + fn + tn AS n,
+               CAST(floor((tp + fn) * 1000000.0 / (tp + fp + fn + tn))
+                    AS BIGINT) AS prevalence_ppm,
+               CAST(floor((tp * tn - fp * fn) * 1000000.0
+                          / NULLIF(sqrt(CAST((tp + fp) * (tp + fn)
+                                             AS DOUBLE))
+                                   * sqrt(CAST((tn + fp) * (tn + fn)
+                                               AS DOUBLE)), 0))
+                    AS BIGINT) AS mcc_ppm,
+               CAST(floor(((tp + fp + fn + tn) * (tp + tn)
+                           - ((tp + fp) * (tp + fn)
+                              + (fn + tn) * (fp + tn))) * 1000000.0
+                          / NULLIF((tp + fp + fn + tn)
+                                   * (tp + fp + fn + tn)
+                                   - ((tp + fp) * (tp + fn)
+                                      + (fn + tn) * (fp + tn)), 0))
+                    AS BIGINT) AS kappa_ppm,
+               CAST(floor(tp * 1000000.0 / NULLIF(tp + fn, 0))
+                    + floor(tn * 1000000.0 / NULLIF(tn + fp, 0))
+                    - 1000000 AS BIGINT) AS youden_ppm,
+               CAST((CAST(floor(tp * 1000000.0 / NULLIF(tp + fn, 0))
+                          AS BIGINT)
+                     + CAST(floor(tn * 1000000.0 / NULLIF(tn + fp, 0))
+                            AS BIGINT)) // 2 AS BIGINT) AS balacc_ppm
+        FROM c
+    """,
+)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement metrics for the q_text_langid
+    heuristic vs the true label: Matthews correlation, Cohen's kappa,
+    Youden's J, and balanced accuracy — the imbalance-robust
+    complement to q_ml_confusion's raw precision/recall (on a 90%-en
+    corpus accuracy 0.9 is the trivial classifier; MCC/kappa are ~0
+    there, which is why a corpus-filter promotion gate reads THESE).
+
+    Determinism: kappa is EXACT-integer rational (N*(tp+tn) - pe_num
+    over N^2 - pe_num, pe_num = row-marginal product sum); MCC's
+    denominator is sqrt(ab)*sqrt(cd) — sqrt is IEEE correctly rounded
+    on both engines and each factor product stays < 2^53 exact, so
+    the double pipeline is spelled identically; Youden/balanced
+    accuracy ride the integer floor-ppm recall/specificity.
+
+    Plan: identical to q_ml_confusion — ONE scan, 4 integer sums,
+    constant aggregate state; the metric algebra runs on the 1-row
+    aggregate."""
+    df = tokenized_docs(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / F.size("tokens")
+    )
+    p = df.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
+    )
+    c = p.agg(
+        F.sum(F.col("truth") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("truth")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("truth") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    mcc_den = F.sqrt(((tp + fp) * (tp + fn)).cast("double")) * F.sqrt(
+        ((tn + fp) * (tn + fn)).cast("double")
+    )
+    recall_ppm = F.floor(
+        tp * F.lit(1_000_000.0) / F.nullif(tp + fn, F.lit(0))
+    )
+    spec_ppm = F.floor(
+        tn * F.lit(1_000_000.0) / F.nullif(tn + fp, F.lit(0))
+    )
+    return c.select(
+        n.cast("long").alias("n"),
+        F.floor((tp + fn) * F.lit(1_000_000.0) / n)
+        .cast("long")
+        .alias("prevalence_ppm"),
+        F.floor(
+            (tp * tn - fp * fn)
+            * F.lit(1_000_000.0)
+            / F.nullif(mcc_den, F.lit(0))
+        )
+        .cast("long")
+        .alias("mcc_ppm"),
+        F.floor(
+            (n * (tp + tn) - pe_num)
+            * F.lit(1_000_000.0)
+            / F.nullif(n * n - pe_num, F.lit(0))
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+        (recall_ppm + spec_ppm - F.lit(1_000_000))
+        .cast("long")
+        .alias("youden_ppm"),
+        F.expr(
+            "(cast(floor(tp * 1000000.0 / nullif(tp + fn, 0)) as bigint)"
+            " + cast(floor(tn * 1000000.0 / nullif(tn + fp, 0)) as bigint))"
+            " div 2"
+        )
+        .cast("long")
+        .alias("balacc_ppm"),
+    )

@@ -369,6 +369,16 @@ NESTED_LOOP_OK = {
                              # vocabulary (q_text_collocation class)
     "q_bpe_train_loop",      # 1-row top-pair broadcast per unrolled
                              # merge round (q_bpe_apply class x 3)
+    "q_ml_target_encode",    # 1-row global-prior broadcast onto the
+                             # 5-row segment table
+    "q_ml_cv_folds",         # 1-row fold-totals broadcast onto 5 rows
+    "q_privacy_tcloseness",  # 1-row corpus-total broadcast onto the
+                             # QI-domain class table (x2 stages)
+    "q_sample_negative",     # 1-row weight-totals broadcast onto the
+                             # vocab domain
+    "q_ml_ndcg",             # brute_force_knn: broadcast 10-row query
+                             # side against the corpus scan (q_ml_mrr
+                             # class)
     "q_stream_live_freshness",  # 1-row global-max broadcast onto the
                              # 5-row sink table
     "q_compaction_plan",     # triangular offset join over the file-
