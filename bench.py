@@ -204,6 +204,19 @@ EXTENDED = [
     "q_compaction_plan",  # contiguous small-file compaction groups
     "q_text_cooc",        # windowed co-occurrence (GloVe statistic)
     "q_stream_live_ab",   # live per-variant experiment counters
+    # --- round-9 additions ---
+    "q_bpe_train_loop",   # 3-round unrolled BPE trainer
+    "q_stream_foreach_ab",  # foreachBatch experiment-monitor twin
+    "q_ml_mcc",           # MCC/kappa/Youden agreement metrics
+    "q_ml_brier",         # Brier score + per-class split
+    "q_ml_ndcg",          # NDCG@10 retrieval eval
+    "q_ml_target_encode", # smoothed categorical target encoding
+    "q_ml_cv_folds",      # deterministic hash CV folds
+    "q_graph_clustering_coeff",  # transitivity + avg local cc
+    "q_privacy_tcloseness",  # EMD-based release audit
+    "q_ts_bollinger",     # rolling-band breakout census
+    "q_sample_negative",  # unigram^0.75 sampling table
+    "q_embed_bucket_stats",  # LSH band-bucket occupancy monitor
 ]
 
 
