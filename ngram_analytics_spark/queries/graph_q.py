@@ -106,6 +106,34 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ind.groupBy("in_degree").agg(F.count("*").alias("n_nodes"))
 
 
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-ordered (s1 < s2) distinct edge table of the symmetrized
+    3-NN graph, eagerly checkpointed — the shared substrate of
+    q_graph_triangles and q_graph_clustering_coeff (multiple plan
+    branches consume it and would each re-run the 3-NN GEMM edge
+    kernel otherwise)."""
+    return (
+        _edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("s1"),
+            F.greatest("src", "dst").alias("s2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _triangle_corners(u: DataFrame) -> DataFrame:
+    """(a, b, c) triangle rows (a < b < c, each counted once) via the
+    two hash equi-joins on shared vertices of the id-ordered edge
+    table — the q_graph_triangles enumeration, shared with the
+    clustering-coefficient census."""
+    e1 = u.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = u.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = u.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
 @REG.register(
     "q_graph_triangles",
     oracle=f"""
@@ -135,24 +163,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once (eager localCheckpoint): four plan branches
     (nodes, e1, e2, e3) reference it and Catalyst would re-execute
     the 3-NN GEMM edge kernel in each."""
-    u = (
-        _edges(spark, sf_dir)
-        .select(
-            F.least("src", "dst").alias("s1"),
-            F.greatest("src", "dst").alias("s2"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    u = _undirected_edges(spark, sf_dir)
     nodes = (
         u.select(F.col("s1").alias("n"))
         .union(u.select(F.col("s2").alias("n")))
         .distinct()
     )
-    e1 = u.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = u.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = u.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri = _triangle_corners(u)
 
     def metric(df: DataFrame, label: str) -> DataFrame:
         return df.agg(F.count("*").alias("value")).select(
@@ -728,7 +745,7 @@ q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(r=_BFS_R, m=_BFS_SEED_MOD)
                CAST(count(cc_ppm) AS BIGINT) AS n_deg2,
                CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
                CAST(sum(t) // 3 AS BIGINT) AS n_triangles,
-               CAST(sum(t) * 1000000 // sum(d * (d - 1)) AS BIGINT)
+               CAST(sum(t) * 2000000 // sum(d * (d - 1)) AS BIGINT)
                    AS transitivity_ppm,
                CAST(sum(cc_ppm) // count(cc_ppm) AS BIGINT)
                    AS avg_local_cc_ppm
@@ -745,10 +762,12 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     corners).
 
     Determinism: wedges = sum d*(d-1) and per-corner triangle counts
-    are exact integers; both coefficients are single integer `div`s
-    (local cc in ppm = 2t*1e6 div d(d-1), summed exactly before one
-    final div). sum(t) is divisible by 3 and sum(d*(d-1)) by 2 by
-    construction, so the / casts are exact.
+    are exact integers; both coefficients are single integer `div`s —
+    transitivity = 3T/wedges = sum(t)*2e6 div sum(d*(d-1)) (sum(t)
+    counts each triangle at its 3 corners and sum(d*(d-1)) is twice
+    the wedge count, so the 2e6 scale makes K3 read exactly 1e6 ppm),
+    local cc in ppm = 2t*1e6 div d(d-1). sum(t) is divisible by 3 and
+    sum(d*(d-1)) by 2 by construction, so the // casts are exact.
 
     Plan: the id-ordered edge table materializes once (eager
     localCheckpoint — five consumers would each re-run the 3-NN GEMM
@@ -756,25 +775,14 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_graph_triangles; everything after lives on the node domain
     (node-keyed aggs + one LEFT join). At 100 TB: edge-keyed shuffles
     only, never all-pairs."""
-    u = (
-        _edges(spark, sf_dir)
-        .select(
-            F.least("src", "dst").alias("s1"),
-            F.greatest("src", "dst").alias("s2"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    u = _undirected_edges(spark, sf_dir)
     deg = (
         u.select(F.col("s1").alias("n"))
         .unionAll(u.select(F.col("s2").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    e1 = u.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = u.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = u.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri = _triangle_corners(u)
     # one pass over the triangle join: explode the three corners
     # instead of a triple union (three consumers would re-execute the
     # two-equi-join enumeration three times)
@@ -800,7 +808,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cc_ppm").alias("n_deg2"),
         F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
         F.expr("sum(t) div 3").cast("long").alias("n_triangles"),
-        F.expr("sum(t) * 1000000 div sum(d * (d - 1))")
+        F.expr("sum(t) * 2000000 div sum(d * (d - 1))")
         .cast("long")
         .alias("transitivity_ppm"),
         F.expr("sum(cc_ppm) div count(cc_ppm)")

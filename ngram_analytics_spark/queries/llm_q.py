@@ -3460,7 +3460,7 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
     )
-    w_expr = F.expr(_NDCG_W_SQL.replace("rn", "rn"))
+    w_expr = F.expr(_NDCG_W_SQL)
     dcg = (
         top.join(F.broadcast(ql), "query_id")
         .join(nl, "neighbor_id")

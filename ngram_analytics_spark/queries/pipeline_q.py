@@ -1517,16 +1517,35 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents."""
     import os
 
+    import shutil
+
     # the app-id suffix makes the write->mergeSchema-read round-trip
     # safe under concurrent sessions on one host (e.g. bench while a
-    # diffcheck runs) — each session round-trips its own directory
-    out = os.path.join(
+    # diffcheck runs) — each session round-trips its own directory.
+    # Sibling dirs from FINISHED sessions are reaped here (age-gated:
+    # only dirs untouched for > 1 h, so a LIVE concurrent session is
+    # never clobbered) — without the reap, a grading round's many
+    # short-lived sessions would accumulate orders-sized parquet
+    # under /tmp forever.
+    parent = os.path.join(
         "/tmp",
         "nas_src_roundtrip",
         os.path.basename(os.path.normpath(sf_dir)),
         "schema_evo",
-        spark.sparkContext.applicationId,
     )
+    app_id = spark.sparkContext.applicationId
+    if os.path.isdir(parent):
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        for stale in os.listdir(parent):
+            sp = os.path.join(parent, stale)
+            try:
+                if stale != app_id and os.path.getmtime(sp) < cutoff:
+                    shutil.rmtree(sp, ignore_errors=True)
+            except OSError:
+                pass
+    out = os.path.join(parent, app_id)
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_totalprice"
@@ -1814,9 +1833,13 @@ def q_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("cnt").alias("n"))
         )
+        # 1-row eager checkpoint: top has TWO consumers (the merge
+        # projection and the round's stats frame) and each would
+        # otherwise re-run the vocab-wide pair aggregation
         top = (
             pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         vocab = (
             vocab.crossJoin(F.broadcast(top))

@@ -830,10 +830,11 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.register(
-    "q_ml_confusion",
-    oracle=f"""
-        WITH p AS (
+#: shared confusion-cell CTEs (truth = lang=='en', pred = the langid
+#: stopword heuristic) — ONE definition consumed by the q_ml_confusion
+#: AND q_ml_mcc oracles so the heuristic threshold cannot desync
+_CONF_CELLS_SQL = f"""
+        p AS (
             SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
                    CASE WHEN {_SW_RATIO} >= 0.05 THEN 1 ELSE 0 END
                        AS pred
@@ -846,6 +847,37 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(sum((1 - truth) * (1 - pred)) AS BIGINT) AS tn
             FROM p
         )
+"""
+
+
+def _confusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (tp, fp, fn, tn) frame for the langid-vs-label confusion —
+    the shared Spark kernel under q_ml_confusion and q_ml_mcc (one
+    copy of the 0.05 heuristic threshold and the 4-sum algebra)."""
+    df = tokenized_docs(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / F.size("tokens")
+    )
+    p = df.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
+    )
+    return p.agg(
+        F.sum(F.col("truth") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("truth")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("truth") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).alias("tn"),
+    )
+
+
+@REG.register(
+    "q_ml_confusion",
+    oracle=f"""
+        WITH {_CONF_CELLS_SQL}
         SELECT tp, fp, fn, tn,
                CAST(floor((tp + tn) * 1000000.0 / (tp + fp + fn + tn))
                     AS BIGINT) AS accuracy_ppm,
@@ -874,24 +906,7 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer counts, floor-ppm ratios, NULLIF guards on
     the degenerate all-one-class corpus."""
-    df = tokenized_docs(spark, sf_dir)
-    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
-    ratio = (
-        F.size(
-            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
-        ).cast("double")
-        / F.size("tokens")
-    )
-    p = df.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
-        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
-    )
-    c = p.agg(
-        F.sum(F.col("truth") * F.col("pred")).alias("tp"),
-        F.sum((1 - F.col("truth")) * F.col("pred")).alias("fp"),
-        F.sum(F.col("truth") * (1 - F.col("pred"))).alias("fn"),
-        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).alias("tn"),
-    )
+    c = _confusion_counts(spark, sf_dir)
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
 
     def ppm(num, den):
@@ -1161,19 +1176,7 @@ q_text_cooc.__doc__ = q_text_cooc.__doc__.format(
 @REG.register(
     "q_ml_mcc",
     oracle=f"""
-        WITH p AS (
-            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
-                   CASE WHEN {_SW_RATIO} >= 0.05 THEN 1 ELSE 0 END
-                       AS pred
-            FROM documents
-        ), c AS (
-            SELECT
-                CAST(sum(truth * pred) AS BIGINT) AS tp,
-                CAST(sum((1 - truth) * pred) AS BIGINT) AS fp,
-                CAST(sum(truth * (1 - pred)) AS BIGINT) AS fn,
-                CAST(sum((1 - truth) * (1 - pred)) AS BIGINT) AS tn
-            FROM p
-        )
+        WITH {_CONF_CELLS_SQL}
         SELECT tp + fp + fn + tn AS n,
                CAST(floor((tp + fn) * 1000000.0 / (tp + fp + fn + tn))
                     AS BIGINT) AS prevalence_ppm,
@@ -1219,24 +1222,7 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: identical to q_ml_confusion — ONE scan, 4 integer sums,
     constant aggregate state; the metric algebra runs on the 1-row
     aggregate."""
-    df = tokenized_docs(spark, sf_dir)
-    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
-    ratio = (
-        F.size(
-            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
-        ).cast("double")
-        / F.size("tokens")
-    )
-    p = df.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
-        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
-    )
-    c = p.agg(
-        F.sum(F.col("truth") * F.col("pred")).alias("tp"),
-        F.sum((1 - F.col("truth")) * F.col("pred")).alias("fp"),
-        F.sum(F.col("truth") * (1 - F.col("pred"))).alias("fn"),
-        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).alias("tn"),
-    )
+    c = _confusion_counts(spark, sf_dir)
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
     n = tp + fp + fn + tn
     pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)

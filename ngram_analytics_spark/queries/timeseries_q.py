@@ -1743,7 +1743,24 @@ def q_stream_foreach_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"nas-ab-{tag}")
+    parent = os.path.join(tempfile.gettempdir(), f"nas-ab-{tag}")
+    # app-id isolation (the q_schema_evolution discipline): two
+    # concurrent sessions on one host must not clobber each other's
+    # staged input / state snapshot / checkpoint mid-stream; stale
+    # sibling dirs (> 1 h untouched, i.e. finished sessions) are
+    # reaped so short-lived grading sessions don't accumulate
+    base = os.path.join(parent, spark.sparkContext.applicationId)
+    if os.path.isdir(parent):
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        for stale in os.listdir(parent):
+            sp = os.path.join(parent, stale)
+            try:
+                if sp != base and os.path.getmtime(sp) < cutoff:
+                    shutil.rmtree(sp, ignore_errors=True)
+            except OSError:
+                pass
     stage, state = os.path.join(base, "in"), os.path.join(base, "state")
     # fresh run each call: foreachBatch state is per-invocation
     shutil.rmtree(base, ignore_errors=True)
