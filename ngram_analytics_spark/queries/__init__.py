@@ -17,17 +17,18 @@ from ngram_analytics_spark.registry import QueryRegistry
 
 # The 50 keys the differential driver should grade first.  Round-9
 # rotation (VERDICT r8 "Next round" item 2): DEFERRED_R9's oldest-
-# first r2-cohort head leads (21 keys — the queue held 35; the window
-# also had to carry this round's 17 code-changed keys and 12 new
-# keys, so the queue's tail of 13 moves to DEFERRED_R10 below —
+# first r2-cohort head leads (20 keys — the queue held 35; the window
+# also had to carry this round's 18 code-changed keys and 12 new
+# keys, so the queue's tail of 14 moves to DEFERRED_R10 below —
 # changed/new keys outrank hygiene re-certification because they are
 # the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential).  Then the 17
 # keys whose code or oracle changed in r9: the q_text_cooc offset-
 # lattice rewrite, q_sim_pairs_lsh (oracle off-dim guard + the
 # rp_signatures factoring), q_schema_evolution (app-id temp path),
-# and the 14 tokenizer-hoisting fixes from the long-document probe.
-# Last, the 12 keys NEW in r9.
+# the 14 tokenizer-hoisting fixes from the long-document probe, and
+# q_attribution_decay (the skew probe's one flag — day-offset
+# lattice + spread rewrite).  Last, the 12 keys NEW in r9.
 GRADED_FIRST: tuple[str, ...] = (
     # --- oldest-first re-certification: DEFERRED_R9 head (r2 cohort) ---
     "q_agg_histogram",
@@ -50,8 +51,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ts_resample",
     "q_ts_gapfill",
     "q_stream_live_tumbling",
-    "q_ts_ffill",
     # --- code/oracle changed in r9 ---
+    "q_attribution_decay",
     "q_text_cooc",
     "q_sim_pairs_lsh",
     "q_schema_evolution",
@@ -90,10 +91,11 @@ DEFERRED_R7: tuple[str, ...] = ()
 DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 
-#: Tail of the r2-cohort re-certification rotation (the 13 DEFERRED_R9
+#: Tail of the r2-cohort re-certification rotation (the 14 DEFERRED_R9
 #: keys the r9 window had no room for — see the GRADED_FIRST comment)
 #: — queued so they lead the round-10 graded window.
 DEFERRED_R10: tuple[str, ...] = (
+    "q_ts_ffill",
     "q_stream_live_session",
     "q_ts_ohlc",
     "q_ts_rolling_zscore",

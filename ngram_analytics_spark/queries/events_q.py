@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.catalog import load
+from ngram_analytics_spark.operators import spread
 from ngram_analytics_spark.functions.deterministic import (
     _oracle_quantized,
     _quantized,
@@ -1686,11 +1687,35 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks summed in int64 — order-independent, the dsum_fixed
     discipline.
 
-    Plan: clicks and purchases join once, hash-keyed on user_id, with
-    the decay window as a residual range filter; the per-purchase
-    weight sum is a pid-keyed agg joined back (both map-side
-    combinable); the channel rollup is a 4-group aggregate. No
-    windows, no driver state."""
+    Plan (rewritten r9 — the skew probe's one flag, 57.8x on a
+    hot-user corpus): clicks and purchases join on the PURE equi key
+    (user_id, click-day), with purchases exploded over the {d}+1
+    possible day offsets (k = purchase_day - click_day is uniquely
+    determined per true pair, so no duplicates) and the original
+    window predicates re-applied as residuals on the day-bucket
+    candidates — the q_ts_rolling_ndv offset-lattice discipline. The
+    user-only equi-join enumerated hot_clicks x hot_purchases pairs
+    on ONE task before filtering (O(hot^2) — the celebrity-user
+    bomb); the lattice bounds enumeration by clicks-per-(user, day)
+    x purchases and spreads the hot user across day cells. Both join
+    inputs ride spread() — two measured reasons (skew probe, hot
+    corpus): the stream side otherwise rides the single-task scan
+    (and AQE's small-input coalescing is blind to the join's output
+    explosion), putting a hot user's 40M credit rows through ONE
+    task, and the exchange materializes the per-click channel
+    projection (a JSON parse) so it is computed once per CLICK,
+    never per credit row — together 79.5 -> ~5 s for the touch
+    aggregation. The per-purchase weight sum is a pid-keyed
+    map-side-combined agg joined back (A/B vs a pid-partitioned
+    window over touch: 5.2 s vs 10.2 s hot — the window must
+    shuffle+sort every credit row; the agg shuffles purchase-sized
+    partials and re-runs the now-cheap lattice enumeration); the
+    channel rollup is a 4-group aggregate. Residual cost on a
+    hot-user corpus is OUTPUT volume, not enumeration: a user with k
+    purchases and dense clicks genuinely owns k x clicks-per-window
+    credit rows (skew_probe's hot corpus: 41.8M true touches from
+    200k events; the lattice enumerates 47.9M candidates vs the old
+    shape's ~1.1B)."""
     e = load(spark, sf_dir, "events")
     c = e.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -1709,8 +1734,37 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ep"),
     )
     d = F.expr("(ep - ec) div 86400")
+    # day-offset lattice: ec in (ep - 7d, ep) implies click_day in
+    # [purchase_day - 7, purchase_day], so k = 0..7 covers every true
+    # pair exactly once and the join key is fully equi
+    pk = p.select(
+        "pid",
+        "user_id",
+        "value",
+        "ep",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_AD_WINDOW_D}),"
+                " k -> (ep div 86400) - k)"
+            )
+        ).alias("cday"),
+    )
+    ck = c.withColumn("cday", F.expr("ec div 86400"))
+    # spread() both inputs, for two measured reasons (tools/
+    # skew_probe.py, hot-user corpus, 79.5 -> 5 s): (1) the join's
+    # STREAM side otherwise rides the single-task scan (and AQE's
+    # small-input coalescing is blind to the join's output
+    # explosion), so a hot user's 40M+ credit rows are produced and
+    # aggregated on ONE task; the round-robin exchange keeps BHJ
+    # available (unlike a key-pinned repartition, A/B'd at +1.6 s on
+    # the uniform sf0.1 path from the forfeited broadcast) and under
+    # BHJ the hot user's stream rows split evenly — broadcast joins
+    # cannot key-skew; (2) the exchange materializes the per-click
+    # channel projection (a JSON parse) into exchange rows, computed
+    # once per CLICK, never per credit row.
     touch = (
-        p.join(c, "user_id")
+        spread(pk)
+        .join(spread(ck), ["user_id", "cday"])
         .filter((F.col("ec") < F.col("ep")) & (d < _AD_WINDOW_D))
         .select(
             "pid",
