@@ -3571,8 +3571,15 @@ def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pos"),
     )
-    seg = j.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    # 5-row eager checkpoint: seg has two consumers (the global prior
+    # and the final projection) and each would re-execute the fact join
+    seg = (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)
     )
     g = seg.agg(
         F.sum("n").cast("long").alias("gn"),

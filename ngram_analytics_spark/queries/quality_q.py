@@ -1020,11 +1020,18 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .select("n_name", "c_mktsegment", F.col("o_orderpriority").alias("s"))
     )
-    cls_s = j.groupBy("n_name", "c_mktsegment", "s").agg(
-        F.count("*").alias("cgs")
+    # ONE fact scan: the (QI, sensitive) table is domain-bounded
+    # (|nations| x |segments| x 5 rows), so it checkpoints eagerly and
+    # the global/sensitive totals derive from IT — without this, gs /
+    # g / cls / terms each re-execute the customer->orders fact join
+    # (plan-audited r9: five scans collapsed to one)
+    cls_s = (
+        j.groupBy("n_name", "c_mktsegment", "s")
+        .agg(F.count("*").alias("cgs"))
+        .localCheckpoint(eager=True)
     )
-    gs = j.groupBy("s").agg(F.count("*").alias("cs"))
-    g = j.agg(F.count("*").alias("n"))
+    gs = cls_s.groupBy("s").agg(F.sum("cgs").cast("long").alias("cs"))
+    g = cls_s.agg(F.sum("cgs").cast("long").alias("n"))
     cls = cls_s.groupBy("n_name", "c_mktsegment").agg(
         F.sum("cgs").alias("ng")
     )

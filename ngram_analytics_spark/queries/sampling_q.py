@@ -516,11 +516,17 @@ def q_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    per = f.groupBy("fold").agg(
-        F.count("*").alias("n"),
-        F.countDistinct("o_custkey").alias("n_custkeys"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("cents").cast("long").alias("cents"),
+    # 5-row eager checkpoint: per has two consumers (fold totals and
+    # the final projection) and each would re-run the scan + hash
+    per = (
+        f.groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     g = per.agg(F.sum("n").cast("long").alias("gn"))
     return (
@@ -599,6 +605,9 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
     v = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab-sized narrow eager checkpoint: w has two consumers (the
+    # totals and the final shares) and each would re-run the token
+    # explode + vocab aggregation
     w = v.select(
         "tok",
         "cnt",
@@ -607,7 +616,7 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * cast(cnt as double)"
             " * cast(cnt as double))) * 1000) as bigint)"
         ).alias("wt"),
-    )
+    ).localCheckpoint(eager=True)
     g = w.agg(
         F.sum("wt").cast("long").alias("tw"),
         F.sum("cnt").cast("long").alias("tc"),
