@@ -807,3 +807,28 @@ def test_cache_reuse_plans_inmemory_scan(spark):
         assert "InMemoryTableScan" in P.physical_plan(branch)
     finally:
         df.unpersist()
+
+
+def test_attribution_decay_join_is_day_lattice_equi(spark):
+    """Skew-probe r9 fix: q_attribution_decay's clicks x purchases
+    join must carry the DAY-BUCKET column in its equi keys — a
+    user-only equi-join with the 7-day window as a residual
+    enumerates hot_clicks x hot_purchases pairs for a hot user
+    (~1.1B on the probe's 50%-one-user corpus) before filtering.
+    The lattice join's key set includes cday on both sides, so a hot
+    user's candidates are bounded by clicks-per-(user, day) and
+    spread across day cells."""
+    df = _q("q_attribution_decay")(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    # every join over the click/purchase streams that keys on user_id
+    # must also key on the day bucket
+    import re
+
+    user_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "user_id" in ln
+    ]
+    assert user_joins, plan
+    for ln in user_joins:
+        assert "cday" in ln, ln
