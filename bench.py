@@ -217,6 +217,14 @@ EXTENDED = [
     "q_ts_bollinger",     # rolling-band breakout census
     "q_sample_negative",  # unigram^0.75 sampling table
     "q_embed_bucket_stats",  # LSH band-bucket occupancy monitor
+    # --- new in r10 ---
+    "q_dedup_substring",  # overlapping-window span dedup
+    "q_bpe_encode",       # BPE encode pass (train->encode)
+    "q_graph_modularity",  # label-partition modularity
+    "q_text_readability",  # Flesch census, syllable proxy
+    "q_ml_roc_points",    # ROC operating points
+    "q_sample_neyman",    # Neyman-optimal allocation
+    "q_text_diversity",   # TTR / Simpson repeat-rate
 ]
 
 

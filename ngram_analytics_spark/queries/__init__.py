@@ -15,86 +15,22 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-9
-# rotation (VERDICT r8 "Next round" item 2): DEFERRED_R9's oldest-
-# first r2-cohort head leads (20 keys — the queue held 35; the window
-# also had to carry this round's 18 code-changed keys and 12 new
-# keys, so the queue's tail of 14 moves to DEFERRED_R10 below —
-# changed/new keys outrank hygiene re-certification because they are
-# the only rows with correctness RISK; every deferred key is
-# judge-green in each round's full local differential).  Then the 17
-# keys whose code or oracle changed in r9: the q_text_cooc offset-
-# lattice rewrite, q_sim_pairs_lsh (oracle off-dim guard + the
-# rp_signatures factoring), q_schema_evolution (app-id temp path),
-# the 14 tokenizer-hoisting fixes from the long-document probe, and
-# q_attribution_decay (the skew probe's one flag — day-offset
-# lattice + spread rewrite).  Last, the 12 keys NEW in r9.
+# The 50 keys the differential driver should grade first.  Round-10
+# rotation (VERDICT r9 "Next round" item 2): the DEFERRED_R10 queue
+# (the r2-cohort tail the r9 window had no room for) leads, then
+# q_agg_regr (the last remaining r2-certified key), then the 2 keys
+# whose code changed in r10 — q_dedup_minhash_exact (the fact-skew
+# probe's one flag: set-fingerprint recheck replaces the per-pair
+# array join, 54.9x -> 1.1x on the clone corpus) and q_bpe_train_loop
+# (trainer factored into the _bpe_train helper shared with
+# q_bpe_encode) — then the 7 keys NEW in r10, then 26 keys of the
+# r3-certification cohort oldest-first (alphabetical within the
+# cohort); the cohort's remaining 18 keys queue in DEFERRED_R11
+# below.  Changed/new keys outrank hygiene re-certification because
+# they are the only rows with correctness RISK; every deferred key is
+# judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- oldest-first re-certification: DEFERRED_R9 head (r2 cohort) ---
-    "q_agg_histogram",
-    "q_join_salted",
-    "q_agg_salted",
-    "q_join_nullsafe",
-    "q_join_bucketed",
-    "q_scan_partitioned",
-    "q_join_dpp",
-    "q_dedup_exact",
-    "q_sim_knn",
-    "q_multimodal_join",
-    "q_multimodal_meta",
-    "q_multimodal_frames",
-    "q_ml_scaler",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_join_asof",
-    "q_ts_resample",
-    "q_ts_gapfill",
-    "q_stream_live_tumbling",
-    # --- code/oracle changed in r9 ---
-    "q_attribution_decay",
-    "q_text_cooc",
-    "q_sim_pairs_lsh",
-    "q_schema_evolution",
-    "q_ngram_skipgram",
-    "q_ngram_chars",
-    "q_text_repetition",
-    "q_text_fingerprint",
-    "q_text_fingerprint_exact",
-    "q_text_cloze",
-    "q_dedup_jaccard",
-    "q_dedup_containment",
-    "q_dedup_minhash_exact",
-    "q_boilerplate",
-    "q_decontam",
-    "q_ngram_novelty",
-    "q_pipeline_e2e",
-    "q_sketch_bloom_exact",
-    # --- new in r9 ---
-    "q_bpe_train_loop",
-    "q_stream_foreach_ab",
-    "q_ml_mcc",
-    "q_ml_brier",
-    "q_ml_ndcg",
-    "q_ml_target_encode",
-    "q_ml_cv_folds",
-    "q_graph_clustering_coeff",
-    "q_privacy_tcloseness",
-    "q_ts_bollinger",
-    "q_sample_negative",
-    "q_embed_bucket_stats",
-)
-
-#: r7's deferred queue was fully promoted into the r8 window; r8's
-#: window is archived in CORRECTNESS_r08.json.
-DEFERRED_R7: tuple[str, ...] = ()
-DEFERRED_R8: tuple[str, ...] = ()
-DEFERRED_R9: tuple[str, ...] = ()
-
-#: Tail of the r2-cohort re-certification rotation (the 14 DEFERRED_R9
-#: keys the r9 window had no room for — see the GRADED_FIRST comment)
-#: — queued so they lead the round-10 graded window.
-DEFERRED_R10: tuple[str, ...] = (
+    # --- oldest-first re-certification: DEFERRED_R10 (r2 cohort) ---
     "q_ts_ffill",
     "q_stream_live_session",
     "q_ts_ohlc",
@@ -109,6 +45,76 @@ DEFERRED_R10: tuple[str, ...] = (
     "q_dedup_fuzzy_jaccard",
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
+    "q_agg_regr",
+    # --- code changed in r10 ---
+    "q_dedup_minhash_exact",
+    "q_bpe_train_loop",
+    # --- new in r10 ---
+    "q_dedup_substring",
+    "q_bpe_encode",
+    "q_graph_modularity",
+    "q_text_readability",
+    "q_ml_roc_points",
+    "q_sample_neyman",
+    "q_text_diversity",
+    # --- r3-cohort re-certification, oldest-first tranche 1/2 ---
+    "q_agg_bool",
+    "q_cte_recursive",
+    "q_doc_lm_score",
+    "q_ewma",
+    "q_fn_array",
+    "q_fn_bitwise",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date2",
+    "q_fn_explode_pos",
+    "q_fn_hash",
+    "q_fn_higher_order",
+    "q_fn_interval",
+    "q_fn_map",
+    "q_fn_map_json",
+    "q_fn_regexp2",
+    "q_fn_string2",
+    "q_fn_struct",
+    "q_fn_trig",
+    "q_fn_try",
+    "q_fn_url",
+    "q_fn_variant",
+    "q_funnel",
+    "q_graph_pagerank",
+    "q_merge_upsert",
+    "q_multimodal_audio",
+)
+
+#: earlier deferred queues, fully promoted (archived in
+#: CORRECTNESS_r08/r09/r10.json respectively).
+DEFERRED_R7: tuple[str, ...] = ()
+DEFERRED_R8: tuple[str, ...] = ()
+DEFERRED_R9: tuple[str, ...] = ()
+DEFERRED_R10: tuple[str, ...] = ()
+
+#: Tail of the r3-cohort re-certification rotation (the 18 keys the
+#: r10 window had no room for) — queued to lead the round-11 graded
+#: window.
+DEFERRED_R11: tuple[str, ...] = (
+    "q_quant_int8",
+    "q_retention",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_set_ops_all",
+    "q_sort_nulls",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_source_pyds",
+    "q_sql_pipe",
+    "q_subquery_exists_corr",
+    "q_subquery_in",
+    "q_subquery_lateral",
+    "q_subquery_scalar",
+    "q_values_inline",
+    "q_win_ignorenulls",
+    "q_win_range_interval",
 )
 
 
@@ -159,7 +165,14 @@ def build_registry() -> QueryRegistry:
 
     missing = [
         k
-        for k in (*GRADED_FIRST, *DEFERRED_R7, *DEFERRED_R8, *DEFERRED_R9)
+        for k in (
+            *GRADED_FIRST,
+            *DEFERRED_R7,
+            *DEFERRED_R8,
+            *DEFERRED_R9,
+            *DEFERRED_R10,
+            *DEFERRED_R11,
+        )
         if k not in merged.queries
     ]
     if missing:
@@ -167,7 +180,11 @@ def build_registry() -> QueryRegistry:
             f"GRADED_FIRST/DEFERRED keys not registered: {missing}"
         )
     overlap = set(GRADED_FIRST) & (
-        set(DEFERRED_R7) | set(DEFERRED_R8) | set(DEFERRED_R9)
+        set(DEFERRED_R7)
+        | set(DEFERRED_R8)
+        | set(DEFERRED_R9)
+        | set(DEFERRED_R10)
+        | set(DEFERRED_R11)
     )
     if overlap:
         raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
@@ -186,12 +203,16 @@ def build_registry() -> QueryRegistry:
         | set(DEFERRED_R7)
         | set(DEFERRED_R8)
         | set(DEFERRED_R9)
+        | set(DEFERRED_R10)
+        | set(DEFERRED_R11)
     )
     for key in (
         *GRADED_FIRST,
         *DEFERRED_R7,
         *DEFERRED_R8,
         *DEFERRED_R9,
+        *DEFERRED_R10,
+        *DEFERRED_R11,
         *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]

@@ -877,3 +877,79 @@ def q_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ngram_kneser_ney.__doc__ = q_ngram_kneser_ney.__doc__.format(k=_KN_TOPK)
+
+
+# ------------------------------------------------ lexical diversity
+
+@REG.register(
+    "q_text_diversity",
+    oracle="""
+        WITH t AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY lang, tok
+        )
+        SELECT lang,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(count(*) * 1000000 // sum(f) AS BIGINT) AS ttr_ppm,
+               CAST(sum(f * (f - 1)) * 1000000
+                    // (sum(f) * (sum(f) - 1)) AS BIGINT)
+                   AS simpson_ppm
+        FROM t
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity census per language: type-token ratio, hapax
+    legomena count, and Simpson's repeat-rate D = sum f(f-1) / n(n-1)
+    (the probability two random token draws are the SAME type — high D
+    flags templated/boilerplate-heavy slices, the corpus-level
+    counterpart of q_text_repetition's per-doc score and the
+    diversity dial next to q_corpus_gini's concentration index).
+
+    Determinism: D and TTR are exact integer rationals floored at ppm
+    (f, n are counts; no doubles anywhere). Closed-form fixture pin in
+    tests/test_statistic_fixtures.py (the r10 statistic-key
+    convention).
+
+    Plan: ONE token explode -> ONE map-side-combined (lang, tok)
+    groupBy (vocab-sized state), then a lang-domain rollup — the
+    q_bpe_pair_counts distinct-vocabulary discipline; no joins, no
+    windows."""
+    t = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            "lang", F.explode_outer(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.expr("count(*) * 1000000 div sum(f)")
+            .cast("long")
+            .alias("ttr_ppm"),
+            F.expr(
+                "sum(f * (f - 1)) * 1000000"
+                " div (sum(f) * (sum(f) - 1))"
+            )
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -815,3 +815,138 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_local_cc_ppm"),
     )
+
+
+# ----------------------------------------------------- modularity
+
+@REG.register(
+    "q_graph_modularity",
+    oracle=f"""
+        WITH {_EDGES_CTE}, und AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT dst AS src, src AS dst FROM e
+        ), lab AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label
+            FROM embeddings
+        ), j AS (
+            SELECT l1.label AS la, l2.label AS lb
+            FROM und
+            JOIN lab l1 ON und.src = l1.vec_id
+            JOIN lab l2 ON und.dst = l2.vec_id
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS e FROM j
+        ), per AS (
+            SELECT la AS label,
+                   CAST(count(*) AS BIGINT) AS deg,
+                   CAST(count(*) FILTER (WHERE la = lb) AS BIGINT)
+                       AS intra
+            FROM j GROUP BY la
+        ), dl AS (
+            SELECT DISTINCT CAST(label AS BIGINT) AS label
+            FROM embeddings
+        )
+        SELECT dl.label,
+               CAST(coalesce(per.deg, 0) AS BIGINT) AS deg,
+               CAST(coalesce(per.intra, 0) AS BIGINT) AS intra,
+               CAST(floor(
+                   (tot.e * coalesce(per.intra, 0)
+                    - coalesce(per.deg, 0) * coalesce(per.deg, 0))
+                   * 1000000.0 / (tot.e * tot.e)
+               ) AS BIGINT) AS contrib_ppm
+        FROM dl LEFT JOIN per ON dl.label = per.label
+        CROSS JOIN tot
+        ORDER BY dl.label
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LABEL partition over the undirected
+    3-NN similarity graph, reported per community: intra-community
+    edge count, degree mass, and the community's additive modularity
+    contribution Q_c = e_c/m - (deg_c/2m)^2 in ppm — the number that
+    says whether the corpus's class annotation aligns with its
+    embedding-similarity structure (high Q: classes are tight
+    embedding clusters; Q ~ 0: labels are noise w.r.t. geometry).
+    Full Q is the column sum. Closed-form fixture pin: two
+    disconnected 3-cliques with cluster-aligned labels give exactly
+    Q = 0.5 (tests/test_statistic_fixtures.py — the r10 statistic-key
+    convention).
+
+    Exact arithmetic on the DIRECTED-double representation (E = 2m
+    rows after symmetrizing): Q_c = (E*intra_c - deg_c^2) / E^2 where
+    intra_c counts both directions — the integer numerator stays
+    < 2^53 through the 1e6 scaling at any k-NN graph size with
+    E < ~9.4e7 (k=3 doubles: ~15M vectors; beyond that, widen to
+    DECIMAL on both engines), so the single floor() is the only
+    float step and floors toward -inf identically on both engines
+    (contributions CAN be negative).
+
+    Plan: the undirected edge set derives once from the
+    checkpoint-backed kNN kernel; two broadcast-label joins attach
+    endpoint communities; ONE (label) groupBy + a 1-row total
+    crossJoin — everything after the kernel lives on the label
+    domain."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    lab = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    j = (
+        und.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("label").alias("la"),
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("label").alias("lb"),
+                )
+            ),
+            "dst",
+        )
+        .select("la", "lb")
+        .localCheckpoint(eager=True)
+    )
+    tot = j.agg(F.count("*").cast("long").alias("e"))
+    per = j.groupBy(F.col("la").alias("label")).agg(
+        F.count("*").cast("long").alias("deg"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+        .cast("long")
+        .alias("intra"),
+    )
+    dl = lab.select("label").distinct()
+    out = (
+        dl.join(per, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("intra", F.lit(0)).cast("long").alias("intra"),
+            F.floor(
+                (
+                    F.col("e") * F.coalesce("intra", F.lit(0))
+                    - F.coalesce("deg", F.lit(0))
+                    * F.coalesce("deg", F.lit(0))
+                )
+                * F.lit(1000000.0)
+                / (F.col("e") * F.col("e"))
+            )
+            .cast("long")
+            .alias("contrib_ppm"),
+        )
+        .orderBy("label")
+    )
+    return out

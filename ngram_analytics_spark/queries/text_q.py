@@ -1265,3 +1265,134 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("balacc_ppm"),
     )
+
+
+# ----------------------------------------------------- readability
+
+#: synthetic sentence segmentation: the corpus has no punctuation, so
+#: a "sentence" is a 15-token chunk (ceil(words/15)) — deterministic
+#: and documented, the schema-adaptation discipline of q_tpch_q21.
+_READ_SENT_TOKENS = 15
+#: vowel-group count as the syllable proxy (min 1 per word) — the
+#: classic cheap estimator; identical regex split on both engines.
+_SYL_SPARK = (
+    "greatest(1, size(split(lower(tok), '[aeiou]+')) - 1)"
+)
+_SYL_SQL = (
+    "greatest(1, len(string_split_regex(lower(tok), '[aeiou]+')) - 1)"
+)
+
+
+@REG.register(
+    "q_text_readability",
+    oracle=f"""
+        WITH v AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY lang, tok
+        ), syl AS (
+            SELECT lang,
+                   CAST(sum(f * {_SYL_SQL}) AS BIGINT) AS n_syllables,
+                   CAST(sum(CASE WHEN {_SYL_SQL} >= 3 THEN f ELSE 0
+                            END) AS BIGINT) AS n_poly
+            FROM v GROUP BY lang
+        ), dc AS (
+            SELECT lang,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum((w + {_READ_SENT_TOKENS - 1})
+                            // {_READ_SENT_TOKENS}) AS BIGINT)
+                       AS n_sents
+            FROM (
+                SELECT lang, len(string_split(text, ' ')) AS w
+                FROM documents
+            ) GROUP BY lang
+        )
+        SELECT dc.lang, dc.n_words, dc.n_sents,
+               syl.n_syllables, syl.n_poly,
+               CAST(206835 - (1015 * dc.n_words // dc.n_sents)
+                           - (84600 * syl.n_syllables // dc.n_words)
+                    AS BIGINT) AS fre_milli
+        FROM dc JOIN syl USING (lang)
+        ORDER BY dc.lang
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per language with a vowel-group
+    syllable proxy and {st}-token synthetic sentences (the corpus has
+    no punctuation): words, sentences, syllables, polysyllabic words
+    (>= 3 vowel groups), and FRE x 1000 = 206835 - 1015*(words/sents)
+    - 84600*(sylls/words) with floored integer terms — the quality
+    dial a curation pipeline reads next to q_text_quality's
+    length/stopword heuristics. Closed-form fixture pin in
+    tests/test_statistic_fixtures.py (the r10 statistic-key
+    convention).
+
+    Plan: the syllable side runs on the DISTINCT (lang, token)
+    vocabulary with frequency weights (the q_bpe_pair_counts
+    compression — the regex splits once per TYPE, not per
+    occurrence); the sentence side is a per-doc arithmetic projection
+    + lang rollup; one lang-domain join joins the two. No windows,
+    no fact joins.
+
+    Determinism: exact integer counts; FRE terms are integer floor
+    divisions."""
+    v = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            "lang", F.explode_outer(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    syl = v.groupBy("lang").agg(
+        F.expr(f"sum(f * {_SYL_SPARK})").cast("long").alias("n_syllables"),
+        F.expr(f"sum(case when {_SYL_SPARK} >= 3 then f else 0 end)")
+        .cast("long")
+        .alias("n_poly"),
+    )
+    dc = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang", F.size(F.split("text", " ")).alias("w")
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum(
+                F.expr(
+                    f"(w + {_READ_SENT_TOKENS - 1})"
+                    f" div {_READ_SENT_TOKENS}"
+                )
+            )
+            .cast("long")
+            .alias("n_sents"),
+        )
+    )
+    return (
+        dc.join(syl, "lang")
+        .select(
+            "lang",
+            "n_words",
+            "n_sents",
+            "n_syllables",
+            "n_poly",
+            (
+                F.lit(206835)
+                - F.expr("1015 * n_words div n_sents")
+                - F.expr("84600 * n_syllables div n_words")
+            )
+            .cast("long")
+            .alias("fre_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+q_text_readability.__doc__ = q_text_readability.__doc__.format(
+    st=_READ_SENT_TOKENS
+)

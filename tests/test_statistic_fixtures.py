@@ -1,0 +1,461 @@
+"""Closed-form toy-fixture property pins for derived-statistic queries.
+
+VERDICT r9 "What's wrong" §1 made this a standing convention: the
+differential oracle gate proves CROSS-ENGINE AGREEMENT, never formula
+correctness — a statistic that is wrong identically in the Spark query
+and its DuckDB oracle sails through rows+schema+hash green (the
+q_graph_clustering_coeff transitivity incident shipped exactly that
+and was only caught in self-review). Every NEW q_* whose output is a
+derived statistic (not a direct relational result) therefore gets a
+closed-form fixture here: a corpus tiny enough that the expected
+numbers are derived BY HAND (or by a pure-Python mirror that shares no
+code with either engine), written to a tmp parquet dir and run through
+the real registry query.
+
+This file back-fills the round-9 statistics: MCC/kappa/Youden
+(q_ml_mcc), Brier (q_ml_brier), NDCG (q_ml_ndcg), earth-mover
+t-closeness (q_privacy_tcloseness), and Bollinger breakouts
+(q_ts_bollinger). The pre-existing pins of this style live in
+test_properties.py (q_bpe_train_loop vs a pure-Python trainer) and
+test_graph_analytics.py; new rounds add theirs here.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from ngram_analytics_spark.queries import build_registry
+
+_REG = None
+
+
+def _q(name):
+    global _REG
+    if _REG is None:
+        _REG = build_registry().queries
+    return _REG[name]
+
+
+def _write(spark, tmp_path, table: str, rows, schema: str) -> str:
+    sf_dir = str(tmp_path / "fixture_sf")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{sf_dir}/{table}.parquet")
+    return sf_dir
+
+
+# ---------------------------------------------------------------- MCC
+
+
+def test_mcc_kappa_youden_closed_form(spark, tmp_path):
+    """Hand-computed 2x2 confusion: the langid heuristic predicts
+    en iff stopword-ratio >= 0.05, truth is lang == 'en'.  The
+    fixture pins tp=4 fp=2 fn=1 tn=5 (N=12):
+
+      prevalence = floor(5e6/12)                       = 416666
+      MCC  = 18 / (sqrt(30)*sqrt(42)) = 0.5070925...  -> 507092
+      kappa = (12*9 - 72) / (144 - 72) = 36/72 = 0.5  -> 500000
+      Youden = floor(4e6/5) + floor(5e6/7) - 1e6       = 514285
+      balanced accuracy = (800000 + 714285) div 2      = 757142
+    """
+    sw = "the a of and to"  # ratio 1.0 -> pred 1
+    hard = "xx yy zz qq"  # ratio 0.0 -> pred 0
+    rows = []
+    did = 0
+
+    def doc(text, lang):
+        nonlocal did
+        rows.append((did, text, lang, "synthetic", len(text)))
+        did += 1
+
+    for _ in range(4):
+        doc(sw, "en")  # tp
+    for _ in range(2):
+        doc(sw, "fr")  # fp
+    doc(hard, "en")  # fn
+    for _ in range(5):
+        doc(hard, "fr")  # tn
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_ml_mcc")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n == 12
+    assert r.prevalence_ppm == 416666
+    assert r.mcc_ppm == 507092
+    assert r.kappa_ppm == 500000
+    assert r.youden_ppm == 514285
+    assert r.balacc_ppm == 757142
+
+
+# -------------------------------------------------------------- Brier
+
+
+def test_brier_closed_form(spark, tmp_path):
+    """4 forecasts with confidences 0.9/0.2 on positives and 0.7/0.1
+    on negatives (pos iff label >= 5):
+
+      brier     = (0.01 + 0.64 + 0.49 + 0.01) / 4 = 0.2875 -> 287500
+      brier_pos = (0.01 + 0.64) / 2 = 0.325               -> 325000
+      brier_neg = (0.49 + 0.01) / 2 = 0.25                -> 250000
+      mean_conf = 1.9 / 4 = 0.475                         -> 475000
+      base_rate = 2/4                                      -> 500000
+    """
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.9), 7),
+        (1, mk(0.2), 9),
+        (2, mk(0.7), 1),
+        (3, mk(0.1), 0),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_brier")(spark, sf).collect()[0]
+    assert r.n == 4 and r.n_pos == 2
+    assert r.brier_ppm == 287500
+    assert r.brier_pos_ppm == 325000
+    assert r.brier_neg_ppm == 250000
+    assert r.mean_conf_ppm == 475000
+    assert r.base_rate_ppm == 500000
+
+
+# --------------------------------------------------------------- NDCG
+
+
+def test_ndcg_closed_form(spark, tmp_path):
+    """6 IDENTICAL unit vectors (all pairwise cosines exactly 1.0, so
+    ranking degenerates to the vec_id ASC tie-break — the rank list of
+    query q is simply the other ids ascending) with labels id % 2.
+    Relevant ranks are derived by hand below; DCG/IDCG arithmetic is
+    pure-Python integer math on a weight table recomputed here from
+    floor(1e6/log2(i+1) + 0.5) — which independently re-verifies the
+    literal _NDCG_W/_NDCG_CUMW tables embedded in both engines."""
+    w = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, 11)]
+    cumw = [sum(w[: j + 1]) for j in range(10)]
+    # per query: ranks (1-based) of the same-label items among the
+    # other five ids in ascending order — derived by hand
+    rel_ranks = {
+        0: (2, 4),  # others 1,2,3,4,5 -> same-label 2,4
+        1: (3, 5),  # others 0,2,3,4,5 -> same-label 3,5
+        2: (1, 4),  # others 0,1,3,4,5 -> same-label 0,4
+        3: (2, 5),  # others 0,1,2,4,5 -> same-label 1,5
+        4: (1, 3),  # others 0,1,2,3,5 -> same-label 0,2
+        5: (2, 4),  # others 0,1,2,3,4 -> same-label 1,3
+    }
+    expected = [
+        sum(w[r - 1] for r in ranks) * 1_000_000 // cumw[1]
+        for ranks in rel_ranks.values()
+    ]
+    vec = [1.0] + [0.0] * 63
+    rows = [(i, vec, i % 2) for i in range(6)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_ndcg")(spark, sf).collect()[0]
+    assert r.n_queries == 6
+    assert r.n_perfect == 0
+    assert r.mean_ndcg_ppm == sum(expected) // 6
+    assert r.min_ndcg_ppm == min(expected)
+
+
+# -------------------------------------------------------- t-closeness
+
+
+def test_tcloseness_emd_closed_form(spark, tmp_path):
+    """Two QI classes in one segment, two order priorities.  Class
+    ALPHA/X holds {P1, P1, P2}, class BRAVO/X holds {P2, P2}; global
+    distribution is (2/5, 3/5).
+
+      EMD(ALPHA) = 1/2 (|2/3-2/5| + |1/3-3/5|) = 4/15 -> 266666
+      EMD(BRAVO) = 1/2 (|0-2/5|   + |1-3/5|)   = 2/5  -> 400000
+
+    BRAVO has NO P1 row, so the absent-(class, sensitive) algebraic
+    fold is exercised.  Both exceed t = 0.15, so the segment reports
+    2 violating classes covering all 5 rows."""
+    nation = [(0, "ALPHA", 0), (1, "BRAVO", 0)]
+    customer = [
+        (1, "c1", 0, 0.0, "X"),
+        (2, "c2", 1, 0.0, "X"),
+    ]
+    d = datetime.datetime(2024, 1, 1)
+    orders = [
+        (10, 1, "F", 1.0, d, "1-URGENT"),
+        (11, 1, "F", 1.0, d, "1-URGENT"),
+        (12, 1, "F", 1.0, d, "2-HIGH"),
+        (13, 2, "F", 1.0, d, "2-HIGH"),
+        (14, 2, "F", 1.0, d, "2-HIGH"),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "nation",
+        nation,
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "customer",
+        customer,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    r = _q("q_privacy_tcloseness")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.c_mktsegment == "X"
+    assert r.n_classes == 2
+    assert r.max_t_ppm == 400000
+    assert r.avg_t_ppm == 333333  # (266666 + 400000) div 2
+    assert r.n_violating == 2
+    assert r.rows_violating == 5
+
+
+# ----------------------------------------------------------- Bollinger
+
+
+def test_bollinger_breakout_closed_form(spark, tmp_path):
+    """One event type, 16 days of daily count 1 with a single spike of
+    50 on day 10; window w=7, k=2 sigma.  The only complete window
+    whose CLOSE is the spike is the one ending day 10:
+
+      dev  = 7*50 - 56 = 294
+      band = 2 * sqrt(7*2506 - 56^2) = 2*sqrt(14406) = 240.05
+
+    294 > 240.05 -> one upper breach.  Windows that merely CONTAIN
+    the spike close at y=1 (dev = -49, |dev| < band), and all-flat
+    windows have dev = band = 0 (no breach, strict >).  10 complete
+    windows (ends 7..16)."""
+    rows = []
+    eid = 0
+    base = datetime.date(2024, 1, 1)
+    for day in range(1, 17):
+        n = 50 if day == 10 else 1
+        for i in range(n):
+            ts = datetime.datetime(2024, 1, day, 8, 0, 0) + \
+                datetime.timedelta(minutes=i)
+            rows.append((eid, ts, 1, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_bollinger")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    spike_x = (base + datetime.timedelta(days=9) - datetime.date(1970, 1, 1)).days
+    assert r.event_type == "view"
+    assert r.n_windows == 10
+    assert r.n_up == 1
+    assert r.n_down == 0
+    assert r.max_dev == 294
+    assert r.last_up_x == spike_x
+    assert r.last_down_x is None
+
+
+# ----------------------------------------------------- modularity
+
+
+def test_modularity_two_cliques_closed_form(spark, tmp_path):
+    """Two orthogonal 3-vector clusters with cluster-aligned labels:
+    within-cluster cosine is exactly 1, across exactly 0 (< 0.2
+    threshold), so the 3-NN graph is two disconnected triangles and
+    textbook modularity of the aligned partition is Q = 2 * (3/6 -
+    (6/12)^2) = 0.5 — each community contributes exactly 250000 ppm
+    with intra = deg = 6 on the directed-double representation."""
+    ex = [1.0] + [0.0] * 63
+    ey = [0.0, 1.0] + [0.0] * 62
+    rows = [(i, ex, 0) for i in range(3)] + [
+        (i, ey, 1) for i in range(3, 6)
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = {x.label: x for x in _q("q_graph_modularity")(spark, sf).collect()}
+    assert set(r) == {0, 1}
+    for lbl in (0, 1):
+        assert r[lbl].deg == 6
+        assert r[lbl].intra == 6
+        assert r[lbl].contrib_ppm == 250000
+
+
+# ---------------------------------------------------- readability
+
+
+def test_readability_closed_form(spark, tmp_path):
+    """Two short docs, hand-counted vowel groups:
+
+      "the cat sat"            -> 3 words, 1 sentence, 3 syllables
+      "incredible automation"  -> 2 words, 1 sentence, 4 + 4
+                                  syllables, both polysyllabic
+
+    FRE x1000 = 206835 - (1015*5 div 2) - (84600*11 div 5)
+              = 206835 - 2537 - 186120 = 18178."""
+    rows = [
+        (1, "the cat sat", "en", "synthetic", 11),
+        (2, "incredible automation", "en", "synthetic", 21),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_text_readability")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_words == 5
+    assert r.n_sents == 2
+    assert r.n_syllables == 11
+    assert r.n_poly == 2
+    assert r.fre_milli == 18178
+
+
+# -------------------------------------------------------- Neyman
+
+
+def test_neyman_allocation_closed_form(spark, tmp_path):
+    """Two strata engineered to exact integer sqrt weights:
+
+      type a: values {1.0, 3.0} -> ticks {10, 30},
+              n*sum(v^2) - sum(v)^2 = 2*1000 - 1600 = 400,
+              sqrt = 20 exactly -> wt 20000
+      type b: values {1.0, 5.0} -> ticks {10, 50},
+              2*2600 - 3600 = 1600, sqrt = 40 -> wt 40000
+
+    Budget 1000 splits 333/666 (floor-div thirds)."""
+    d = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (0, d, 1, "a", 1.0, "{}"),
+        (1, d, 1, "a", 3.0, "{}"),
+        (2, d, 1, "b", 1.0, "{}"),
+        (3, d, 1, "b", 5.0, "{}"),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = {x.event_type: x for x in _q("q_sample_neyman")(spark, sf).collect()}
+    assert r["a"].wt == 20000 and r["b"].wt == 40000
+    assert r["a"].alloc_ppm == 333333 and r["b"].alloc_ppm == 666666
+    assert r["a"].n_alloc == 333 and r["b"].n_alloc == 666
+
+
+# ------------------------------------------------------ diversity
+
+
+def test_diversity_simpson_closed_form(spark, tmp_path):
+    """Token stream a a b b b c: n=6, types=3, hapax=1,
+    TTR = 3e6 div 6 = 500000,
+    Simpson D = (2*1 + 3*2 + 0) / (6*5) = 8/30 -> 266666 ppm."""
+    rows = [(1, "a a b b b c", "en", "synthetic", 11)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_text_diversity")(spark, sf).collect()[0]
+    assert r.n_tokens == 6
+    assert r.n_types == 3
+    assert r.n_hapax == 1
+    assert r.ttr_ppm == 500000
+    assert r.simpson_ppm == 266666
+
+
+# ----------------------------------------------------- substring
+
+
+def test_substring_dedup_closed_form(spark, tmp_path):
+    """Hand-built span duplication (W=20, stride=10):
+
+      docA: 40 unique tokens a1..a40
+      docB: tokens 1-20 IDENTICAL to docA, then unique b21..b40
+      docC: 25 unique tokens (one window, no dups)
+      docD: 10 tokens (too short, zero windows)
+      docE: p1..p10 repeated 3x then unique e31..e50 — its windows at
+            starts 1 and 11 have EQUAL content (in-doc self-repeat),
+            so the union coverage is min(20, 11-1) + 20 = 30 tokens
+
+    docA/docB share exactly the start-1 window (20 dup tokens each);
+    at the 30% threshold A, B, E are trimmed and C, D kept."""
+    mk = lambda pre, lo, hi: " ".join(f"{pre}{i}" for i in range(lo, hi + 1))  # noqa: E731
+    a = mk("a", 1, 40)
+    b = mk("a", 1, 20) + " " + mk("b", 21, 40)
+    c = mk("c", 1, 25)
+    dd = mk("d", 1, 10)
+    p = " ".join(f"p{i}" for i in range(1, 11))
+    e = p + " " + p + " " + p + " " + mk("e", 31, 50)
+    rows = [
+        (1, a, "en", "synthetic", len(a)),
+        (2, b, "en", "synthetic", len(b)),
+        (3, c, "en", "synthetic", len(c)),
+        (4, dd, "en", "synthetic", len(dd)),
+        (5, e, "en", "synthetic", len(e)),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = {x.doc_id: x for x in _q("q_dedup_substring")(spark, sf).collect()}
+    assert set(r) == {1, 2, 3, 4, 5}
+    assert (r[1].n_win, r[1].n_dup_win, r[1].dup_tokens, r[1].keep) == (
+        3, 1, 20, 0,
+    )
+    assert (r[2].n_win, r[2].n_dup_win, r[2].dup_tokens, r[2].keep) == (
+        3, 1, 20, 0,
+    )
+    assert (r[3].n_win, r[3].n_dup_win, r[3].dup_tokens, r[3].keep) == (
+        1, 0, 0, 1,
+    )
+    assert (r[4].n_win, r[4].n_dup_win, r[4].dup_tokens, r[4].keep) == (
+        0, 0, 0, 1,
+    )
+    assert (r[5].n_win, r[5].n_dup_win, r[5].dup_tokens, r[5].keep) == (
+        4, 2, 30, 0,
+    )

@@ -102,12 +102,19 @@ def make_corpus(path: str, hot: bool) -> None:
         + "' (FORMAT parquet)"
     )
     # user-keyed composites also read these dims; copy the smallest
-    # real ones so loads succeed (they are not the timed hot path)
-    import glob
-
+    # real ones so loads succeed (they are not the timed hot path).
+    # Source dir is overridable (ADVICE r9): NAS_DIM_SRC env var.
+    dim_src = os.environ.get("NAS_DIM_SRC", "/root/testdata/sf0.001")
+    if not os.path.isdir(dim_src):
+        print(
+            f"WARNING: dim-table source {dim_src!r} missing — "
+            "composite user-keyed queries will ERROR instead of "
+            "being probed (set NAS_DIM_SRC)",
+            file=sys.stderr,
+        )
     for t in ("customer", "orders", "lineitem", "nation", "region",
               "supplier", "part", "documents", "embeddings"):
-        src = f"/root/testdata/sf0.001/{t}.parquet"
+        src = os.path.join(dim_src, f"{t}.parquet")
         if os.path.exists(src):
             shutil.copy(src, os.path.join(path, f"{t}.parquet"))
 
