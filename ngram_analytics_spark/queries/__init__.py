@@ -18,15 +18,17 @@ from ngram_analytics_spark.registry import QueryRegistry
 # The 50 keys the differential driver should grade first.  Round-10
 # rotation (VERDICT r9 "Next round" item 2): the DEFERRED_R10 queue
 # (the r2-cohort tail the r9 window had no room for) leads, then
-# q_agg_regr (the last remaining r2-certified key), then the 2 keys
+# q_agg_regr (the last remaining r2-certified key), then the 4 keys
 # whose code changed in r10 — q_dedup_minhash_exact (the fact-skew
-# probe's one flag: set-fingerprint recheck replaces the per-pair
-# array join, 54.9x -> 1.1x on the clone corpus) and q_bpe_train_loop
+# probe's one flag: fingerprint-equal clone pairs short-circuit the
+# exact recheck, 54.9x -> 1.0x on the clone corpus), q_bpe_train_loop
 # (trainer factored into the _bpe_train helper shared with
-# q_bpe_encode) — then the 7 keys NEW in r10, then 26 keys of the
-# r3-certification cohort oldest-first (alphabetical within the
-# cohort); the cohort's remaining 18 keys queue in DEFERRED_R11
-# below.  Changed/new keys outrank hygiene re-certification because
+# q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
+# added: their kernels ran on the single scan task at 4% cpu —
+# the r10 sf1 adjudication) — then the 10 keys NEW in r10, then 21
+# keys of the r3-certification cohort oldest-first (alphabetical
+# within the cohort); the cohort's remaining 23 keys queue in
+# DEFERRED_R11 below.  Changed/new keys outrank hygiene re-certification because
 # they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
@@ -49,6 +51,8 @@ GRADED_FIRST: tuple[str, ...] = (
     # --- code changed in r10 ---
     "q_dedup_minhash_exact",
     "q_bpe_train_loop",
+    "q_ngram_chars",
+    "q_embed_bucket_stats",
     # --- new in r10 ---
     "q_dedup_substring",
     "q_bpe_encode",
@@ -57,6 +61,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_roc_points",
     "q_sample_neyman",
     "q_text_diversity",
+    "q_ts_macd",
+    "q_graph_assortativity",
+    "q_ml_stump",
     # --- r3-cohort re-certification, oldest-first tranche 1/2 ---
     "q_agg_bool",
     "q_cte_recursive",
@@ -79,11 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_trig",
     "q_fn_try",
     "q_fn_url",
-    "q_fn_variant",
-    "q_funnel",
-    "q_graph_pagerank",
-    "q_merge_upsert",
-    "q_multimodal_audio",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -93,10 +95,15 @@ DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 DEFERRED_R10: tuple[str, ...] = ()
 
-#: Tail of the r3-cohort re-certification rotation (the 18 keys the
+#: Tail of the r3-cohort re-certification rotation (the 23 keys the
 #: r10 window had no room for) — queued to lead the round-11 graded
 #: window.
 DEFERRED_R11: tuple[str, ...] = (
+    "q_fn_variant",
+    "q_funnel",
+    "q_graph_pagerank",
+    "q_merge_upsert",
+    "q_multimodal_audio",
     "q_quant_int8",
     "q_retention",
     "q_sample_hash",

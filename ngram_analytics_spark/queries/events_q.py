@@ -2337,3 +2337,152 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ts_bollinger.__doc__ = q_ts_bollinger.__doc__.format(
     w=_BOLL_W, k=_BOLL_SD
 )
+
+
+# ----------------------------------------------------------- MACD
+
+#: truncated-EMA window lengths (fast / slow) and their weight sums:
+#: EMA_w(t) = sum_{j<w} y_{t-j} * 2^-j (x256 integer ticks), so the
+#: fast weights sum to 480/256 and the slow to 510/256 — MACD is the
+#: normalized difference scaled by 480*510 to stay an exact integer.
+_MACD_FAST = 4
+_MACD_SLOW = 8
+_MACD_WF = sum(256 >> j for j in range(_MACD_FAST))  # 480
+_MACD_WS = sum(256 >> j for j in range(_MACD_SLOW))  # 510
+
+
+def _macd_sql_terms(w: int, col: str = "y") -> str:
+    return " + ".join(
+        f"{256 >> j} * lag({col}, {j}) OVER pt" if j else f"256 * {col}"
+        for j in range(w)
+    )
+
+
+@REG.register(
+    "q_ts_macd",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), ema AS (
+            SELECT event_type, x,
+                   {_macd_sql_terms(_MACD_FAST)} AS e4,
+                   {_macd_sql_terms(_MACD_SLOW)} AS e8,
+                   lag(y, {_MACD_SLOW - 1}) OVER pt AS l7
+            FROM daily
+            WINDOW pt AS (PARTITION BY event_type ORDER BY x)
+        ), m AS (
+            SELECT event_type, x,
+                   {_MACD_WS} * e4 - {_MACD_WF} * e8 AS macd
+            FROM ema WHERE l7 IS NOT NULL
+        ), mm AS (
+            SELECT event_type, x, macd,
+                   lag(macd) OVER (PARTITION BY event_type
+                                   ORDER BY x) AS pm
+            FROM m
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN pm < 0 AND macd > 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_cross_up,
+               CAST(sum(CASE WHEN pm > 0 AND macd < 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_cross_down,
+               CAST(max(macd) AS BIGINT) AS max_macd,
+               CAST(min(macd) AS BIGINT) AS min_macd,
+               CAST(max_by(macd, x) AS BIGINT) AS last_macd
+        FROM mm
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD trend-crossover census on the per-type daily-count series:
+    truncated fast ({f}-day) and slow ({s}-day) exponential moving
+    averages with 2^-j weights, their normalized difference (the MACD
+    line), and the strict zero-crossing counts — the momentum-shift
+    alert between q_ewma's level smoother and q_ts_cusum's drift
+    statistic.
+
+    Determinism: EMAs are TRUNCATED dyadic-weight window sums
+    ({f}/{s} lagged terms scaled x256), so every EMA is an exact
+    int64 and MACD = {ws}*E_fast - {wf}*E_slow an exact integer in
+    1/244800ths of a daily count — no recursion, no doubles anywhere
+    (q_ewma keeps the true infinite-memory recursion as the designed
+    applyInPandas escape hatch; this is its certified window-algebra
+    twin). Zero is treated as no-cross (strict sign flips only).
+
+    Plan: ONE map-side-combined daily rollup, lag windows over the
+    per-type DAY series (calendar-bounded partitions on the rollup —
+    the q_ts_bollinger precedent), 6-group final rollup."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    pt = W.partitionBy("event_type").orderBy("x")
+    e4 = sum(
+        (
+            F.lag("y", j).over(pt) if j else F.col("y")
+        ) * F.lit(256 >> j)
+        for j in range(_MACD_FAST)
+    )
+    e8 = sum(
+        (
+            F.lag("y", j).over(pt) if j else F.col("y")
+        ) * F.lit(256 >> j)
+        for j in range(_MACD_SLOW)
+    )
+    m = (
+        daily.select(
+            "event_type",
+            "x",
+            e4.alias("e4"),
+            e8.alias("e8"),
+            F.lag("y", _MACD_SLOW - 1).over(pt).alias("l7"),
+        )
+        .filter(F.col("l7").isNotNull())
+        .select(
+            "event_type",
+            "x",
+            (
+                F.lit(_MACD_WS) * F.col("e4")
+                - F.lit(_MACD_WF) * F.col("e8")
+            ).alias("macd"),
+        )
+    )
+    mm = m.select(
+        "event_type",
+        "x",
+        "macd",
+        F.lag("macd").over(W.partitionBy("event_type").orderBy("x")).alias(
+            "pm"
+        ),
+    )
+    up = (F.col("pm") < 0) & (F.col("macd") > 0)
+    down = (F.col("pm") > 0) & (F.col("macd") < 0)
+    return (
+        mm.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.when(up, 1).otherwise(0)).cast("long").alias(
+                "n_cross_up"
+            ),
+            F.sum(F.when(down, 1).otherwise(0)).cast("long").alias(
+                "n_cross_down"
+            ),
+            F.max("macd").cast("long").alias("max_macd"),
+            F.min("macd").cast("long").alias("min_macd"),
+            F.expr("max_by(macd, x)").cast("long").alias("last_macd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_ts_macd.__doc__ = q_ts_macd.__doc__.format(
+    f=_MACD_FAST, s=_MACD_SLOW, wf=_MACD_WF, ws=_MACD_WS
+)

@@ -950,3 +950,115 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label")
     )
     return out
+
+
+# -------------------------------------------------- assortativity
+
+@REG.register(
+    "q_graph_assortativity",
+    oracle=f"""
+        WITH {_EDGES_CTE}, und AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT dst AS src, src AS dst FROM e
+        ), deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY src
+        ), pts AS (
+            SELECT da.d AS dx, db.d AS dy
+            FROM und
+            JOIN deg da ON und.src = da.node
+            JOIN deg db ON und.dst = db.node
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN dx = dy THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eq,
+                   CAST(sum(dx) AS BIGINT) AS sx,
+                   CAST(sum(dy) AS BIGINT) AS sy,
+                   CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                   CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                   CAST(sum(dy * dy) AS BIGINT) AS syy
+            FROM pts
+        )
+        SELECT n AS n_edges,
+               n_eq AS n_equal_deg,
+               CAST(floor(
+                    (n * sxy - sx * sy) * 1000000.0
+                    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+                             0)
+               ) AS BIGINT) AS assortativity_ppm
+        FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected 3-NN similarity graph:
+    the Pearson correlation of endpoint degrees over all (directed-
+    double) edges — positive means hubs attach to hubs (an
+    over-represented dense core in the corpus), negative a hub-and-
+    spoke geometry; the one-number summary next to q_graph_degree's
+    full histogram and q_graph_modularity's partition alignment.
+
+    Determinism: degrees are exact integer counts, so the correlation
+    is (n*Sxy - Sx*Sy) over sqrt(exact int) * sqrt(exact int) — two
+    IEEE-correctly-rounded sqrts and one floor, the q_ml_mcc
+    spelling. Closed-form fixture pin: a 3-clique plus a mutual pair
+    has degree pairs perfectly correlated — the pin documents the
+    one-ulp sqrt(12)*sqrt(12) = 11.999999999999998 artifact that
+    floors to exactly 1000000 ppm (tests/test_statistic_fixtures.py).
+
+    Plan: the undirected edge set derives once from the
+    checkpoint-backed kNN kernel; ONE node-keyed degree agg joined
+    to both endpoints (node-keyed shuffles); the correlation is a
+    1-row aggregate with 6 integer sums. int64 headroom: sum(dx*dy)
+    < 2^63 holds to ~3e9 edges at max degree 2k."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    pts = (
+        und.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("dx")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("dx") == F.col("dy"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_equal_deg"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "n_edges",
+        "n_equal_deg",
+        F.floor(num * F.lit(1000000.0) / F.nullif(den, F.lit(0.0)))
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )

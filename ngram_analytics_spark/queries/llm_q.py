@@ -1880,26 +1880,47 @@ def _pairs_lambda(col: "F.Column") -> "F.Column":
     )
 
 
+#: fingerprint columns a signature frame may carry through the
+#: candidate stage (order-independent (sum, xor, count) of the seed-0
+#: shingle hashes — equal fingerprints == equal shingle SETS at
+#: md5-class collision odds, the identity assumption every hash-keyed
+#: dedup op here already makes).
+_MH_FP = ("sds", "sdx", "n_sh")
+
+
 def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Banded candidate pairs (id_a < id_b, n_bands) from a MinHash
-    signature frame (doc_id, m0..m{K-1}) with BOUNDED fanout: identical
-    signatures collapse to one group before banding; cross-group
-    candidates come from per-band sorted group-sets under the
-    _MH_BAND_CAP cardinality cap. Factored out of
-    q_dedup_minhash_exact so the clone-cluster property test can probe
-    the candidate stage directly."""
+    """Banded candidate pairs from a MinHash signature frame (doc_id,
+    m0..m{K-1} [+ the _MH_FP fingerprint columns]) with BOUNDED
+    fanout: identical signatures collapse to one group before
+    banding; cross-group candidates come from per-band sorted
+    group-sets under the _MH_BAND_CAP cardinality cap. Emits
+    (id_a, id_b, n_bands) — plus both endpoints' fingerprints
+    (sds/sdx/n_sh suffixed _a / _b) when sig carries them, riding the membership
+    structs so NO post-hoc per-doc join is ever needed (r10 fact-skew
+    fix). Factored out of q_dedup_minhash_exact so the clone-cluster
+    property test can probe the candidate stage directly."""
     sig_keys = [f"m{i}" for i in range(_MH_K)]
+    fp = [c for c in _MH_FP if c in sig.columns]
+    member_struct = F.struct(F.col("doc_id"), *[F.col(c) for c in fp])
     grp = sig.groupBy(*sig_keys).agg(
         F.min("doc_id").alias("gid"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        # doc_id leads the struct and is unique, so the sort order is
+        # exactly the old sorted-id order
+        F.sort_array(F.collect_list(member_struct)).alias("members"),
     )
+
+    def _endpoint(side: F.Column, suffix: str, id_alias: str):
+        cols = [side.getField("doc_id").alias(id_alias)]
+        cols += [side.getField(c).alias(f"{c}{suffix}") for c in fp]
+        return cols
+
     # intra-group pairs: every band collides by construction
     intra = (
         grp.filter(F.size("members") >= 2)
         .select(F.explode(_pairs_lambda(F.col("members"))).alias("p"))
         .select(
-            F.col("p.a").alias("id_a"),
-            F.col("p.b").alias("id_b"),
+            *_endpoint(F.col("p.a"), "_a", "id_a"),
+            *_endpoint(F.col("p.b"), "_b", "id_b"),
             F.lit(_MH_BANDS).cast("long").alias("n_bands"),
         )
     )
@@ -1926,6 +1947,9 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
     mem = grp.select("gid", F.explode("members").alias("m"))
+    a_first = F.col("ma.doc_id") < F.col("mb.doc_id")
+    first = F.when(a_first, F.col("ma")).otherwise(F.col("mb"))
+    second = F.when(a_first, F.col("mb")).otherwise(F.col("ma"))
     cross = (
         gp.join(
             mem.select(F.col("gid").alias("ga"), F.col("m").alias("ma")),
@@ -1936,12 +1960,15 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
             "gb",
         )
         .select(
-            F.least("ma", "mb").alias("id_a"),
-            F.greatest("ma", "mb").alias("id_b"),
+            *_endpoint(first, "_a", "id_a"),
+            *_endpoint(second, "_b", "id_b"),
             "n_bands",
         )
     )
     return cross.unionByName(intra)
+
+
+
 
 
 #: Hot-band cardinality cap (VERDICT r6 "What's wrong" §2): a band key
@@ -2039,25 +2066,29 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
        degenerate boilerplate bands are skipped — bounded fanout, the
        doc-frequency-ceiling semantics of q_dedup_containment, spelled
        identically in the oracle;
-    3. group pairs expand to doc pairs through the membership arrays
-       (two gid-keyed joins), then the exact recheck runs per DISTINCT
-       shingle-SET pair, not per doc pair (r10 fact-skew probe fix: a
-       2000-clone cluster emits ~2M candidate pairs — the required
-       output — but the old recheck joined BOTH full shingle arrays
-       onto every pair, 54.9x at equal rows vs uniform). Docs collapse
-       by a set-content fingerprint — order-independent (sum, xor,
-       count) of the seed-0 shingle hashes, computed INSIDE the
-       signature aggregation so it costs zero extra kernel runs (the
-       md5-digest-as-identity assumption every hash-keyed dedup op
-       here already makes, at ~2^-64 collision odds); fingerprint-
-       equal pairs are Jaccard = 1 by content identity with zero
-       array work, and each unequal set pair intersects ONCE via one
-       representative doc per fingerprint, the verdict joined back
-       onto the narrow candidate rows.
+    3. group pairs expand to doc pairs through the membership structs
+       (two gid-keyed joins) CARRYING each endpoint's shingle-set
+       fingerprint — order-independent (sum, xor, count) of the
+       seed-0 shingle hashes, computed inside the signature
+       aggregation at zero extra kernel cost (the digest-as-identity
+       assumption every hash-keyed dedup op here already makes, at
+       ~2^-64 collision odds);
+    4. fingerprint-EQUAL pairs short-circuit to Jaccard = 1 with ZERO
+       joins (r10 fact-skew probe fix: a 2000-clone cluster emits
+       ~2M candidate pairs — the required output — but the old
+       recheck joined BOTH full shingle arrays onto every one of
+       them, 54.9x at equal rows vs uniform; clone pairs are
+       fingerprint-equal by construction); only fingerprint-UNEQUAL
+       pairs (banding-cap-bounded cross-group candidates plus rare
+       signature collisions) pay the doc-keyed exact intersect.
 
-    All shuffles key on doc_id, signature, band key, gid, or set
-    fingerprint; the md5-per-(shingle, seed) cost is linear CPU that
-    scales out.
+    No localCheckpoints anywhere: every frame is single-consumer or
+    exchange-reused (eager checkpoints of the candidate table proved
+    unstable in long-lived sessions — the q_basket_lift block-churn
+    pathology, re-measured r10: second pass 6.6 -> 57.7 s).
+
+    All shuffles key on doc_id, signature, band key, or gid; the
+    md5-per-(shingle, seed) cost is linear CPU that scales out.
 
     Determinism: min-hash values are exact int64s from hex digits; the
     band key is their decimal-string concat; member/group arrays are
@@ -2089,12 +2120,6 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    # the signature table is materialized once (localCheckpoint): it
-    # is consumed by the banding pipeline AND both fingerprint-map
-    # joins, and per-consumer re-execution would re-run the md5
-    # kernel each time — materializing minhash signatures is also
-    # exactly what every production LSH pipeline does (narrow:
-    # doc_id + 8 hashes + 3 fingerprint ints per doc)
     sig = (
         sh.withColumn("v", v)
         .groupBy("doc_id")
@@ -2104,96 +2129,43 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(v)").alias("sdx"),
             F.count("*").alias("n_sh"),
         )
-        .localCheckpoint(eager=True)
     )
     cand = _mh_candidate_pairs(sig)
-    # exact recheck per DISTINCT shingle-set pair: the (sds, sdx,
-    # n_sh) fingerprint rides the signature aggregate (above), so the
-    # doc -> fingerprint map is a narrow projection of sig (its
-    # exchange is reused, not recomputed); fingerprint-equal pairs
-    # are Jaccard = 1 by content identity with zero array work, and
-    # each unequal set pair intersects ONCE via one representative
-    # doc per fingerprint, its verdict joined back onto the narrow
-    # candidate rows.
-    K = ["sds", "sdx", "n_sh"]
-    KA = [k + "_a" for k in K]
-    KB = [k + "_b" for k in K]
-    sets = sig.select("doc_id", *K)
-    rep_ids = sets.groupBy(*K).agg(F.min("doc_id").alias("rep_id"))
-    reps = rep_ids.join(
-        d.select(F.col("doc_id").alias("rep_id"), "st"), "rep_id"
+    eq_pred = (
+        (F.col("sds_a") == F.col("sds_b"))
+        & (F.col("sdx_a") == F.col("sdx_b"))
+        & (F.col("n_sh_a") == F.col("n_sh_b"))
     )
-    digested = cand.join(
-        sets.select(
-            F.col("doc_id").alias("id_a"),
-            *[F.col(k).alias(ka) for k, ka in zip(K, KA)],
-        ),
+    # fingerprint-EQUAL pairs (clone clusters — the fact-skew probe's
+    # 54.9x bomb) need no recheck at all: Jaccard = 1 by content
+    # identity, n_common = the carried set size, zero joins
+    eq = cand.filter(eq_pred).select(
         "id_a",
-    ).join(
-        sets.select(
-            F.col("doc_id").alias("id_b"),
-            *[F.col(k).alias(kb) for k, kb in zip(K, KB)],
-        ),
         "id_b",
-    ).localCheckpoint(eager=True)
-    # ^ the candidate table is NARROW (ids, n_bands, fingerprints) and
-    # output-magnitude by construction; checkpointing it keeps the
-    # banding pipeline at ONE execution even though the assembly below
-    # references it twice (the q_privacy_tcloseness small-table
-    # checkpoint discipline — measured 4.6 -> 2.6 s at sf0.1)
-    same0 = [
-        F.col(a) == F.col(b)
-        for a, b in zip(
-            [k + "_a" for k in K], [k + "_b" for k in K]
-        )
-    ]
-    sp = (
-        digested.filter(~(same0[0] & same0[1] & same0[2]))
-        .select(*KA, *KB)
-        .distinct()
+        "n_bands",
+        F.col("n_sh_a").cast("int").alias("n_common"),
+        F.lit(1.0).alias("jaccard"),
     )
-    ra = reps.select(
-        *[F.col(k).alias(ka) for k, ka in zip(K, KA)],
-        F.col("st").alias("st_a"),
-    )
-    rb = reps.select(
-        *[F.col(k).alias(kb) for k, kb in zip(K, KB)],
-        F.col("st").alias("st_b"),
-    )
-    same_set = [F.col(ka) == F.col(kb) for ka, kb in zip(KA, KB)]
-    eq_pred = same_set[0] & same_set[1] & same_set[2]
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
     common = F.size(F.array_intersect("st_a", "st_b"))
     union = F.size("st_a") + F.size("st_b") - common
     ratio = common.cast("double") / union
-    rech = (
-        sp.join(ra, KA)
-        .join(rb, KB)
+    uneq = (
+        cand.filter(~eq_pred)
+        .select("id_a", "id_b", "n_bands")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(ratio >= F.lit(_MH_MIN_J))
-        .select(
-            *KA,
-            *KB,
-            common.alias("_rc_common"),
-            round4det(ratio).alias("_rc_jaccard"),
-        )
-    )
-    # fingerprint-EQUAL pairs need no recheck at all (Jaccard = 1 by
-    # content identity, n_common = the carried set size); unequal
-    # pairs take their verdict from the per-set-pair recheck
-    return (
-        digested.join(rech, KA + KB, "left")
-        .filter(eq_pred | F.col("_rc_jaccard").isNotNull())
         .select(
             "id_a",
             "id_b",
             "n_bands",
-            F.when(eq_pred, F.col("n_sh_a").cast("int"))
-            .otherwise(F.col("_rc_common"))
-            .alias("n_common"),
-            F.when(eq_pred, F.lit(1.0))
-            .otherwise(F.col("_rc_jaccard"))
-            .alias("jaccard"),
+            common.alias("n_common"),
+            round4det(ratio).alias("jaccard"),
         )
     )
+    return eq.unionByName(uneq)
 
 
 # ------------------------------------------------- certified SimHash
@@ -3792,13 +3764,18 @@ def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: bucket ids are floors of bit-identical doubles (the
     q_sim_pairs_lsh discipline); everything after is integer counts.
 
-    Plan: per-row projection HOF (zero shuffles), one explode to the
-    24 (table, band-key) rows per vector, ONE map-side-combined
-    groupBy on (table, key), then a 24-group rollup. At 100 TB the
-    occupancy table is bounded by the bucket domain."""
+    Plan: per-row projection HOF (zero shuffles beyond the spread),
+    one explode to the 24 (table, band-key) rows per vector, ONE
+    map-side-combined groupBy on (table, key), then a 24-group
+    rollup. At 100 TB the occupancy table is bounded by the bucket
+    domain. spread() parallelizes the interpreted projection kernel
+    on few-split inputs (r10 adjudication: the single-row-group bench
+    file ran all 48 projections on ONE task at 4% cpu; no-op on
+    many-split inputs)."""
+    from ngram_analytics_spark.operators import spread
     from ngram_analytics_spark.operators.similarity import rp_signatures
 
-    sig = rp_signatures(load(spark, sf_dir, "embeddings"))
+    sig = rp_signatures(spread(load(spark, sf_dir, "embeddings")))
     bands = sig.select(
         F.expr(
             f"explode(transform(sequence(0, {_RPL_TABLES - 1}),"
@@ -4110,3 +4087,127 @@ def q_ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_roc_points.__doc__ = q_ml_roc_points.__doc__.format(k=_ROC_STEPS)
+
+
+# ------------------------------------------------- decision stump
+
+@REG.register(
+    "q_ml_stump",
+    oracle=f"""
+        WITH r AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000) AS s,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), cells AS (
+            SELECT u.k * 100000 AS thr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN s < u.k * 100000 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_l,
+                   CAST(sum(CASE WHEN s < u.k * 100000 AND pos = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pos_l,
+                   CAST(sum(pos) AS BIGINT) AS pos_t
+            FROM r CROSS JOIN UNNEST(range(1, {_ROC_STEPS + 1}))
+                AS u(k)
+            GROUP BY u.k
+        ), g AS (
+            SELECT thr, n, n_l, pos_l,
+                   n - n_l AS n_r,
+                   pos_t - pos_l AS pos_r
+            FROM cells
+        )
+        SELECT CAST(thr AS BIGINT) AS thr, n_l, pos_l,
+               CAST(
+                   CASE WHEN n_l = 0 THEN 0
+                        ELSE (n_l * n_l - pos_l * pos_l
+                              - (n_l - pos_l) * (n_l - pos_l))
+                             * 1000000 // (n * n_l) END
+                   + CASE WHEN n_r = 0 THEN 0
+                          ELSE (n_r * n_r - pos_r * pos_r
+                                - (n_r - pos_r) * (n_r - pos_r))
+                               * 1000000 // (n * n_r) END
+                   AS BIGINT) AS gini_split_ppm
+        FROM g
+        ORDER BY thr
+    """,
+)
+def q_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: the size-weighted Gini impurity of
+    the binary split s < thr at each of the {k} tick thresholds over
+    the q_ml_calibration confidence geometry — what one tree node of
+    a GBDT/random-forest trainer evaluates; the reader picks the
+    argmin row. Completes the supervised-eval family (q_ml_roc_points
+    rates the classifier, this rates the FEATURE).
+
+    Determinism: weighted Gini = sum_side (n_s^2 - pos_s^2 - neg_s^2)
+    / (n * n_s) — each side floors to ppm independently (per-side
+    floor-div, so the total is within 2 ppm of the exact rational but
+    EXACTLY reproducible), all in int64. Headroom: n_s^2 * 1e6 < 2^63
+    holds to ~3e6 rows; widen both engines to DECIMAL beyond.
+    Closed-form fixture pin in tests/test_statistic_fixtures.py (the
+    r10 statistic-key convention).
+
+    Plan: identical to q_ml_roc_points — ONE scan x broadcast {k}-row
+    threshold dim, one map-side-combined groupBy to {k} rows, per-row
+    integer algebra after."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    s = F.least(
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(1_000_000),
+    )
+    r = e.select(
+        s.alias("s"),
+        F.when(F.col("label") >= _AUC_POS_MIN, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    thr = spark.range(1, _ROC_STEPS + 1).select(
+        (F.col("id") * 100000).cast("long").alias("thr")
+    )
+    left = F.col("s") < F.col("thr")
+    cells = (
+        r.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(left, 1).otherwise(0)).cast("long").alias("n_l"),
+            F.sum(F.when(left & (F.col("pos") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("pos_l"),
+            F.sum("pos").cast("long").alias("pos_t"),
+        )
+    )
+    g = cells.select(
+        "thr",
+        "n",
+        "n_l",
+        "pos_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_t") - F.col("pos_l")).alias("pos_r"),
+    )
+    side_l = F.when(F.col("n_l") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(n_l * n_l - pos_l * pos_l"
+            " - (n_l - pos_l) * (n_l - pos_l))"
+            " * 1000000 div (n * n_l)"
+        )
+    )
+    side_r = F.when(F.col("n_r") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(n_r * n_r - pos_r * pos_r"
+            " - (n_r - pos_r) * (n_r - pos_r))"
+            " * 1000000 div (n * n_r)"
+        )
+    )
+    return g.select(
+        "thr",
+        "n_l",
+        "pos_l",
+        (side_l + side_r).cast("long").alias("gini_split_ppm"),
+    ).orderBy("thr")
+
+
+q_ml_stump.__doc__ = q_ml_stump.__doc__.format(k=_ROC_STEPS)

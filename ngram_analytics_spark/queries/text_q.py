@@ -453,8 +453,13 @@ def q_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longdoc probe r9: 66.2x at equal token mass); slice() on the
     pre-split array indexes directly — O(5) per position. chars is
     referenced twice (sequence bound + lambda) so CollapseProject
-    keeps it materialized."""
-    d = load(spark, sf_dir, "documents").select(
+    keeps it materialized. spread() parallelizes the kernel across
+    cores on few-split inputs (r10 adjudication: the single-row-group
+    bench file ran the whole lambda on ONE task at 4% cpu — 14.5 ->
+    ~2 s at sf1; a many-split 100 TB input makes it a no-op)."""
+    from ngram_analytics_spark.operators import spread
+
+    d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", "text", F.split("text", "").alias("chars")
     )
     shingles = F.when(

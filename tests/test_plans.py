@@ -386,6 +386,15 @@ NESTED_LOOP_OK = {
                              # class)
     "q_hilbert_layout",      # 1-row scale-ranges broadcast
                              # (q_zorder_layout class)
+    "q_graph_modularity",    # 1-row edge-total broadcast onto the
+                             # label-domain table (tcloseness class)
+    "q_ml_roc_points",       # 9-row threshold-dim broadcast cross
+                             # onto the scan (q_embed_pq class)
+    "q_ml_stump",            # same 9-row threshold-dim broadcast
+    "q_sample_neyman",       # 1-row weight-total broadcast onto the
+                             # 6-row stratum table
+    "q_bpe_encode",          # 1-row top-pair broadcast per unrolled
+                             # merge round (q_bpe_train_loop class)
 }
 
 
@@ -803,3 +812,38 @@ def test_attribution_decay_join_is_day_lattice_equi(spark):
     assert user_joins, plan
     for ln in user_joins:
         assert "cday" in ln, ln
+
+
+def test_dedup_substring_bounded_work_on_long_document(spark, tmp_path):
+    """q_dedup_substring on one 50k-token document must stay linear:
+    the window lattice is slice() over a HOISTED token array at
+    stride 10 (~5k windows), never substr(text, i, ...) whose O(i)
+    offset walk makes the doc total quadratic (the longdoc-probe r9
+    failure class). Two identical long docs also pin the dup-span
+    union: every window duplicates, coverage = stride * (n_win - 1)
+    + W tokens."""
+    import time
+
+    t = 50_000
+    text = " ".join(f"tok{i % 97}" for i in range(t))
+    sf_dir = str(tmp_path / "longdoc_ss")
+    spark.createDataFrame(
+        [
+            (1, text, "en", "synthetic", len(text)),
+            (2, text, "en", "synthetic", len(text)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    start = time.monotonic()
+    rows = {r.doc_id: r for r in _q("q_dedup_substring")(spark, sf_dir).collect()}
+    elapsed = time.monotonic() - start
+    n_win = (t - 20) // 10 + 1
+    for doc_id in (1, 2):
+        r = rows[doc_id]
+        assert r.n_win == n_win
+        assert r.n_dup_win == n_win
+        assert r.dup_tokens == 10 * (n_win - 1) + 20
+        assert r.keep == 0
+    assert elapsed < 60, f"q_dedup_substring took {elapsed:.1f}s"

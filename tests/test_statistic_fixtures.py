@@ -459,3 +459,127 @@ def test_substring_dedup_closed_form(spark, tmp_path):
     assert (r[5].n_win, r[5].n_dup_win, r[5].dup_tokens, r[5].keep) == (
         4, 2, 30, 0,
     )
+
+
+# ----------------------------------------------------------- MACD
+
+
+def test_macd_closed_form(spark, tmp_path):
+    """One event type, 17 days of daily count 1 with a spike of 5 on
+    day 9. Hand-computed truncated-EMA MACD (x256 ticks, macd =
+    510*E4 - 480*E8), complete rows days 8..17:
+
+      day  8: 0            day 13: -30720 (spike leaves fast window
+      day  9: +30720                       -> strict down-cross)
+      day 10: +15360       day 14: -15360
+      day 11: +7680        day 15: -7680
+      day 12: +3840        day 16: -3840 ; day 17: 0
+
+    No strict up-cross (the series re-enters zero exactly)."""
+    rows = []
+    eid = 0
+    for day in range(1, 18):
+        n = 5 if day == 9 else 1
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 3, day, 10, 0, 0)
+                    + datetime.timedelta(minutes=i),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_macd")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_days == 10
+    assert r.n_cross_up == 0
+    assert r.n_cross_down == 1
+    assert r.max_macd == 30720
+    assert r.min_macd == -30720
+    assert r.last_macd == 0
+
+
+# --------------------------------------------------- assortativity
+
+
+def test_assortativity_closed_form(spark, tmp_path):
+    """A 3-clique (degrees 2) plus a mutual pair (degrees 1), built
+    from two orthogonal embedding directions: every edge connects
+    equal degrees, so the degree correlation is exactly +1 —
+    8 directed-double edges, num = 8*26 - 14^2 = 12, den =
+    sqrt(12)*sqrt(12) = 11.999999999999998 (the nearest double to
+    sqrt(12) sits just below, so its square lands one ulp under 12),
+    hence 12e6/den = 1000000.0000000002 and the floored ppm is
+    exactly 1000000, identically on both engines."""
+    ex = [1.0] + [0.0] * 63
+    ey = [0.0, 1.0] + [0.0] * 62
+    rows = [(i, ex, 0) for i in range(3)] + [
+        (i, ey, 1) for i in range(3, 5)
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_graph_assortativity")(spark, sf).collect()[0]
+    assert r.n_edges == 8
+    assert r.n_equal_deg == 8
+    assert r.assortativity_ppm == 1000000
+
+
+# ----------------------------------------------------------- stump
+
+
+def test_stump_gini_closed_form(spark, tmp_path):
+    """The q_ml_brier fixture geometry (confidences 0.9p/0.2p/0.7n/
+    0.1n): weighted Gini by hand per threshold —
+
+      thr 200000: left {0.1n} pure -> 0 + right (2 pos, 1 neg)
+                  (9-4-1)*1e6 div 12 = 333333
+      thr 800000/900000: left (1 pos, 2 neg) 333333 + right {0.9p}
+                  pure -> 333333
+      all other thresholds: 1-1 splits both sides -> 500000
+
+    The argmin rows isolate a pure class — the correct stump."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.9), 7),
+        (1, mk(0.2), 9),
+        (2, mk(0.7), 1),
+        (3, mk(0.1), 0),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = {x.thr: x.gini_split_ppm for x in _q("q_ml_stump")(spark, sf).collect()}
+    expect = {
+        100000: 500000,
+        200000: 333333,
+        300000: 500000,
+        400000: 500000,
+        500000: 500000,
+        600000: 500000,
+        700000: 500000,
+        800000: 333333,
+        900000: 333333,
+    }
+    assert r == expect

@@ -27,9 +27,9 @@ Every fact-keyed join query is timed on both.  Reading the ratio:
   - per-key-LINEAR work that lands on one task (a hot join partition
     or a hot groupBy before partial agg) is bounded by
     hot_fraction x parallelism ~ 0.4 x 32 ~ 13x in the worst case —
-    a straggler, fixed by AQE skew-split (the probe prints whether
-    OptimizeSkewedJoin engaged: `skew=true` in the final adaptive
-    plan) or by salting (operators/skew.py);
+    a straggler, fixed by AQE skew-split (--aqe-check verifies
+    OptimizeSkewedJoin engages on the real spine plans) or by
+    salting (operators/skew.py);
   - per-key-QUADRATIC work (pair enumeration within the hot key)
     blows far past that — the real bomb.
 
@@ -179,6 +179,66 @@ def make_hot_corpus(src: str, dst: str) -> None:
     con.close()
 
 
+#: AQE engagement check (VERDICT r9 "Next round" item 1 done-criterion):
+#: at probe scale every shuffle partition is far below the PRODUCTION
+#: skew threshold (256 MB), so the main table's "no" column only says
+#: the optimizer correctly left small partitions alone. --aqe-check
+#: re-runs the SHUFFLE_HASH/SMJ spines on the hot corpus with the
+#: thresholds scaled DOWN to probe size and reports whether
+#: OptimizeSkewedJoin actually splits (skew=true in the final adaptive
+#: plan) — once plainly, once with forceOptimizeSkewedJoin (several
+#: spines reuse the join's partitioning in a downstream aggregation,
+#: which legitimately suppresses the split unless forced).
+AQE_CHECK_QUERIES = [
+    "q_join_inner",
+    "q_join_shuffle_hash",
+    "q_tpch_q12",
+    "q_tpch_q18",
+    "q_tpch_q21",
+]
+_AQE_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+}
+
+
+def aqe_check(spark, qs, hot: str) -> None:
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in list(_AQE_CONFS) + ["spark.sql.adaptive.forceOptimizeSkewedJoin"]
+    }
+    try:
+        for k, v in _AQE_CONFS.items():
+            spark.conf.set(k, v)
+        print()
+        print("AQE skew-split engagement (hot corpus, probe-scaled"
+              " thresholds):")
+        print("| query | split (plain) | split (forced) |")
+        print("|---|---|---|")
+        for name in AQE_CHECK_QUERIES:
+            cells = []
+            for force in ("false", "true"):
+                spark.conf.set(
+                    "spark.sql.adaptive.forceOptimizeSkewedJoin", force
+                )
+                df = qs[name](spark, hot)
+                # collect() executes THIS DataFrame's QueryExecution —
+                # a write() builds a fresh one whose adaptive plan
+                # never finalizes on the handle we hold (all declared
+                # queries return bounded results, so collect is safe)
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                cells.append("yes" if "skew=true" in plan else "no")
+            print(f"| {name} | {cells[0]} | {cells[1]} |")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> int:
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -188,6 +248,12 @@ def main() -> int:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         help="real corpus the hot variant is derived from",
+    )
+    ap.add_argument(
+        "--aqe-check",
+        action="store_true",
+        help="also verify OptimizeSkewedJoin engages on the spine"
+        " queries at probe-scaled thresholds",
     )
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
@@ -203,45 +269,38 @@ def main() -> int:
     spark = get_spark(app_name="nas-fact-skew-probe")
     qs = build_registry().queries
 
-    def run_once(name: str, sf_dir: str) -> tuple[float, bool]:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        # AQE final plan: did OptimizeSkewedJoin split a partition?
-        split = "skew=true" in df._jdf.queryExecution().executedPlan().toString()
-        return dt, split
-
-    def timed(name: str, sf_dir: str) -> tuple[float, bool]:
-        best, split = float("inf"), False
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
         for _ in range(2):
-            dt, sp = run_once(name, sf_dir)
-            best, split = min(best, dt), split or sp
-        return best, split
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     print(f"(hot corpus derived from {args.sf_dir}; HOT_MOD={HOT_MOD})")
-    print("| query | uniform s | hot s | hot/uniform | AQE skew-split |")
-    print("|---|---|---|---|---|")
+    print("| query | uniform s | hot s | hot/uniform |")
+    print("|---|---|---|---|")
     flagged = []
     for name in names:
         if name not in qs:
             continue
         try:
-            tu, _ = timed(name, args.sf_dir)
-            th, split = timed(name, hot)
+            tu = timed(name, args.sf_dir)
+            th = timed(name, hot)
         except Exception as ex:
-            print(f"| {name} | ERROR | {type(ex).__name__} | - | - |")
+            print(f"| {name} | ERROR | {type(ex).__name__} | - |")
             continue
         ratio = th / tu if tu > 0 else float("inf")
         mark = " **FLAG**" if ratio > 5 else ""
         if ratio > 5:
             flagged.append(name)
-        print(
-            f"| {name} | {tu:.2f} | {th:.2f} | {ratio:.1f}{mark} |"
-            f" {'yes' if split else 'no'} |"
-        )
+        print(f"| {name} | {tu:.2f} | {th:.2f} | {ratio:.1f}{mark} |")
     print()
     print("flagged (>5x at equal rows):", flagged if flagged else "none")
+    if args.aqe_check:
+        aqe_check(spark, qs, hot)
     shutil.rmtree(hot, ignore_errors=True)
     return 0
 

@@ -60,6 +60,11 @@ PROBE_QUERIES = [
     "q_ngram_kneser_ney",
     "q_text_cloze",
     "q_text_tokens",
+    # --- r10 additions (token-length-dependent kernels) ---
+    "q_dedup_substring",
+    "q_bpe_encode",
+    "q_text_readability",
+    "q_text_diversity",
 ]
 
 TOTAL_TOKENS = 100_000
