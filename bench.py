@@ -228,6 +228,8 @@ EXTENDED = [
     "q_ts_macd",          # dyadic-EMA MACD crossings
     "q_graph_assortativity",  # degree-degree correlation
     "q_ml_stump",         # Gini best-split search
+    "q_stream_live_minhash",  # streaming signature census
+    "q_stream_live_spans",    # streaming duplicated-span monitor
 ]
 
 

@@ -1828,3 +1828,209 @@ def q_stream_foreach_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ------------------------------- streaming dedup-signature census
+
+def _mh_stream_sig_cols():
+    """Per-ROW minhash signature m0..m7 over a hoisted shingle array:
+    array_min(transform(...)) instead of the batch kernel's
+    explode+groupBy min — semantically identical (min over the same
+    per-shingle hash values), but a stateless projection, so the
+    streaming query keeps its ONE allowed aggregation for the
+    signature-group census."""
+    from ngram_analytics_spark.queries.llm_q import _MH_K
+
+    def chunk_min(seed: int, chunk: int):
+        # NOTE: the lambda must take exactly ONE parameter — PySpark
+        # treats a two-arg transform lambda as (element, index), so a
+        # default-arg trick (lambda h, c=chunk: ...) silently receives
+        # the INDEX column as c
+        def fn(h):
+            return F.conv(
+                F.substring(h, 1 + 8 * chunk, 8), 16, 10
+            ).cast("long")
+
+        return F.array_min(F.transform(F.col(f"h{seed}"), fn))
+
+    return [
+        chunk_min(*divmod(i, 4)).alias(f"m{i}") for i in range(_MH_K)
+    ]
+
+
+def _mh_stream_oracle() -> str:
+    from ngram_analytics_spark.operators.ngram import ngrams_sql
+    from ngram_analytics_spark.queries.llm_q import (
+        _MH_K,
+        _MH_N,
+        _mh_sql,
+        TOKENS,
+    )
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id, list_distinct({ngrams_sql(TOKENS, _MH_N)})
+                       AS st
+            FROM documents
+        ), sh_t AS (
+            SELECT doc_id, unnest(st) AS sh FROM s WHERE len(st) >= 1
+        ), sig AS (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_MH_K))}
+            FROM sh_t GROUP BY doc_id
+        ), grp AS (
+            SELECT CAST(min(doc_id) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM sig
+            GROUP BY {", ".join(f"m{i}" for i in range(_MH_K))}
+        )
+        SELECT gid, n_docs FROM grp WHERE n_docs >= 2
+    """
+
+
+@REG.register("q_stream_live_minhash", oracle=_mh_stream_oracle())
+def q_stream_live_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate SIGNATURE census under REAL Structured
+    Streaming: documents stream in, each row projects its 8-hash
+    MinHash signature statelessly (array_min over hoisted per-shingle
+    digest arrays — the batch kernel's explode+groupBy min is a second
+    aggregation streaming doesn't allow), and ONE complete-mode
+    aggregation groups by signature — emitting (gid, n_docs) for every
+    signature-identical group of 2+ docs. The live twin of
+    q_dedup_minhash_exact's clone-collapse stage: what an ingest
+    pipeline watches to catch boilerplate floods AS THEY ARRIVE.
+
+    Arrival-order independence: group membership and min-id are
+    order-free, so the census is differentially certifiable against
+    the batch kernel (the q_stream_live_dedup discipline).
+
+    Scale: signature state is one row per DISTINCT signature (clone
+    floods collapse); the projection is linear per doc and the only
+    shuffle is the signature groupBy."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+    from ngram_analytics_spark.operators.ngram import ngram_col
+    from ngram_analytics_spark.queries.llm_q import _MH_N
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    # the file source hands availableNow batches over the file's few
+    # splits; an explicit stateless repartition spreads the md5-heavy
+    # signature projection across cores (streaming frames cannot use
+    # spread(), which probes rdd partitions) — r10 adjudication: 31.2
+    # -> ~4 s at sf1, 5% -> saturated
+    d = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("st", F.array_distinct(ngram_col("toks", _MH_N)))
+        .filter(F.size("st") >= 1)
+        .withColumn(
+            "h0",
+            F.transform(
+                F.col("st"),
+                lambda sh: F.md5(F.concat(F.lit("0:"), sh)),
+            ),
+        )
+        .withColumn(
+            "h1",
+            F.transform(
+                F.col("st"),
+                lambda sh: F.md5(F.concat(F.lit("1:"), sh)),
+            ),
+        )
+    )
+    sig = d.select("doc_id", *_mh_stream_sig_cols())
+    grp = sig.groupBy(*[f"m{i}" for i in range(8)]).agg(
+        F.min("doc_id").alias("gid"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    name = (
+        "t_live_minhash_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    )
+    S.run_to_memory(grp, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .filter(F.col("n_docs") >= 2)
+        .select("gid", "n_docs")
+    )
+
+
+# ---------------------------------- streaming duplicated-span feed
+
+def _spans_oracle() -> str:
+    from ngram_analytics_spark.queries.llm_q import _SS_STRIDE, _SS_W
+
+    return f"""
+        WITH b AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[u.i:u.i + {_SS_W - 1}], ' ')) AS wh
+            FROM b, UNNEST(range(1, n - {_SS_W} + 2, {_SS_STRIDE}))
+                AS u(i)
+            WHERE n >= {_SS_W}
+        )
+        SELECT wh,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM w GROUP BY wh HAVING count(*) > 1
+    """
+
+
+@REG.register("q_stream_live_spans", oracle=_spans_oracle())
+def q_stream_live_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicated-SPAN monitor: the live twin of
+    q_dedup_substring's window-hash stage — documents stream in, each
+    row explodes its stride-10 20-token window digests statelessly
+    (slice() over the hoisted token array, the longdoc discipline),
+    and ONE complete-mode aggregation counts occurrences per digest;
+    spans seen more than once (cross-doc boilerplate or in-doc
+    repetition) surface with their occurrence count and first doc.
+    count(DISTINCT doc_id) is deliberately absent: distinct aggregates
+    are unsupported in streaming — first_doc + n_occ are the
+    order-free certifiable columns.
+
+    Scale: span state is one row per distinct window digest; a
+    boilerplate flood hits ONE state row per span (counter bump), the
+    same linearity the batch df-join has."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+    from ngram_analytics_spark.queries.llm_q import _SS_STRIDE, _SS_W
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = (
+        base.filter(F.col("n") >= _SS_W)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        (F.col("n") - _SS_W + 1).cast("int"),
+                        F.lit(_SS_STRIDE),
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i, _SS_W))
+                    ),
+                )
+            ).alias("wh"),
+        )
+        .filter(F.col("wh").isNotNull())
+    )
+    agg = wins.groupBy("wh").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    name = "t_live_spans_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .filter(F.col("n_occ") > 1)
+        .select("wh", "n_occ", "first_doc")
+    )

@@ -78,6 +78,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_TS_SCHEMA).parquet(stage)
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the streaming
+    twin of catalog.load("documents")): same symlink-staging trick as
+    read_events_stream — the file source needs a directory and the
+    testdata dir mixes all tables. Documents carry no timestamps, so
+    no layout probing is needed."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nas-docstream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    return spark.readStream.schema(schema).parquet(stage)
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregate — the streaming twin of
     queries.timeseries_q.q_stream_tumbling."""
