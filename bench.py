@@ -230,6 +230,8 @@ EXTENDED = [
     "q_ml_stump",         # Gini best-split search
     "q_stream_live_minhash",  # streaming signature census
     "q_stream_live_spans",    # streaming duplicated-span monitor
+    "q_ml_hard_negatives",    # contrastive hard-negative mining
+    "q_dq_homogeneity",       # cross-source chi-square gate
 ]
 
 

@@ -4211,3 +4211,112 @@ def q_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_stump.__doc__ = q_ml_stump.__doc__.format(k=_ROC_STEPS)
+
+
+# --------------------------------------------- hard-negative mining
+
+_HN_K = 5
+_HN_NQ = 10
+
+
+@REG.register(
+    "q_ml_hard_negatives",
+    oracle=f"""
+        SELECT qid AS query_id, nid AS neighbor_id, nl AS neg_label,
+               rn, c AS cos_sim
+        FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   CAST(b.label AS BIGINT) AS nl,
+                   {oracle_round4det(_COS_AB)} AS c,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {oracle_round4det(_COS_AB)} DESC,
+                                b.vec_id ASC
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id != b.vec_id AND a.label != b.label
+            WHERE a.vec_id < {_HN_NQ}
+        ) WHERE rn <= {_HN_K}
+    """,
+)
+def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < {nq}), the top-{k} nearest neighbors whose LABEL
+    DIFFERS — the near-but-wrong examples a contrastive or reranker
+    trainer wants in every batch (the selection pass next to
+    q_sample_negative's frequency table and q_ml_ndcg's retrieval
+    eval).
+
+    Plan: the brute_force_knn shape with a label-mismatch residual —
+    the {nq}-row query side broadcasts against the corpus scan (the
+    corpus never shuffles; BroadcastNestedLoopJoin by design, the
+    whitelisted q_ml_ndcg class), casts/norms computed ONCE per side
+    below the join, and the per-query rank window takes the
+    WindowGroupLimit pushdown ({k} rows per map task per query).
+
+    Determinism: cosine ranks on the 4-dp-rounded value with
+    neighbor-id tie-break (the knn discipline)."""
+    from ngram_analytics_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    q = q.select(
+        "query_id", "_qv", "_ql", l2_norm(F.col("_qv"), 64).alias("_qn")
+    )
+    # spread: the corpus side carries the scoring work, and the bench
+    # file is a single row group — without it the whole BNLJ scores on
+    # ONE task (r10 adjudication: 4% cpu; no-op on many-split inputs)
+    from ngram_analytics_spark.operators import spread
+
+    c = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+        F.col("label").cast("long").alias("neg_label"),
+    )
+    c = c.select(
+        "neighbor_id",
+        "_cv",
+        "neg_label",
+        l2_norm(F.col("_cv"), 64).alias("_cn"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("neg_label")),
+    ).withColumn(
+        "_cos",
+        round4det(
+            cosine_from_parts(
+                dot(F.col("_qv"), F.col("_cv"), 64),
+                F.col("_qn"),
+                F.col("_cn"),
+            )
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            "rn",
+            F.col("_cos").alias("cos_sim"),
+        )
+    )
+
+
+q_ml_hard_negatives.__doc__ = q_ml_hard_negatives.__doc__.format(
+    k=_HN_K, nq=_HN_NQ
+)

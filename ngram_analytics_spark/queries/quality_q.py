@@ -1075,3 +1075,105 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ------------------------------------------- distribution homogeneity
+
+@REG.register(
+    "q_dq_homogeneity",
+    oracle="""
+        WITH cells AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY source, lang
+        ), rt AS (
+            SELECT source, CAST(sum(o) AS BIGINT) AS r
+            FROM cells GROUP BY source
+        ), ct AS (
+            SELECT lang, CAST(sum(o) AS BIGINT) AS c
+            FROM cells GROUP BY lang
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+        ), terms AS (
+            SELECT CAST(floor(
+                       (CAST(o * n - r * c AS DOUBLE)
+                        * CAST(o * n - r * c AS DOUBLE)) * 1000.0
+                       / (CAST(n AS DOUBLE) * r * c)
+                   ) AS BIGINT) AS t
+            FROM cells
+            JOIN rt USING (source)
+            JOIN ct USING (lang)
+            CROSS JOIN tot
+        )
+        SELECT (SELECT n FROM tot) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_sources,
+               (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_langs,
+               (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+                   * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct)
+                   AS dof,
+               CAST(sum(t) AS BIGINT) AS chi2_milli,
+               CAST(max(t) AS BIGINT) AS max_cell_milli
+        FROM terms
+    """,
+)
+def q_dq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of homogeneity across corpus slices: is the
+    language distribution the SAME in every source? The data-quality
+    gate a multi-source ingest runs before mixing (a source whose
+    language mix drifts from the pool is mislabeled, scraped wrong,
+    or newly poisoned) — the cross-slice complement of q_ks_drift's
+    two-window numeric drift and q_ml_chi2's feature-label test.
+
+    Determinism: per cell, (O*N - r*c) is an exact int64 cast to
+    double EXACTLY (< 2^53 to ~9e7 rows); its square and the division
+    by N*r*c are IEEE-identical on both engines, and each cell term
+    floors to 1e-3 ticks BEFORE the sum (per-term tick flooring, the
+    q_embed_centroid_drift discipline) so the total is an exact int
+    sum over the tiny (source x lang) domain. Closed-form fixture pin
+    in tests/test_statistic_fixtures.py.
+
+    Plan: ONE map-side-combined (source, lang) groupBy — everything
+    after lives on the cell domain (row/column totals re-aggregate
+    the cells, never the facts)."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dlt = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                dlt * dlt * F.lit(1000.0)
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r")
+                    * F.col("c")
+                )
+            )
+            .cast("long")
+            .alias("t"),
+            "n",
+            "source",
+            "lang",
+        )
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (
+            (F.countDistinct("source") - 1)
+            * (F.countDistinct("lang") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum("t").cast("long").alias("chi2_milli"),
+        F.max("t").cast("long").alias("max_cell_milli"),
+    )

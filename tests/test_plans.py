@@ -395,6 +395,11 @@ NESTED_LOOP_OK = {
                              # 6-row stratum table
     "q_bpe_encode",          # 1-row top-pair broadcast per unrolled
                              # merge round (q_bpe_train_loop class)
+    "q_ml_hard_negatives",   # 10-row broadcast query side against
+                             # the corpus scan (q_ml_ndcg class)
+    "q_dq_homogeneity",      # 1-row corpus-total broadcast onto the
+                             # (source, lang) cell domain (tcloseness
+                             # class)
 }
 
 

@@ -726,3 +726,32 @@ def test_bpe_train_loop_is_exact_greedy(spark, tmp_path):
     ]
     want = _bpe_greedy_ref(words, _BPE_LOOP_ROUNDS)
     assert got == want
+
+
+def test_minhash_full_query_clone_short_circuit(spark, tmp_path):
+    """r10 fact-skew fix, end-to-end: the FULL q_dedup_minhash_exact
+    on a 300-clone corpus must emit exactly C(300,2) pairs, every one
+    with n_bands = 4, Jaccard exactly 1.0, and n_common = the clone's
+    shingle-set size — the fingerprint-equal short-circuit path, which
+    never touches the shingle arrays (the 54.9x hot-corpus bomb was
+    the per-pair array recheck)."""
+    from ngram_analytics_spark.queries import build_registry
+
+    text = " ".join(f"w{i % 13}" for i in range(40))
+    n_sh = None  # distinct trigrams of the clone text
+    toks = text.split(" ")
+    n_sh = len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    rows = [(i, text, "en", "synthetic", len(text)) for i in range(300)]
+    sf = str(tmp_path / "clones_sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = build_registry().queries["q_dedup_minhash_exact"](
+        spark, sf
+    ).collect()
+    assert len(out) == 300 * 299 // 2
+    assert all(r.n_bands == 4 for r in out)
+    assert all(r.jaccard == 1.0 for r in out)
+    assert all(r.n_common == n_sh for r in out)

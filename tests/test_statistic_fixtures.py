@@ -583,3 +583,66 @@ def test_stump_gini_closed_form(spark, tmp_path):
         900000: 333333,
     }
     assert r == expect
+
+
+# ---------------------------------------------------- homogeneity
+
+
+def test_homogeneity_chi2_closed_form(spark, tmp_path):
+    """Textbook 2x2: source A = 30 en / 10 fr, source B = 10 en /
+    30 fr (N = 80, all expected cells 20). chi-square = 4 * 10^2/20
+    = 20 exactly -> 20000 milli; per-cell check: (O*N - r*c)^2 * 1000
+    / (N*r*c) = 800^2*1000/128000 = 5000 per cell. dof = 1."""
+    rows = []
+    did = 0
+    for src, lang, n in (
+        ("A", "en", 30),
+        ("A", "fr", 10),
+        ("B", "en", 10),
+        ("B", "fr", 30),
+    ):
+        for _ in range(n):
+            rows.append((did, f"doc {did}", lang, src, 8))
+            did += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_dq_homogeneity")(spark, sf).collect()[0]
+    assert r.n == 80
+    assert r.n_sources == 2 and r.n_langs == 2 and r.dof == 1
+    assert r.chi2_milli == 20000
+    assert r.max_cell_milli == 5000
+
+
+# ------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_closed_form(spark, tmp_path):
+    """8 identical unit vectors, labels id % 2: every cosine is
+    exactly 1.0, so ranking is the vec_id ASC tie-break and each
+    query's hard negatives are simply the 5 smallest OPPOSITE-parity
+    ids. Query 0 (label 0) -> 1, 3, 5, 7 (only 4 exist)."""
+    vec = [1.0] + [0.0] * 63
+    rows = [(i, vec, i % 2) for i in range(8)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = _q("q_ml_hard_negatives")(spark, sf).collect()
+    byq = {}
+    for r in out:
+        assert r.cos_sim == 1.0
+        assert r.neg_label != r.query_id % 2
+        byq.setdefault(r.query_id, []).append((r.rn, r.neighbor_id))
+    for qid, pairs in byq.items():
+        want = [i for i in range(8) if i % 2 != qid % 2][:5]
+        assert [n for _, n in sorted(pairs)] == want
+    assert set(byq) == set(range(8))
