@@ -85,6 +85,10 @@ PARTKEY_QUERIES = [
 ]
 DIGEST_QUERIES = [
     "q_dedup_exact",
+    "q_dedup_substring",
+    "q_stream_live_minhash",
+    "q_stream_live_spans",
+    "q_ml_hard_negatives",
     "q_dedup_paragraph",
     "q_dedup_jaccard",
     "q_dedup_containment",
