@@ -232,6 +232,7 @@ EXTENDED = [
     "q_stream_live_spans",    # streaming duplicated-span monitor
     "q_ml_hard_negatives",    # contrastive hard-negative mining
     "q_dq_homogeneity",       # cross-source chi-square gate
+    "q_ml_ann_recall",        # IVF recall@5 vs exact knn
 ]
 
 

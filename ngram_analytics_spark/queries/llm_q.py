@@ -4320,3 +4320,115 @@ def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ml_hard_negatives.__doc__ = q_ml_hard_negatives.__doc__.format(
     k=_HN_K, nq=_HN_NQ
 )
+
+
+# -------------------------------------------------- ANN recall eval
+
+@REG.register(
+    "q_ml_ann_recall",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS centv
+            FROM embeddings
+            ORDER BY {_IVF_CENT_H} ASC, vec_id ASC LIMIT {_IVF_CELLS}
+        ), assigned AS (
+            SELECT neighbor_id, nv, cell_id FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS nv,
+                       c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_NC} DESC, c.cell_id ASC
+                       ) AS crn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE crn = 1
+        ), probed AS (
+            SELECT query_id, qv, cell_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv,
+                       c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_QC} DESC, c.cell_id ASC
+                       ) AS crn
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < 10
+            ) WHERE crn <= {_IVF_PROBE}
+        ), approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, a.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY {_COS_QN} DESC, a.neighbor_id ASC
+                       ) AS rn
+                FROM probed p JOIN assigned a ON a.cell_id = p.cell_id
+                WHERE a.neighbor_id != p.query_id
+            ) WHERE rn <= {_IVF_K}
+        ), ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_AB} DESC, b.vec_id ASC
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+                WHERE a.vec_id < 10
+            ) WHERE rn <= {_IVF_K}
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(ap.neighbor_id) * 1000000 // count(*)
+                    AS BIGINT) AS recall_ppm
+        FROM ex e LEFT JOIN approx ap
+          ON e.query_id = ap.query_id
+         AND e.neighbor_id = ap.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
+)
+def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-QUALITY measurement: recall@{k} of the certified IVF
+    index (q_sim_ann_ivf_exact's exact machinery: {c} md5-picked
+    centroid cells, {p} probes) against the brute-force exact top-{k}
+    for each query vector — the accuracy dial an operator reads next
+    to q_embed_bucket_stats' occupancy (health) table when tuning
+    n_cells/n_probe: falling recall means probes miss the cells the
+    true neighbors live in.
+
+    Both sides are the ALREADY-CERTIFIED kernels (ivf_knn and
+    brute_force_knn, same tie-break disciplines); recall is one
+    (query, neighbor) equi-join and an integer floor-div per query.
+
+    Plan: both kernels broadcast the 10-row query side; the recall
+    join keys on (query_id, neighbor_id) over <= {k} rows per query.
+    At 100 TB only the two linear corpus scans scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q10 = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_knn(
+        emb,
+        q10,
+        k=_IVF_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        centroid_pick="md5",
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = brute_force_knn(emb, q10, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hit"),
+            F.expr("count(_hit) * 1000000 div count(*)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+q_ml_ann_recall.__doc__ = q_ml_ann_recall.__doc__.format(
+    k=_IVF_K, c=_IVF_CELLS, p=_IVF_PROBE
+)

@@ -400,6 +400,9 @@ NESTED_LOOP_OK = {
     "q_dq_homogeneity",      # 1-row corpus-total broadcast onto the
                              # (source, lang) cell domain (tcloseness
                              # class)
+    "q_ml_ann_recall",       # brute_force_knn / ivf_knn broadcast the
+                             # 10-row query side against the corpus
+                             # scan (q_ml_ndcg class)
 }
 
 

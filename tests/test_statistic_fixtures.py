@@ -646,3 +646,30 @@ def test_hard_negatives_closed_form(spark, tmp_path):
         want = [i for i in range(8) if i % 2 != qid % 2][:5]
         assert [n for _, n in sorted(pairs)] == want
     assert set(byq) == set(range(8))
+
+
+# ----------------------------------------------------- ANN recall
+
+
+def test_ann_recall_identical_vectors_plumbing(spark, tmp_path):
+    """12 identical unit vectors: every cosine is 1.0 so both the
+    exact and the IVF rankings degenerate to the id ASC tie-break,
+    every vector assigns to the same (lowest-id) centroid cell, and
+    the probed candidate set contains the whole corpus — recall@5
+    must be exactly 1e6 for all queries (a plumbing pin: the
+    approx/exact join, not the statistic, is what can break)."""
+    vec = [1.0] + [0.0] * 63
+    rows = [(i, vec, i % 3) for i in range(12)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = _q("q_ml_ann_recall")(spark, sf).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_exact == 5
+        assert r.n_hit == 5
+        assert r.recall_ppm == 1_000_000
