@@ -233,6 +233,8 @@ EXTENDED = [
     "q_ml_hard_negatives",    # contrastive hard-negative mining
     "q_dq_homogeneity",       # cross-source chi-square gate
     "q_ml_ann_recall",        # IVF recall@5 vs exact knn
+    "q_privacy_generalization",  # k-anon coarsening ladder
+    "q_vocab_growth",         # Heaps-law growth curve
 ]
 
 

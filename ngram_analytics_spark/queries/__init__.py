@@ -25,9 +25,9 @@ from ngram_analytics_spark.registry import QueryRegistry
 # (trainer factored into the _bpe_train helper shared with
 # q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
 # added: their kernels ran on the single scan task at 4% cpu —
-# the r10 sf1 adjudication) — then the 15 keys NEW in r10, then 16
+# the r10 sf1 adjudication) — then the 17 keys NEW in r10, then 14
 # keys of the r3-certification cohort oldest-first (alphabetical
-# within the cohort); the cohort's remaining 28 keys queue in
+# within the cohort); the cohort's remaining 30 keys queue in
 # DEFERRED_R11 below.  Changed/new keys outrank hygiene re-certification because
 # they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
@@ -69,6 +69,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_hard_negatives",
     "q_dq_homogeneity",
     "q_ml_ann_recall",
+    "q_privacy_generalization",
+    "q_vocab_growth",
     # --- r3-cohort re-certification, oldest-first tranche 1/2 ---
     "q_agg_bool",
     "q_cte_recursive",
@@ -84,8 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_higher_order",
     "q_fn_interval",
     "q_fn_map",
-    "q_fn_map_json",
-    "q_fn_regexp2",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -95,10 +95,12 @@ DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 DEFERRED_R10: tuple[str, ...] = ()
 
-#: Tail of the r3-cohort re-certification rotation (the 28 keys the
+#: Tail of the r3-cohort re-certification rotation (the 30 keys the
 #: r10 window had no room for) — queued to lead the round-11 graded
 #: window.
 DEFERRED_R11: tuple[str, ...] = (
+    "q_fn_map_json",
+    "q_fn_regexp2",
     "q_fn_string2",
     "q_fn_struct",
     "q_fn_trig",

@@ -953,3 +953,108 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------- vocabulary growth
+
+#: id-ordered prefix sizes for the growth curve (log-spaced)
+_VG_GRID = (4, 16, 64, 256, 1024)
+
+
+@REG.register(
+    "q_vocab_growth",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, tok
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+        ), fd AS (
+            SELECT tok, CAST(min(doc_id) AS BIGINT) AS firstdoc
+            FROM t GROUP BY tok
+        ), dt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+            FROM t GROUP BY doc_id
+        ), grid AS (
+            SELECT unnest([{", ".join(str(g) for g in _VG_GRID)}]) AS g
+        ), ty AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_types
+            FROM grid JOIN fd ON fd.firstdoc < g
+            GROUP BY g
+        ), tok AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM grid JOIN dt ON dt.doc_id < g
+            GROUP BY g
+        )
+        SELECT CAST(tok.g AS BIGINT) AS g, tok.n_docs, tok.n_tokens,
+               ty.n_types,
+               CAST(ty.n_types * 1000000 // tok.n_tokens AS BIGINT)
+                   AS ttr_ppm
+        FROM tok JOIN ty ON tok.g = ty.g
+        ORDER BY g
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, empirically): distinct
+    type count after the id-ordered {n}-doc prefixes {grid} — the
+    curve that says whether more data still buys new vocabulary
+    (plateauing types = a saturated/templated source; near-linear =
+    open-domain text), read next to q_vocab_spectrum's
+    frequency-of-frequencies and q_text_diversity's per-slice TTR.
+
+    Plan: ONE token explode feeding TWO vocab/doc-domain tables —
+    per-TYPE first-occurrence doc (min agg) and per-DOC token counts
+    — each cross-joined with the broadcast {n}-point grid and
+    rolled up; facts are touched once, everything after is
+    vocab-sized (the q_bpe_pair_counts compression).
+
+    Determinism: integer counts and one floor-div ppm per grid
+    point."""
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    fd = d.groupBy("tok").agg(F.min("doc_id").alias("firstdoc"))
+    dt = d.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    grid = spark.createDataFrame(
+        [(g,) for g in _VG_GRID], "g long"
+    )
+    ty = (
+        fd.crossJoin(F.broadcast(grid))
+        .filter(F.col("firstdoc") < F.col("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_types"))
+    )
+    tok = (
+        dt.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") < F.col("g"))
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        tok.join(ty, "g")
+        .select(
+            "g",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000 div n_tokens")
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+        .orderBy("g")
+    )
+
+
+q_vocab_growth.__doc__ = q_vocab_growth.__doc__.format(
+    n=len(_VG_GRID), grid=_VG_GRID
+)

@@ -1177,3 +1177,126 @@ def q_dq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("long").alias("chi2_milli"),
         F.max("t").cast("long").alias("max_cell_milli"),
     )
+
+
+# -------------------------------------------- generalization ladder
+
+#: coarsening ladder for the k-anonymity release planner: each level
+#: re-aggregates the PREVIOUS level's equivalence-class table (cells,
+#: never facts) — L0 is q_privacy_kanon's QI.
+_GEN_K = 10
+
+
+@REG.register(
+    "q_privacy_generalization",
+    oracle=f"""
+        WITH l0 AS (
+            SELECT n.n_name, n.n_regionkey, c.c_mktsegment,
+                   CAST(floor(c.c_acctbal) AS BIGINT) // 1000 AS kb,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM customer c JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3, 4
+        ), l1 AS (
+            SELECT r.r_name, l0.c_mktsegment, l0.kb,
+                   CAST(sum(sz) AS BIGINT) AS sz
+            FROM l0 JOIN region r ON l0.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2, 3
+        ), l2 AS (
+            SELECT c_mktsegment, kb, CAST(sum(sz) AS BIGINT) AS sz
+            FROM l1 GROUP BY 1, 2
+        ), l3 AS (
+            SELECT c_mktsegment, CAST(sum(sz) AS BIGINT) AS sz
+            FROM l2 GROUP BY 1
+        ), census AS (
+            SELECT 0 AS level, count(*) AS n_classes, min(sz) AS k_min,
+                   sum(CASE WHEN sz < {_GEN_K} THEN 1 ELSE 0 END)
+                       AS n_small,
+                   sum(CASE WHEN sz < {_GEN_K} THEN sz ELSE 0 END)
+                       AS rows_suppressed
+            FROM l0
+            UNION ALL
+            SELECT 1, count(*), min(sz),
+                   sum(CASE WHEN sz < {_GEN_K} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN sz < {_GEN_K} THEN sz ELSE 0 END)
+            FROM l1
+            UNION ALL
+            SELECT 2, count(*), min(sz),
+                   sum(CASE WHEN sz < {_GEN_K} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN sz < {_GEN_K} THEN sz ELSE 0 END)
+            FROM l2
+            UNION ALL
+            SELECT 3, count(*), min(sz),
+                   sum(CASE WHEN sz < {_GEN_K} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN sz < {_GEN_K} THEN sz ELSE 0 END)
+            FROM l3
+        )
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(n_classes AS BIGINT) AS n_classes,
+               CAST(k_min AS BIGINT) AS k_min,
+               CAST(n_small AS BIGINT) AS n_small,
+               CAST(rows_suppressed AS BIGINT) AS rows_suppressed
+        FROM census
+        ORDER BY level
+    """,
+)
+def q_privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder planning for a k-anonymous release: the
+    k-anonymity census (achieved k, sub-k classes, suppressible row
+    mass at k={k}) at FOUR coarsening levels of q_privacy_kanon's QI
+    — (nation, segment, balance-kilobucket) -> nation coarsened to
+    region -> geography dropped -> balance dropped. The table a
+    release planner reads to pick the cheapest level that clears the
+    k floor (Sweeney's generalization lattice, one chain of it).
+
+    Plan: ONE fact shuffle builds the L0 class table; every coarser
+    level re-aggregates the PREVIOUS level's cells (nation->region is
+    a broadcast dim join on the cell table), so facts are touched
+    once and the ladder lives on the QI domain (the tcloseness
+    discipline). The census per level is a 1-row aggregate over
+    cells.
+
+    Determinism: integer class sizes; the kilobucket keeps kanon's
+    certified floor-then-div spelling (truncation bucket 0 merge
+    documented there)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    kb = F.expr("cast(floor(c_acctbal) as bigint) div 1000")
+    l0 = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "n_regionkey", "c_mktsegment", kb.alias("kb"))
+        .agg(F.count("*").alias("sz"))
+    )
+    l1 = (
+        l0.join(F.broadcast(r), l0.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment", "kb")
+        .agg(F.sum("sz").alias("sz"))
+    )
+    l2 = l1.groupBy("c_mktsegment", "kb").agg(F.sum("sz").alias("sz"))
+    l3 = l2.groupBy("c_mktsegment").agg(F.sum("sz").alias("sz"))
+
+    def census(df: DataFrame, level: int) -> DataFrame:
+        return df.agg(
+            F.lit(level).cast("long").alias("level"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("sz").cast("long").alias("k_min"),
+            F.sum(F.when(F.col("sz") < _GEN_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small"),
+            F.sum(F.when(F.col("sz") < _GEN_K, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_suppressed"),
+        ).select(
+            "level", "n_classes", "k_min", "n_small", "rows_suppressed"
+        )
+
+    out = census(l0, 0)
+    for lvl, df in ((1, l1), (2, l2), (3, l3)):
+        out = out.unionByName(census(df, lvl))
+    return out.orderBy("level")
+
+
+q_privacy_generalization.__doc__ = q_privacy_generalization.__doc__.format(
+    k=_GEN_K
+)

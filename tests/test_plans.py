@@ -403,6 +403,9 @@ NESTED_LOOP_OK = {
     "q_ml_ann_recall",       # brute_force_knn / ivf_knn broadcast the
                              # 10-row query side against the corpus
                              # scan (q_ml_ndcg class)
+    "q_vocab_growth",        # 5-row prefix-grid broadcast cross onto
+                             # the vocab/doc domain tables (q_embed_pq
+                             # class)
 }
 
 

@@ -673,3 +673,32 @@ def test_ann_recall_identical_vectors_plumbing(spark, tmp_path):
         assert r.n_exact == 5
         assert r.n_hit == 5
         assert r.recall_ppm == 1_000_000
+
+
+# --------------------------------------------------- vocab growth
+
+
+def test_vocab_growth_closed_form(spark, tmp_path):
+    """20 docs, doc i = "w{i} shared": the prefix of g docs holds
+    g + 1 types and 2g tokens, so
+
+      g=4:  5 types / 8 tokens,  g=16: 17/32,
+      g>=20 (64, 256, 1024): 21/40 with n_docs = 20."""
+    rows = [
+        (i, f"w{i} shared", "en", "synthetic", 9) for i in range(20)
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = {x.g: x for x in _q("q_vocab_growth")(spark, sf).collect()}
+    assert set(r) == {4, 16, 64, 256, 1024}
+    assert (r[4].n_docs, r[4].n_tokens, r[4].n_types) == (4, 8, 5)
+    assert (r[16].n_docs, r[16].n_tokens, r[16].n_types) == (16, 32, 17)
+    for g in (64, 256, 1024):
+        assert (r[g].n_docs, r[g].n_tokens, r[g].n_types) == (20, 40, 21)
+        assert r[g].ttr_ppm == 21 * 1_000_000 // 40
