@@ -235,6 +235,14 @@ EXTENDED = [
     "q_ml_ann_recall",        # IVF recall@5 vs exact knn
     "q_privacy_generalization",  # k-anon coarsening ladder
     "q_vocab_growth",         # Heaps-law growth curve
+    "q_ts_rsi",               # RSI-14 momentum census
+    "q_dq_benford",           # first-digit law audit
+    "q_text_mixed_script",    # symbol-garbage gate
+    "q_zone_map_prune",       # data-skipping effectiveness
+    "q_sample_ess",           # Kish effective sample size
+    "q_sample_bootstrap",     # Poisson bootstrap CI
+    "q_graph_hits",           # integer HITS authorities
+    "q_stream_live_benford",  # streaming digit histogram
 ]
 
 

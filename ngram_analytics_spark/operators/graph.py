@@ -304,3 +304,53 @@ def pagerank_int(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def hits_int(edges: DataFrame) -> DataFrame:
+    """Two unrolled HITS iterations (Kleinberg's hubs & authorities)
+    in pure int64 arithmetic over a directed edge list ``(src, dst)``.
+
+    With the all-ones hub start h0 = 1:
+
+      auth1(v) = sum over u->v of h0(u)   (the in-degree),
+      hub1(u)  = sum over u->v of auth1(v),
+      auth2(v) = sum over u->v of hub1(u).
+
+    Every score is an exact integer sum — no normalization inside the
+    iteration (HITS rankings are scale-invariant, and skipping the
+    float L2 normalization is what keeps the result bit-identical on
+    any engine/partitioning; the caller ranks, it never compares
+    across graphs). Bounds: auth2 <= in_deg * max hub1 <= k^2 * N^2 —
+    int64-safe past 1e9 nodes at k = 3.
+
+    Returns one row per node that holds an authority score after two
+    rounds (i.e. every edge destination), with hub1 of that node
+    coalesced to 0 when it has no out-edges.
+
+    Plan: three keyed join+agg passes over the EDGE table (k*N rows —
+    the post-kernel similarity graph, never the fact table); no
+    driver round-trips, no floats.
+    """
+    a1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("auth1")
+    )
+    h1 = (
+        edges.join(a1, edges.dst == a1.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("auth1").cast("long").alias("hub1"))
+    )
+    a2 = (
+        edges.join(h1, edges.src == h1.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("hub1").cast("long").alias("auth2"))
+    )
+    return (
+        a2.join(a1, "node")
+        .join(h1, "node", "left")
+        .select(
+            "node",
+            "auth1",
+            F.coalesce("hub1", F.lit(0)).cast("long").alias("hub1"),
+            "auth2",
+        )
+    )

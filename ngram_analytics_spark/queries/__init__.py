@@ -25,9 +25,9 @@ from ngram_analytics_spark.registry import QueryRegistry
 # (trainer factored into the _bpe_train helper shared with
 # q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
 # added: their kernels ran on the single scan task at 4% cpu —
-# the r10 sf1 adjudication) — then the 17 keys NEW in r10, then 14
+# the r10 sf1 adjudication) — then the 25 keys NEW in r10, then 6
 # keys of the r3-certification cohort oldest-first (alphabetical
-# within the cohort); the cohort's remaining 30 keys queue in
+# within the cohort); the cohort's remaining 38 keys queue in
 # DEFERRED_R11 below.  Changed/new keys outrank hygiene re-certification because
 # they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
@@ -71,6 +71,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_ann_recall",
     "q_privacy_generalization",
     "q_vocab_growth",
+    "q_ts_rsi",
+    "q_dq_benford",
+    "q_text_mixed_script",
+    "q_zone_map_prune",
+    "q_sample_ess",
+    "q_sample_bootstrap",
+    "q_graph_hits",
+    "q_stream_live_benford",
     # --- r3-cohort re-certification, oldest-first tranche 1/2 ---
     "q_agg_bool",
     "q_cte_recursive",
@@ -78,14 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ewma",
     "q_fn_array",
     "q_fn_bitwise",
-    "q_fn_cast",
-    "q_fn_cond",
-    "q_fn_date2",
-    "q_fn_explode_pos",
-    "q_fn_hash",
-    "q_fn_higher_order",
-    "q_fn_interval",
-    "q_fn_map",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -95,10 +95,19 @@ DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 DEFERRED_R10: tuple[str, ...] = ()
 
-#: Tail of the r3-cohort re-certification rotation (the 30 keys the
-#: r10 window had no room for) — queued to lead the round-11 graded
-#: window.
+#: Tail of the r3-cohort re-certification rotation (the 38 keys the
+#: r10 window had no room for — the late-r10 new-key batch displaced
+#: 8 fills, new keys outranking hygiene) — queued to lead the
+#: round-11 graded window.
 DEFERRED_R11: tuple[str, ...] = (
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date2",
+    "q_fn_explode_pos",
+    "q_fn_hash",
+    "q_fn_higher_order",
+    "q_fn_interval",
+    "q_fn_map",
     "q_fn_map_json",
     "q_fn_regexp2",
     "q_fn_string2",

@@ -2486,3 +2486,139 @@ def q_ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ts_macd.__doc__ = q_ts_macd.__doc__.format(
     f=_MACD_FAST, s=_MACD_SLOW, wf=_MACD_WF, ws=_MACD_WS
 )
+
+
+# ---------------------------------------------------------------- RSI
+
+#: RSI lookback: 14 one-day deltas (the Wilder convention), simple
+#: (unweighted) averages so every statistic stays exact-integer.
+_RSI_N = 14
+
+
+@REG.register(
+    "q_ts_rsi",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, x,
+                   y - lag(y) OVER (PARTITION BY event_type
+                                    ORDER BY x) AS delta
+            FROM daily
+        ), w AS (
+            SELECT event_type, x,
+                   sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                       OVER pt AS gain,
+                   sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                       OVER pt AS loss,
+                   count(delta) OVER pt AS n_delta
+            FROM d
+            WINDOW pt AS (PARTITION BY event_type ORDER BY x
+                          ROWS BETWEEN {_RSI_N - 1} PRECEDING
+                          AND CURRENT ROW)
+        ), rsi AS (
+            SELECT event_type, x,
+                   CAST(gain * 1000000 //
+                        NULLIF(gain + loss, 0) AS BIGINT) AS rsi_ppm
+            FROM w WHERE n_delta = {_RSI_N} AND gain + loss > 0
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN rsi_ppm >= 700000 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_overbought,
+               CAST(sum(CASE WHEN rsi_ppm <= 300000 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_oversold,
+               CAST(min(rsi_ppm) AS BIGINT) AS min_rsi_ppm,
+               CAST(max(rsi_ppm) AS BIGINT) AS max_rsi_ppm,
+               CAST(max_by(rsi_ppm, x) AS BIGINT) AS last_rsi_ppm
+        FROM rsi
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (RSI-{n}) census on the per-type daily
+    count series: trailing {n}-delta gain/loss split, RSI in ppm, and
+    the overbought (>=0.70) / oversold (<=0.30) day counts — the
+    bounded momentum oscillator completing the TA trio next to
+    q_ts_macd (crossover momentum) and q_ts_bollinger (band
+    breakouts).
+
+    Simple (Cutler's) RSI, not Wilder's recursive smoothing: the
+    trailing sums are plain {n}-row window sums, so gains/losses are
+    exact int64 and RSI one floor-div per day — zero doubles (the
+    q_ts_macd determinism discipline; q_ewma keeps the recursive
+    smoother as the designed applyInPandas escape hatch). Days whose
+    {n}-delta window is perfectly flat (gain + loss = 0, RSI
+    undefined) are filtered out before aggregation on both engines —
+    max_by/min never see a NULL.
+
+    Plan: ONE map-side-combined daily rollup, one lag + one bounded
+    ROWS window over the per-type DAY series (calendar-bounded
+    partitions — the q_ts_bollinger precedent), 6-group final
+    rollup. At 100 TB the day-grain rollup output is
+    |event_type| x |days| regardless of event count."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    pt = W.partitionBy("event_type").orderBy("x")
+    d = daily.select(
+        "event_type",
+        "x",
+        (F.col("y") - F.lag("y").over(pt)).alias("delta"),
+    )
+    tw = pt.rowsBetween(-(_RSI_N - 1), 0)
+    w = d.select(
+        "event_type",
+        "x",
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+        )
+        .over(tw)
+        .alias("gain"),
+        F.sum(
+            F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+        )
+        .over(tw)
+        .alias("loss"),
+        F.count("delta").over(tw).alias("n_delta"),
+    ).filter(
+        (F.col("n_delta") == _RSI_N)
+        & (F.col("gain") + F.col("loss") > 0)
+    )
+    rsi = w.select(
+        "event_type",
+        "x",
+        F.expr("gain * 1000000 div nullif(gain + loss, 0)")
+        .cast("long")
+        .alias("rsi_ppm"),
+    )
+    return (
+        rsi.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.when(F.col("rsi_ppm") >= 700000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overbought"),
+            F.sum(F.when(F.col("rsi_ppm") <= 300000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversold"),
+            F.min("rsi_ppm").cast("long").alias("min_rsi_ppm"),
+            F.max("rsi_ppm").cast("long").alias("max_rsi_ppm"),
+            F.expr("max_by(rsi_ppm, x)")
+            .cast("long")
+            .alias("last_rsi_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_ts_rsi.__doc__ = q_ts_rsi.__doc__.format(n=_RSI_N)

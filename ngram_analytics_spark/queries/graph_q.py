@@ -34,6 +34,7 @@ from ngram_analytics_spark.catalog import load
 from ngram_analytics_spark.functions.deterministic import oracle_round4det
 from ngram_analytics_spark.functions.vectors import oracle_cosine
 from ngram_analytics_spark.operators.graph import (
+    hits_int,
     knn_graph_edges,
     pagerank_int,
 )
@@ -1062,3 +1063,61 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_ppm"),
     )
+
+
+# ----------------------------------------------------------------HITS
+
+_HITS_TOPK = 20
+
+
+@REG.register(
+    "q_graph_hits",
+    oracle=f"""
+        WITH {{edges}}, a1 AS (
+            SELECT dst AS node, CAST(count(*) AS BIGINT) AS auth1
+            FROM e GROUP BY dst
+        ), h1 AS (
+            SELECT e.src AS node, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+        ), a2 AS (
+            SELECT e.dst AS node, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+        )
+        SELECT a2.node AS vec_id, a2.auth2,
+               a1.auth1,
+               CAST(coalesce(h1.hub1, 0) AS BIGINT) AS hub1
+        FROM a2 JOIN a1 ON a2.node = a1.node
+        LEFT JOIN h1 ON a2.node = h1.node
+        ORDER BY a2.auth2 DESC, a2.node ASC
+        LIMIT {_HITS_TOPK}
+    """.format(edges=_EDGES_CTE.strip()),
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} authorities under two unrolled HITS iterations
+    (operators.graph.hits_int) over the directed 3-NN graph: the
+    mutual-reinforcement centrality (a vector is authoritative when
+    hub-like vectors choose it; hub-like when it chooses
+    authorities) — ranks over-represented corpus regions more sharply
+    than raw in-degree (q_graph_degree) because second-round
+    authority folds in WHO points at you, and complements PageRank's
+    random-walk view with the bipartite-reinforcement one.
+
+    Determinism: exact integer score sums, no normalization (HITS
+    ranking is scale-invariant), ties broken by node id; the oracle
+    unrolls the identical two rounds as chained CTEs.
+
+    Plan: the shared kNN kernel builds the edge table once; HITS is
+    three keyed join+agg passes over that k*N-row edge list and ONE
+    TakeOrderedAndProject for the top-{k} — nothing fact-width after
+    the kernel."""
+    scores = hits_int(_edges(spark, sf_dir))
+    return (
+        scores.select(
+            F.col("node").alias("vec_id"), "auth2", "auth1", "hub1"
+        )
+        .orderBy(F.col("auth2").desc(), F.col("vec_id").asc())
+        .limit(_HITS_TOPK)
+    )
+
+
+q_graph_hits.__doc__ = q_graph_hits.__doc__.format(k=_HITS_TOPK)

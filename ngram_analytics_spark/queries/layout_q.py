@@ -685,3 +685,185 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+# ---------------------------------------------------------- zone maps
+
+#: zone-map simulation geometry: 64 synthetic files; the shipdate
+#: domain is the fixed TPC-H ship window as epoch-day literals
+#: (data-independent constants, so file assignment is a pure per-row
+#: expression — no global sort, no max() subquery on the fact table).
+_ZM_FILES = 64
+_ZM_D0 = 8035  # day('1992-01-01')
+_ZM_SPAN = 2557  # day('1998-12-31') - d0 + 1
+
+#: probe predicates: two 31-day point windows and one year-wide scan,
+#: as (pred_id, lo_day, hi_day) epoch-day literals.
+_ZM_PREDS = (
+    (1, 8825, 8855),  # 1994-03
+    (2, 9678, 9708),  # 1996-07
+    (3, 8401, 8765),  # all of 1993
+)
+
+_ZM_PRED_ROWS = ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _ZM_PREDS)
+
+
+@REG.register(
+    "q_zone_map_prune",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                        AS BIGINT) AS d,
+                   l_orderkey % {_ZM_FILES} AS f_nat
+            FROM lineitem
+        ), cells AS (
+            SELECT 'natural' AS layout, f_nat AS file_id, d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'sorted' AS layout,
+                   (d - {_ZM_D0}) * {_ZM_FILES} // {_ZM_SPAN} AS file_id,
+                   d, CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY 1, 2, 3
+        ), zones AS (
+            SELECT layout, file_id,
+                   min(d) AS zmin, max(d) AS zmax,
+                   sum(n) AS n_rows
+            FROM cells GROUP BY 1, 2
+        ), preds(pred_id, lo, hi) AS (
+            VALUES {_ZM_PRED_ROWS}
+        ), scan AS (
+            SELECT p.pred_id, z.layout,
+                   CAST(count(*) AS BIGINT) AS files_total,
+                   CAST(sum(CASE WHEN z.zmin <= p.hi AND z.zmax >= p.lo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS files_scanned,
+                   CAST(sum(CASE WHEN z.zmin <= p.hi AND z.zmax >= p.lo
+                            THEN z.n_rows ELSE 0 END) AS BIGINT)
+                       AS rows_scanned
+            FROM zones z CROSS JOIN preds p
+            GROUP BY 1, 2
+        ), hits AS (
+            SELECT p.pred_id, c.layout,
+                   CAST(sum(c.n) AS BIGINT) AS rows_match
+            FROM cells c JOIN preds p
+              ON c.d BETWEEN p.lo AND p.hi
+            GROUP BY 1, 2
+        )
+        SELECT s.layout, s.pred_id, s.files_total, s.files_scanned,
+               s.rows_scanned,
+               coalesce(h.rows_match, 0) AS rows_match,
+               CAST((s.files_total - s.files_scanned) * 1000000
+                    // s.files_total AS BIGINT) AS prune_ppm,
+               CAST(s.rows_scanned * 1000000
+                    // NULLIF(coalesce(h.rows_match, 0), 0) AS BIGINT)
+                   AS read_amp_ppm
+        FROM scan s LEFT JOIN hits h
+          ON s.pred_id = h.pred_id AND s.layout = h.layout
+        ORDER BY s.layout, s.pred_id
+    """,
+)
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) data-skipping effectiveness, the
+    layout-choice planner: lineitem is assigned to {nf} synthetic
+    files under an UNCLUSTERED layout (file = orderkey mod {nf} —
+    arrival-order ingest) and a SHIPDATE-CLUSTERED layout (file =
+    fixed-domain range bucket), per-file shipdate zone maps are
+    derived, and three probe predicates report files scanned, rows
+    scanned, prune ratio, and read amplification per layout — the
+    number that justifies an OPTIMIZE/cluster-by job before anyone
+    runs it. Completes the layout family's loop: q_zorder_layout /
+    q_hilbert_layout produce clusterings; this measures what a
+    clustering is worth against a workload.
+
+    Determinism: file ids are pure integer div/mod on epoch days
+    against FIXED domain literals (no data-dependent max() scan, no
+    ntile over a global sort); every statistic is an integer count or
+    floor-div ppm.
+
+    Plan: ONE fact scan -> ONE map-side-combined (layout, file, day)
+    rollup (day-domain bounded: <= 2 x {nf} x ~2500 cells regardless
+    of fact rows); zone maps, predicate overlap, and true hit counts
+    all derive from that rollup crossed with a broadcast 3-row
+    predicate dim. At 100 TB exactly one fact-width pass."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.datediff("l_shipdate", F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        (F.col("l_orderkey") % _ZM_FILES).alias("f_nat"),
+    )
+    nat = r.groupBy(
+        F.lit("natural").alias("layout"),
+        F.col("f_nat").alias("file_id"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("n"))
+    srt = r.groupBy(
+        F.lit("sorted").alias("layout"),
+        F.expr(f"(d - {_ZM_D0}) * {_ZM_FILES} div {_ZM_SPAN}").alias(
+            "file_id"
+        ),
+        "d",
+    ).agg(F.count("*").cast("long").alias("n"))
+    cells = nat.unionByName(srt)
+    zones = cells.groupBy("layout", "file_id").agg(
+        F.min("d").alias("zmin"),
+        F.max("d").alias("zmax"),
+        F.sum("n").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        list(_ZM_PREDS), "pred_id long, lo long, hi long"
+    )
+    overlap = (F.col("zmin") <= F.col("hi")) & (
+        F.col("zmax") >= F.col("lo")
+    )
+    scan = (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id", "layout")
+        .agg(
+            F.count("*").cast("long").alias("files_total"),
+            F.sum(F.when(overlap, 1).otherwise(0))
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(overlap, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+    hits = (
+        cells.join(
+            F.broadcast(preds),
+            F.col("d").between(F.col("lo"), F.col("hi")),
+        )
+        .groupBy("pred_id", "layout")
+        .agg(F.sum("n").cast("long").alias("rows_match"))
+    )
+    return (
+        scan.join(hits, ["pred_id", "layout"], "left")
+        .select(
+            "layout",
+            "pred_id",
+            "files_total",
+            "files_scanned",
+            "rows_scanned",
+            F.coalesce("rows_match", F.lit(0))
+            .cast("long")
+            .alias("rows_match"),
+            F.expr(
+                "(files_total - files_scanned) * 1000000"
+                " div files_total"
+            )
+            .cast("long")
+            .alias("prune_ppm"),
+            F.expr(
+                "rows_scanned * 1000000"
+                " div nullif(coalesce(rows_match, 0), 0)"
+            )
+            .cast("long")
+            .alias("read_amp_ppm"),
+        )
+        .orderBy("layout", "pred_id")
+    )
+
+
+q_zone_map_prune.__doc__ = q_zone_map_prune.__doc__.format(nf=_ZM_FILES)

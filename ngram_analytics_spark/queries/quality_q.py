@@ -1300,3 +1300,239 @@ def q_privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_privacy_generalization.__doc__ = q_privacy_generalization.__doc__.format(
     k=_GEN_K
 )
+
+
+# ------------------------------------------------------------ Benford
+
+#: Benford's-law expected first-digit mass in ppm: floor/round of
+#: log10(1 + 1/d) * 1e6, hand-derived Python-literal constants (the
+#: q_ml_ndcg discipline — transcendentals are NOT cross-engine-safe,
+#: so the law's table is data, not computation). Sums to exactly 1e6.
+_BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@REG.register(
+    "q_dq_benford",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(substr(CAST(CAST(floor(abs(value) * 10000.0
+                                                + 0.5) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+            FROM events
+            WHERE CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT) > 0
+        ), c AS (
+            SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, digit, n,
+                   sum(n) OVER (PARTITION BY event_type) AS total
+            FROM c
+        ), o AS (
+            SELECT event_type, digit, n,
+                   CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+                   CAST({_BENFORD_CASE} AS BIGINT) AS exp_ppm
+            FROM w
+        )
+        SELECT event_type, digit, n, obs_ppm, exp_ppm,
+               obs_ppm - exp_ppm AS dev_ppm,
+               CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+                    // exp_ppm AS BIGINT) AS chi2_term_ppm
+        FROM o
+        ORDER BY event_type, digit
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit per event type:
+    observed vs expected digit mass and the per-digit chi-square
+    terms — the classic fabricated-/corrupted-numbers forensic for a
+    metrics column (a synthetic or truncated feed shows up as a flat
+    or spiked digit histogram long before any distributional test).
+
+    Determinism: values ride the 1e-4 tick quantization, the first
+    significant digit is string-of-integer (exact on both engines —
+    no log10 anywhere), and the law's expected masses are hand-derived
+    ppm literals summing to exactly 1e6 (_BENFORD_PPM). Every output
+    is an integer count, floor-div ppm, or their difference.
+
+    Plan: ONE scan -> per-row tick + digit expressions -> ONE
+    map-side-combined groupBy to at most |event_type| x 9 rows; the
+    share window runs on that digit-domain rollup, never on fact
+    rows. At 100 TB state is still |types| x 9 integers."""
+    e = load(spark, sf_dir, "events")
+    ticks = F.floor(F.abs(F.col("value")) * 10000.0 + 0.5).cast("long")
+    t = e.select(
+        "event_type",
+        F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
+            "digit"
+        ),
+    ).filter(ticks > 0)
+    c = t.groupBy("event_type", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = c.select(
+        "event_type",
+        "digit",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias(
+            "total"
+        ),
+    )
+    o = w.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("n * 1000000 div total").cast("long").alias("obs_ppm"),
+        F.expr(_BENFORD_CASE).cast("long").alias("exp_ppm"),
+    )
+    return o.select(
+        "event_type",
+        "digit",
+        "n",
+        "obs_ppm",
+        "exp_ppm",
+        (F.col("obs_ppm") - F.col("exp_ppm")).alias("dev_ppm"),
+        F.expr(
+            "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"
+        )
+        .cast("long")
+        .alias("chi2_term_ppm"),
+    ).orderBy("event_type", "digit")
+
+
+# ------------------------------------------------------- mixed script
+
+#: a doc whose non-letter/digit/space mass exceeds 10% is flagged as
+#: symbol-garbage (the OCR-noise / markup-residue curation signal).
+_GARBAGE_PPM = 100_000
+
+
+@REG.register(
+    "q_text_mixed_script",
+    oracle=f"""
+        WITH p AS (
+            SELECT lang, source,
+                   CAST(length(text) AS BIGINT) AS n_total,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '',
+                                                'g')) AS BIGINT)
+                       AS n_letter,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '',
+                                                'g')) AS BIGINT)
+                       AS n_digit,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[ ]', '',
+                                                'g')) AS BIGINT)
+                       AS n_space
+            FROM documents
+            WHERE length(text) > 0
+        ), d AS (
+            SELECT lang, source, n_total,
+                   n_total - n_letter - n_digit - n_space AS n_other,
+                   (n_total - n_letter - n_digit - n_space) * 1000000
+                       // n_total AS sym_ppm
+            FROM p
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_other > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mixed,
+               CAST(sum(CASE WHEN sym_ppm > {_GARBAGE_PPM} THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_garbage,
+               CAST(sum(sym_ppm) // count(*) AS BIGINT)
+                   AS mean_sym_ppm,
+               CAST(max(sym_ppm) AS BIGINT) AS max_sym_ppm
+        FROM d
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def q_text_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census + symbol-garbage gate per (lang,
+    source): letter / digit / space / other masses via
+    length-difference counting, the per-doc symbol ratio, and the
+    mixed-content and garbage (>{g}% symbols) flags — the OCR-noise /
+    markup-residue detector that complements q_text_entropy
+    (repetition) and q_text_quality (stopword shape) in the curation
+    gate stack.
+
+    Counting is length(text) - length(regexp_replace(class, '')) —
+    the one regexp idiom whose semantics are bit-identical across
+    java.util.regex and RE2 for explicit ASCII classes (no \\w, no
+    unicode properties). All ratios are integer ppm floor-divs.
+
+    Plan: ONE scan -> four narrow per-row regexp projections (scan
+    stage, whole-stage codegen) -> ONE map-side-combined groupBy to
+    the (lang, source) cell domain. No shuffle carries doc text."""
+    d = load(spark, sf_dir, "documents")
+
+    def cnt(cls: str):
+        return F.length("text") - F.length(
+            F.regexp_replace("text", cls, "")
+        )
+
+    p = d.filter(F.length("text") > 0).select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_total"),
+        cnt("[A-Za-z]").cast("long").alias("n_letter"),
+        cnt("[0-9]").cast("long").alias("n_digit"),
+        cnt("[ ]").cast("long").alias("n_space"),
+    )
+    dd = p.select(
+        "lang",
+        "source",
+        "n_total",
+        (
+            F.col("n_total")
+            - F.col("n_letter")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).alias("n_other"),
+        F.expr(
+            "(n_total - n_letter - n_digit - n_space) * 1000000"
+            " div n_total"
+        ).alias("sym_ppm"),
+    )
+    return (
+        dd.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_other") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mixed"),
+            F.sum(
+                F.when(F.col("sym_ppm") > _GARBAGE_PPM, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_garbage"),
+            F.expr("sum(sym_ppm) div count(*)")
+            .cast("long")
+            .alias("mean_sym_ppm"),
+            F.max("sym_ppm").cast("long").alias("max_sym_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+q_text_mixed_script.__doc__ = q_text_mixed_script.__doc__.format(
+    g=_GARBAGE_PPM // 10_000
+)

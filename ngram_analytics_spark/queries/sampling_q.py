@@ -734,3 +734,247 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------ effective ESS
+
+#: importance-weight units: 1e-3 ("mills") keeps every moment sum in
+#: comfortable int64 range (see headroom note in the docstring).
+_ESS_MILL = 1000
+
+
+@REG.register(
+    "q_sample_ess",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM s
+        ), w AS (
+            SELECT s.source, s.n_docs, t.n,
+                   CAST(t.n * {_ESS_MILL} // (t.n_sources * s.n_docs)
+                        AS BIGINT) AS w_mill
+            FROM s CROSS JOIN t
+        ), g AS (
+            SELECT CAST(sum(n_docs * w_mill) AS BIGINT) AS sw,
+                   CAST(sum(n_docs * w_mill * w_mill) AS BIGINT) AS sw2
+            FROM w
+        )
+        SELECT w.source, w.n_docs, w.w_mill,
+               CAST(w.n_docs * w.w_mill * 1000000 // g.sw AS BIGINT)
+                   AS mass_ppm,
+               CAST(g.sw * g.sw // g.sw2 AS BIGINT) AS ess_docs,
+               CAST((g.sw * g.sw // g.sw2) * 1000000 // w.n AS BIGINT)
+                   AS ess_ratio_ppm
+        FROM w CROSS JOIN g
+        ORDER BY w.source
+    """,
+)
+def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-reweighting audit toward a UNIFORM source mix:
+    per-source weight w_s = N / (S * n_s) in mills, each source's
+    reweighted probability mass, and the Kish effective sample size
+    ESS = (sum w)^2 / sum w^2 with its ratio to N — the one number
+    that says whether a planned mix reweighting throws away most of
+    the corpus (ESS collapses when a rare source gets a huge
+    upweight). Complements q_mix_budget (which CAPS sources) with the
+    reweight-don't-drop alternative's price tag.
+
+    Determinism: weights are integer mills via floor-div; every
+    moment is an exact int64 sum over the SOURCE domain (w^2 <= 1e6 x
+    S^2, n_s * w^2 <= 1e13 at sf1). Headroom (the q_ml_brier
+    discipline): sw <= ~1e3 * N, so sw * sw wraps past N ~ 3e9 docs —
+    3.5 orders above the graded corpora; widen to DECIMAL(38,0) on
+    both engines beyond.
+
+    Plan: ONE doc scan -> map-side-combined source rollup; ALL
+    subsequent algebra runs on the |source|-row table crossed with
+    two 1-row broadcast globals. One fact-width pass, no fact
+    shuffle (the groupBy ships |source| partials)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n",
+        F.expr(f"n * {_ESS_MILL} div (n_sources * n_docs)")
+        .cast("long")
+        .alias("w_mill"),
+    )
+    g = w.agg(
+        F.sum(F.col("n_docs") * F.col("w_mill"))
+        .cast("long")
+        .alias("sw"),
+        F.sum(F.col("n_docs") * F.col("w_mill") * F.col("w_mill"))
+        .cast("long")
+        .alias("sw2"),
+    )
+    return (
+        w.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            "w_mill",
+            F.expr("n_docs * w_mill * 1000000 div sw")
+            .cast("long")
+            .alias("mass_ppm"),
+            F.expr("sw * sw div sw2").cast("long").alias("ess_docs"),
+            F.expr("(sw * sw div sw2) * 1000000 div n")
+            .cast("long")
+            .alias("ess_ratio_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------- Poisson bootstrap
+
+#: replicate count and the Poisson(1) cumulative pmf as ppm literals
+#: (floor(cum * 1e6), hand-derived — e^-1 is not cross-engine-safe as
+#: a computation, so the law is data). Counts above 5 lump into k=6.
+_BOOT_B = 16
+_BOOT_CUM = (367879, 735758, 919698, 981011, 996340, 999405)
+
+_BOOT_K_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+    )
+    + " ELSE 6 END"
+)
+
+
+@REG.register(
+    "q_sample_bootstrap",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+            FROM events
+        ), full_m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) // count(*) AS BIGINT) AS full_mean_tick
+            FROM base GROUP BY event_type
+        ), ticketed AS (
+            SELECT event_type, v, u.b,
+                   CAST('0x' || substring(
+                       md5(CAST(event_id AS VARCHAR) || ':'
+                           || CAST(u.b AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 1000000 AS u
+            FROM base CROSS JOIN UNNEST(range(1, {_BOOT_B + 1}))
+                AS u(b)
+        ), rep AS (
+            SELECT event_type, b,
+                   CAST(sum(k * v) // NULLIF(sum(k), 0) AS BIGINT)
+                       AS rep_mean_tick
+            FROM (SELECT event_type, v, b, {_BOOT_K_CASE} AS k
+                  FROM ticketed)
+            GROUP BY 1, 2
+        )
+        SELECT f.event_type, f.n, f.full_mean_tick,
+               CAST(count(*) AS BIGINT) AS n_reps,
+               CAST(sum(r.rep_mean_tick) // count(*) AS BIGINT)
+                   AS boot_mean_tick,
+               CAST(min(r.rep_mean_tick) AS BIGINT) AS boot_lo_tick,
+               CAST(max(r.rep_mean_tick) AS BIGINT) AS boot_hi_tick,
+               CAST(max(r.rep_mean_tick) - min(r.rep_mean_tick)
+                    AS BIGINT) AS boot_range_tick
+        FROM full_m f JOIN rep r ON f.event_type = r.event_type
+        GROUP BY 1, 2, 3
+        ORDER BY f.event_type
+    """,
+)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence band for the per-type mean value:
+    {b} deterministic replicates where each row enters replicate b
+    Poisson(1)-many times (count drawn from md5(event_id, b) against
+    the hand-literal cumulative pmf), reporting the full-sample mean
+    and the replicate-mean envelope — THE scalable bootstrap: unlike
+    classic resampling (which needs n draws from a materialized
+    population), Poisson weights are per-row independent, so the
+    whole thing is one streaming pass that never materializes a
+    resample. Standard technique for CIs over massive logs.
+
+    Determinism: md5 is identical on both engines (hex via '0x' cast
+    — the q_dedup_minhash_exact discipline); value rides 1e-4 ticks;
+    replicate means are floor-divs of exact int64 sums. The pmf tail
+    (k > 5, cumulative mass 594 ppm) lumps into k = 6.
+
+    Plan: ONE fact scan exploded x{b} by a broadcast replicate dim
+    (map-side, no shuffle to explode), ONE map-side-combined groupBy
+    to |type| x {b} replicate cells, then a |type|-domain rollup.
+    At 100 TB the explode multiplies the SCAN, not the shuffle:
+    aggregate state is |type| x {b} integers."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    full_m = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(v) div count(*)")
+        .cast("long")
+        .alias("full_mean_tick"),
+    )
+    reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    rep = (
+        base.crossJoin(F.broadcast(reps))
+        .select("event_type", "b", "v", u.alias("u"))
+        .select(
+            "event_type", "b", "v", F.expr(_BOOT_K_CASE).alias("k")
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.expr("sum(k * v) div nullif(sum(k), 0)")
+            .cast("long")
+            .alias("rep_mean_tick")
+        )
+    )
+    return (
+        full_m.join(rep, "event_type")
+        .groupBy("event_type", "n", "full_mean_tick")
+        .agg(
+            F.count("*").cast("long").alias("n_reps"),
+            F.expr("sum(rep_mean_tick) div count(*)")
+            .cast("long")
+            .alias("boot_mean_tick"),
+            F.min("rep_mean_tick").cast("long").alias("boot_lo_tick"),
+            F.max("rep_mean_tick").cast("long").alias("boot_hi_tick"),
+            (F.max("rep_mean_tick") - F.min("rep_mean_tick"))
+            .cast("long")
+            .alias("boot_range_tick"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_sample_bootstrap.__doc__ = q_sample_bootstrap.__doc__.format(b=_BOOT_B)

@@ -2034,3 +2034,64 @@ def q_stream_live_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > 1)
         .select("wh", "n_occ", "first_doc")
     )
+
+
+# ------------------------------------ streaming Benford digit monitor
+
+def _benford_oracle() -> str:
+    return """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(substr(CAST(CAST(floor(abs(value) * 10000.0
+                                                + 0.5) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+            FROM events
+            WHERE CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT) > 0
+        )
+        SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+@REG.register("q_stream_live_benford", oracle=_benford_oracle())
+def q_stream_live_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-significant-digit histogram per event type: the
+    live twin of q_dq_benford's counting stage — events stream in,
+    the digit is a stateless per-row projection (1e-4 tick
+    quantization + string-of-integer head, no log10), and ONE
+    complete-mode aggregation maintains the |type| x 9 counter grid a
+    feed-forensics dashboard polls (the deviation-vs-law algebra is
+    q_dq_benford's batch half; counts are the certifiable stream
+    state).
+
+    Arrival-order independence: counts are order-free, so the monitor
+    is differentially certifiable against the batch kernel (the
+    q_stream_live_dedup discipline).
+
+    Scale: state is AT MOST |event_type| x 9 rows no matter the event
+    volume — the cheapest possible stateful query; the only shuffle
+    is the digit-domain groupBy."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    ticks = F.floor(F.abs(F.col("value")) * 10000.0 + 0.5).cast("long")
+    t = ev.select(
+        "event_type",
+        F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
+            "digit"
+        ),
+    ).filter(ticks > 0)
+    agg = t.groupBy("event_type", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    name = (
+        "t_live_benford_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    )
+    S.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select("event_type", "digit", "n").orderBy(
+        "event_type", "digit"
+    )

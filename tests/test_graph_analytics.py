@@ -91,3 +91,46 @@ class TestKnnGraphEdges:
         )
         assert got  # vacuous-pass guard: the graph must have edges
         assert all(r["d"] <= 3 for r in got)
+
+
+class TestHitsInt:
+    def test_star_authority_closed_form(self, spark):
+        """Directed star 1->3, 2->3, 3->1 (hand-unrolled):
+
+          auth1: 3 has in-degree 2, 1 has in-degree 1
+          hub1(1) = auth1(3) = 2, hub1(2) = 2, hub1(3) = auth1(1) = 1
+          auth2(3) = hub1(1) + hub1(2) = 4, auth2(1) = hub1(3) = 1
+        """
+        from ngram_analytics_spark.operators.graph import hits_int
+
+        e = _edges(spark, [(1, 3), (2, 3), (3, 1)])
+        got = {r["node"]: r for r in hits_int(e).collect()}
+        assert set(got) == {1, 3}
+        assert got[3]["auth1"] == 2
+        assert got[3]["hub1"] == 1
+        assert got[3]["auth2"] == 4
+        assert got[1]["auth1"] == 1
+        assert got[1]["hub1"] == 2
+        assert got[1]["auth2"] == 1
+
+    def test_no_out_edge_node_gets_zero_hub(self, spark):
+        """2 -> 1 only: node 1 is an authority with no out-edges, so
+        hub1 coalesces to 0 and auth2 = 0-hub contribution is absent
+        (1 keeps auth2 from hub1(2))."""
+        from ngram_analytics_spark.operators.graph import hits_int
+
+        e = _edges(spark, [(2, 1)])
+        got = {r["node"]: r for r in hits_int(e).collect()}
+        assert set(got) == {1}
+        assert got[1]["auth1"] == 1
+        assert got[1]["hub1"] == 0
+        assert got[1]["auth2"] == 1
+
+    def test_partitioning_invariant(self, spark):
+        from ngram_analytics_spark.operators.graph import hits_int
+
+        pairs = [(i, (i * 7 + 3) % 23) for i in range(23)]
+        e = _edges(spark, pairs)
+        a = sorted(map(tuple, hits_int(e).collect()))
+        b = sorted(map(tuple, hits_int(e.repartition(7)).collect()))
+        assert a == b

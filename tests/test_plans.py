@@ -406,6 +406,14 @@ NESTED_LOOP_OK = {
     "q_vocab_growth",        # 5-row prefix-grid broadcast cross onto
                              # the vocab/doc domain tables (q_embed_pq
                              # class)
+    "q_zone_map_prune",      # 3-row predicate-dim broadcast cross
+                             # onto the <=128-row zone table
+                             # (q_ml_roc_points class)
+    "q_sample_ess",          # two 1-row moment broadcasts onto the
+                             # |source|-row weight table (tcloseness
+                             # class)
+    "q_sample_bootstrap",    # 16-row replicate-dim broadcast cross
+                             # onto the scan (q_ml_roc_points class)
 }
 
 

@@ -702,3 +702,267 @@ def test_vocab_growth_closed_form(spark, tmp_path):
     for g in (64, 256, 1024):
         assert (r[g].n_docs, r[g].n_tokens, r[g].n_types) == (20, 40, 21)
         assert r[g].ttr_ppm == 21 * 1_000_000 // 40
+
+
+# ---------------------------------------------------------------- RSI
+
+
+def test_rsi_closed_form(spark, tmp_path):
+    """Hand-computed 16-day daily-count series 1,2,..,14,13,16 for one
+    event type: 15 deltas (+1 x13, -1, +3), so exactly two days carry
+    a complete 14-delta window:
+
+      day 15: gains 13, losses 1 -> RSI = 13e6 // 14 = 928571
+      day 16: gains 15, losses 1 -> RSI = 15e6 // 16 = 937500
+
+    both overbought (>= 0.70), none oversold.
+    """
+    counts = list(range(1, 15)) + [13, 16]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, day, 12, 0, 0),
+                    0,
+                    "buy",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_rsi")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_days == 2
+    assert r.n_overbought == 2
+    assert r.n_oversold == 0
+    assert r.min_rsi_ppm == 13_000_000 // 14
+    assert r.max_rsi_ppm == 937500
+    assert r.last_rsi_ppm == 937500
+
+
+# ------------------------------------------------------------ Benford
+
+
+def test_benford_closed_form(spark, tmp_path):
+    """Digits hand-assigned via the 1e-4 tick quantization: values
+    1.0 / 12.5 / 0.19 -> digit 1, 2.0 -> digit 2, -3.0 -> digit 3
+    (abs), 0.00004 -> tick 0 (excluded).  N = 5:
+
+      obs(1) = 600000, obs(2) = obs(3) = 200000
+      chi2 term(d) = (obs - exp)^2 // exp with the literal table.
+    """
+    vals = [1.0, 12.5, 0.19, 2.0, -3.0, 0.00004]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 0, "buy", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r.digit: r for r in _q("q_dq_benford")(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    exp = {1: 301030, 2: 176091, 3: 124939}
+    obs = {1: 600000, 2: 200000, 3: 200000}
+    for d in (1, 2, 3):
+        r = out[d]
+        assert r.n == (3 if d == 1 else 1)
+        assert r.obs_ppm == obs[d]
+        assert r.exp_ppm == exp[d]
+        assert r.dev_ppm == obs[d] - exp[d]
+        assert r.chi2_term_ppm == (obs[d] - exp[d]) ** 2 // exp[d]
+
+
+# ------------------------------------------------------- mixed script
+
+
+def test_mixed_script_closed_form(spark, tmp_path):
+    """Two docs in one (lang, source) cell: 'ab1 !' (5 chars: 2
+    letters, 1 digit, 1 space, 1 other -> sym_ppm 200000, mixed AND
+    garbage) and 'abcd' (pure letters -> sym_ppm 0)."""
+    rows = [
+        (0, "ab1 !", "en", "web", 5),
+        (1, "abcd", "en", "web", 4),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_text_mixed_script")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_docs == 2
+    assert r.n_mixed == 1
+    assert r.n_garbage == 1
+    assert r.mean_sym_ppm == 100000
+    assert r.max_sym_ppm == 200000
+
+
+# ---------------------------------------------------------- zone maps
+
+
+def test_zone_map_prune_closed_form(spark, tmp_path):
+    """4 lineitem rows hand-assigned to files in both layouts
+    (epoch days 8839/8066/10560/8826; natural = orderkey mod 64 ->
+    files {0: [8839, 10560], 1: [8066], 2: [8826]}; sorted =
+    fixed-domain bucket -> files {0, 19, 20, 63} singleton-ish):
+
+      pred 1 (8825..8855): natural scans 2/3 files, 3 rows for 2
+      hits (amp 1.5e6); sorted scans 2/4 files, 2 rows for 2 hits.
+      pred 2 (9678..9708): natural scans the wide file 0 (2 rows, 0
+      hits, amp NULL); sorted scans nothing.
+    """
+    rows = [
+        (0, datetime.date(1994, 3, 15)),
+        (1, datetime.date(1992, 2, 1)),
+        (64, datetime.date(1998, 11, 30)),
+        (2, datetime.date(1994, 3, 2)),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey long, l_shipdate date",
+    )
+    out = {
+        (r.layout, r.pred_id): r
+        for r in _q("q_zone_map_prune")(spark, sf).collect()
+    }
+    n1 = out[("natural", 1)]
+    assert (n1.files_total, n1.files_scanned) == (3, 2)
+    assert (n1.rows_scanned, n1.rows_match) == (3, 2)
+    assert n1.prune_ppm == 1_000_000 // 3
+    assert n1.read_amp_ppm == 1_500_000
+    s1 = out[("sorted", 1)]
+    assert (s1.files_total, s1.files_scanned) == (4, 2)
+    assert (s1.rows_scanned, s1.rows_match) == (2, 2)
+    assert s1.prune_ppm == 500_000
+    assert s1.read_amp_ppm == 1_000_000
+    n2 = out[("natural", 2)]
+    assert (n2.files_scanned, n2.rows_scanned, n2.rows_match) == (
+        1,
+        2,
+        0,
+    )
+    assert n2.read_amp_ppm is None
+    s2 = out[("sorted", 2)]
+    assert (s2.files_scanned, s2.rows_scanned, s2.rows_match) == (
+        0,
+        0,
+        0,
+    )
+    assert s2.prune_ppm == 1_000_000
+
+
+# ------------------------------------------------------------ Kish ESS
+
+
+def test_sample_ess_closed_form(spark, tmp_path):
+    """Sources a (1 doc) and b (3 docs), N=4, S=2:
+
+      w_a = 4000 // 2 = 2000 mills, w_b = 4000 // 6 = 666
+      sw = 2000 + 3*666 = 3998, sw2 = 4e6 + 3*666^2 = 5330668
+      ess_docs = 3998^2 // 5330668 = 2, ratio = 500000
+      mass_a = 2000e6 // 3998 = 500250, mass_b = 1998e6 // 3998 = 499749
+    """
+    rows = [
+        (0, "x", "en", "a", 1),
+        (1, "x", "en", "b", 1),
+        (2, "x", "en", "b", 1),
+        (3, "x", "en", "b", 1),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r.source: r for r in _q("q_sample_ess")(spark, sf).collect()}
+    assert out["a"].w_mill == 2000
+    assert out["b"].w_mill == 666
+    assert out["a"].mass_ppm == 500250
+    assert out["b"].mass_ppm == 499749
+    assert out["a"].ess_docs == 2
+    assert out["a"].ess_ratio_ppm == 500000
+
+
+# ---------------------------------------------------- Poisson bootstrap
+
+
+def test_sample_bootstrap_pure_python_mirror(spark, tmp_path):
+    """8 events of one type, expected output computed by an
+    independent hashlib.md5 mirror of the Poisson-ticket spec (shares
+    no code with either engine)."""
+    import hashlib
+
+    vals = [1.5, 2.25, 3.0, 0.4, 5.1, 2.0, 7.75, 0.9]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 0, "buy", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    cum = (367879, 735758, 919698, 981011, 996340, 999405)
+
+    def poisson_k(event_id, b):
+        u = (
+            int(
+                hashlib.md5(f"{event_id}:{b}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 1_000_000
+        )
+        for k, c in enumerate(cum):
+            if u < c:
+                return k
+        return 6
+
+    ticks = [math.floor(v * 10000.0 + 0.5) for v in vals]
+    rep_means = []
+    for b in range(1, 17):
+        sk = skv = 0
+        for i, v in enumerate(ticks):
+            k = poisson_k(i, b)
+            sk += k
+            skv += k * v
+        rep_means.append(None if sk == 0 else skv // sk)
+    present = [m for m in rep_means if m is not None]
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_sample_bootstrap")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n == 8
+    assert r.full_mean_tick == sum(ticks) // 8
+    assert r.n_reps == 16
+    assert r.boot_lo_tick == min(present)
+    assert r.boot_hi_tick == max(present)
+    assert r.boot_range_tick == max(present) - min(present)
+    assert r.boot_mean_tick == sum(present) // 16

@@ -66,6 +66,7 @@ ORDERKEY_QUERIES = [
     "q_tpch_q18",
     "q_tpch_q21",
     "q_basket_lift",
+    "q_zone_map_prune",
 ]
 CUSTKEY_QUERIES = [
     "q_tpch_q10",

@@ -65,6 +65,8 @@ PROBE_QUERIES = [
     "q_bpe_encode",
     "q_text_readability",
     "q_text_diversity",
+    # --- late-r10 additions ---
+    "q_text_mixed_script",
 ]
 
 TOTAL_TOKENS = 100_000
