@@ -243,6 +243,11 @@ EXTENDED = [
     "q_sample_bootstrap",     # Poisson bootstrap CI
     "q_graph_hits",           # integer HITS authorities
     "q_stream_live_benford",  # streaming digit histogram
+    "q_join_spatial_grid",    # grid-blocked radius join
+    "q_ml_spearman",          # exact rank correlation
+    "q_ml_learning_curve",    # metric vs eval-size curve
+    "q_ts_ordinal",           # ordinal-pattern census
+    "q_privacy_dp_hist",      # noisy-count release
 ]
 
 

@@ -2622,3 +2622,112 @@ def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ts_rsi.__doc__ = q_ts_rsi.__doc__.format(n=_RSI_N)
+
+
+# ------------------------------------------------- ordinal patterns
+
+
+@REG.register(
+    "q_ts_ordinal",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, y AS y0,
+                   lead(y, 1) OVER pt AS y1,
+                   lead(y, 2) OVER pt AS y2
+            FROM daily
+            WINDOW pt AS (PARTITION BY event_type ORDER BY x)
+        ), pat AS (
+            SELECT event_type,
+                   (CASE WHEN y1 > y0 THEN 4 ELSE 0 END
+                    + CASE WHEN y2 > y0 THEN 2 ELSE 0 END
+                    + CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS pattern
+            FROM w WHERE y2 IS NOT NULL
+        ), c AS (
+            SELECT event_type, pattern,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS total
+            FROM pat GROUP BY 1, 2
+        )
+        SELECT event_type, pattern, n,
+               CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+               CAST(max(n * 1000000 // total)
+                        OVER (PARTITION BY event_type) AS BIGINT)
+                   AS modal_share_ppm
+        FROM c
+        ORDER BY event_type, pattern
+    """,
+)
+def q_ts_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern (Bandt-Pompe) census of the per-type daily
+    count series: every 3-point window of consecutive series points
+    maps to its order motif (rise-rise, rise-fall, valley, peak, ...)
+    and the census reports each motif's share plus the modal share —
+    the complexity/regularity read (a near-deterministic feed
+    concentrates on one or two motifs; a noisy one spreads toward
+    the uniform 1/6) behind permutation entropy, WITHOUT the
+    entropy's log (transcendentals are not cross-engine-safe; the
+    census IS the distribution, the modal share its certifiable
+    summary statistic).
+
+    Encoding: three pairwise strict comparisons (y1>y0, y2>y0,
+    y2>y1) pack into pattern ids 0..7 (two ids are transitivity-
+    impossible; ties compare false — the deterministic tie rule).
+
+    Plan: ONE map-side-combined daily rollup, two lead windows over
+    the per-type DAY series (calendar-bounded partitions — the
+    q_ts_macd precedent), ONE groupBy to at most |type| x 6 cells;
+    the share windows run on that cell rollup."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    pt = W.partitionBy("event_type").orderBy("x")
+    w = daily.select(
+        "event_type",
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(pt).alias("y1"),
+        F.lead("y", 2).over(pt).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+    pat = w.select(
+        "event_type",
+        (
+            F.when(F.col("y1") > F.col("y0"), 4).otherwise(0)
+            + F.when(F.col("y2") > F.col("y0"), 2).otherwise(0)
+            + F.when(F.col("y2") > F.col("y1"), 1).otherwise(0)
+        ).alias("pattern"),
+    )
+    c = pat.groupBy("event_type", "pattern").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tw = W.partitionBy("event_type")
+    c = c.select(
+        "event_type",
+        "pattern",
+        "n",
+        F.sum("n").over(tw).alias("total"),
+    )
+    shares = c.select(
+        "event_type",
+        "pattern",
+        "n",
+        F.expr("n * 1000000 div total").cast("long").alias("share_ppm"),
+    )
+    return shares.select(
+        "event_type",
+        "pattern",
+        "n",
+        "share_ppm",
+        F.max("share_ppm").over(tw).cast("long").alias(
+            "modal_share_ppm"
+        ),
+    ).orderBy("event_type", "pattern")

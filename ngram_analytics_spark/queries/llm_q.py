@@ -4432,3 +4432,135 @@ def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ml_ann_recall.__doc__ = q_ml_ann_recall.__doc__.format(
     k=_IVF_K, c=_IVF_CELLS, p=_IVF_PROBE
 )
+
+
+# --------------------------------------------------- Spearman rho
+
+#: valuedomain bucket width for the score-tick domain (the
+#: q_ml_auc/_LIFT spelling).
+_SPEAR_BUCKET = 100_000.0
+
+
+@REG.register(
+    "q_ml_spearman",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CAST(label AS BIGINT) AS y
+            FROM embeddings
+        ), xd AS (
+            SELECT t, cnt,
+                   2 * (cum - cnt) + cnt + 1 AS rx2
+            FROM (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum(count(*)) OVER (ORDER BY t)
+                              AS BIGINT) AS cum
+                  FROM r GROUP BY t)
+        ), yd AS (
+            SELECT y, 2 * (cum - cnt) + cnt + 1 AS ry2
+            FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum(count(*)) OVER (ORDER BY y)
+                              AS BIGINT) AS cum
+                  FROM r GROUP BY y)
+        ), j AS (
+            SELECT xd.rx2, yd.ry2
+            FROM r JOIN xd ON r.t = xd.t JOIN yd ON r.y = yd.y
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx2) AS BIGINT) AS sx,
+                   CAST(sum(ry2) AS BIGINT) AS sy,
+                   CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                   CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+                   CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+            FROM j
+        )
+        SELECT n,
+               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                    AS BIGINT) AS spearman_ppm
+        FROM s
+    """,
+)
+def q_ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected Spearman rank correlation between the
+    score column (first embedding component) and the label: Pearson
+    over AVERAGE ranks, with ties contributing their exact half-rank
+    (2*avg_rank = 2*cum_before + cnt + 1 — the q_ml_auc identity, so
+    doubled ranks stay integer). The monotone-association companion
+    to q_ml_auc (which is Somers'-D-shaped for binary labels):
+    Spearman handles the MULTI-LEVEL label without binarizing, the
+    standard check that a quality score orders an ordinal rating.
+
+    The scale shape: ranks are computed on the VALUE domains (score
+    ticks; the 10-value label domain), never per row — one
+    map-side-combined compress per variable, grouped_value_cumsum for
+    the score side (window partitions bounded by the value domain),
+    then the doubled ranks join back to the fact rows (label side
+    broadcast) for the single 6-sum moment aggregate.
+
+    Determinism: exact int64 moments over integer doubled ranks; ONE
+    floor after two IEEE sqrts of identical integers (the
+    q_graph_assortativity discipline). Headroom: sx ~ n^2, so sx*sx
+    wraps past n ~ 5.5e4 rows on the embeddings table (3x the sf1
+    row count); widen to DECIMAL(38,0) on both engines beyond."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    base = e.select(t.alias("t"), F.col("label").cast("long").alias("y"))
+    xc = (
+        base.groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.lit(0).alias("g"), "t", "cnt")
+    )
+    xd = grouped_value_cumsum(xc, "g", "t", "cnt", _SPEAR_BUCKET).select(
+        "t",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "rx2"
+        ),
+    )
+    yc = (
+        base.groupBy("y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.lit(0).alias("g"), "y", "cnt")
+    )
+    yd = grouped_value_cumsum(yc, "g", "y", "cnt", 100.0).select(
+        "y",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "ry2"
+        ),
+    )
+    j = base.join(xd, "t").join(F.broadcast(yd), "y")
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "n",
+        F.floor(num * F.lit(1000000.0) / den)
+        .cast("long")
+        .alias("spearman_ppm"),
+    )

@@ -1536,3 +1536,109 @@ def q_text_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_mixed_script.__doc__ = q_text_mixed_script.__doc__.format(
     g=_GARBAGE_PPM // 10_000
 )
+
+
+# ------------------------------------------------------ noisy release
+
+#: folded-geometric(1/2) magnitude thresholds in ppm of the md5
+#: ticket: P(0)=1/2, P(k)=2^-(k+1) up to the lumped tail at 5 — the
+#: discrete two-sided noise shape of a private count release.
+_DP_MAG_CASE = (
+    "CASE WHEN u < 500000 THEN 0 WHEN u < 750000 THEN 1"
+    " WHEN u < 875000 THEN 2 WHEN u < 937500 THEN 3"
+    " WHEN u < 968750 THEN 4 ELSE 5 END"
+)
+
+
+@REG.register(
+    "q_privacy_dp_hist",
+    oracle=f"""
+        WITH h AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+            FROM customer GROUP BY c_nationkey
+        ), t AS (
+            SELECT c_nationkey, true_n,
+                   CAST('0x' || substring(
+                       md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+                       1, 8) AS BIGINT) % 1000000 AS u,
+                   CASE WHEN CAST('0x' || substring(
+                       md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+                       9, 1) AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM h
+        ), z AS (
+            SELECT c_nationkey, true_n,
+                   sgn * ({_DP_MAG_CASE}) AS noise
+            FROM t
+        )
+        SELECT n.n_name, z.true_n, z.noise,
+               greatest(0, z.true_n + z.noise) AS released_n
+        FROM z JOIN nation n ON z.c_nationkey = n.n_nationkey
+        ORDER BY n.n_name
+    """,
+)
+def q_privacy_dp_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-count release plumbing for the per-nation customer
+    histogram: each cell's count is perturbed by symmetric integer
+    noise (folded-geometric(1/2) magnitude, md5-derived sign — the
+    discrete two-sided shape a differentially-private count release
+    uses) and clamped at zero (post-processing) — the release stage
+    that follows the k-anonymity/l-diversity/t-closeness gates in
+    the privacy family.
+
+    HONEST SCOPE: the noise here is SEEDED (md5 of the cell key) so
+    both engines derive bit-identical tickets and the release
+    pipeline is differentially CERTIFIABLE end to end; a production
+    deployment swaps the ticket expression for true randomness drawn
+    per release (deterministic noise is reproducible-test plumbing,
+    not a privacy guarantee — the operators/multimodal.py
+    capability-gate discipline applied to RNG). true_n rides along
+    for certification only; the release view projects n_name +
+    released_n.
+
+    Plan: ONE map-side-combined groupBy to the 25-cell nation
+    domain; noise arithmetic and the broadcast nation-name join run
+    on cells. Constant state at any customer count."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    h = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    ticket = F.md5(
+        F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))
+    )
+    t = h.select(
+        "c_nationkey",
+        "true_n",
+        (
+            F.conv(F.substring(ticket, 1, 8), 16, 10).cast("long")
+            % 1000000
+        ).alias("u"),
+        F.when(
+            F.conv(F.substring(ticket, 9, 1), 16, 10).cast("long") % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    z = t.select(
+        "c_nationkey",
+        "true_n",
+        (F.col("sgn") * F.expr(_DP_MAG_CASE)).alias("noise"),
+    )
+    return (
+        z.join(
+            F.broadcast(n),
+            z.c_nationkey == n.n_nationkey,
+        )
+        .select(
+            "n_name",
+            "true_n",
+            "noise",
+            F.greatest(
+                F.lit(0), F.col("true_n") + F.col("noise")
+            ).alias("released_n"),
+        )
+        .orderBy("n_name")
+    )

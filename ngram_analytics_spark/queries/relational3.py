@@ -585,3 +585,114 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
     )
+
+
+# -------------------------------------------------- spatial grid join
+
+#: L-infinity radius in 1e-4 ticks (0.05) and the grid cell width —
+#: cell = radius, so a point's neighbors live in its own or one of
+#: the 8 adjacent cells, never further.
+_SP_EPS = 500
+
+
+@REG.register(
+    "q_join_spatial_grid",
+    oracle=f"""
+        WITH p AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000.0)
+                        AS BIGINT) AS x,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000.0)
+                        AS BIGINT) AS y
+            FROM embeddings
+        ), pairs AS (
+            SELECT greatest(abs(a.x - b.x), abs(a.y - b.y)) AS d
+            FROM p a JOIN p b
+              ON a.vec_id < b.vec_id
+             AND abs(a.x - b.x) <= {_SP_EPS}
+             AND abs(a.y - b.y) <= {_SP_EPS}
+        )
+        SELECT CAST(d // 100 AS BIGINT) AS dist_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(d) // count(*) AS BIGINT) AS mean_d_tick
+        FROM pairs
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial self-join: all vector pairs within
+    L-infinity radius 0.05 on the first two embedding dimensions,
+    reported as an L-infinity-distance histogram — the 2-D analogue
+    of q_join_range_binned's 1-D binning and the geo/embedding-space
+    neighbor-join every spatial workload needs.
+
+    The oracle states the naive radius predicate; the Spark plan is
+    the GRID equi-join: each LEFT point keys on its own cell (cell
+    width = radius), each RIGHT point replicates to its 3x3 neighbor
+    cells via one broadcast 9-row offset dim, so the join is a plain
+    hash equi-join on (cx, cy) and each qualifying pair meets on
+    EXACTLY ONE cell (the left point's) — no distinct needed, no
+    BroadcastNestedLoopJoin, candidate volume bounded by cell
+    occupancy instead of n^2. The residual |dx|,|dy| filter runs on
+    candidates only. At 100 TB this is the standard geohash-join
+    shape: shuffle keys on cells, skew governed by the densest cell
+    (salt the hot cell if occupancy profiles demand it).
+
+    Determinism: coordinates ride 1e-4 floor ticks; distances and
+    buckets are integer arithmetic end to end."""
+    e = load(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 10000.0)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 10000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.expr(f"x div {_SP_EPS}").alias("cx"),
+        F.expr(f"y div {_SP_EPS}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    b = (
+        p.crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("vec_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.expr(f"x div {_SP_EPS}") + F.col("dx")).alias("cx"),
+            (F.expr(f"y div {_SP_EPS}") + F.col("dy")).alias("cy"),
+        )
+    )
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= _SP_EPS)
+            & (F.abs(F.col("ay") - F.col("by")) <= _SP_EPS)
+        )
+        .select(
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            ).alias("d")
+        )
+    )
+    return (
+        pairs.groupBy(F.expr("d div 100").cast("long").alias("dist_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(d) div count(*)")
+            .cast("long")
+            .alias("mean_d_tick"),
+        )
+        .orderBy("dist_bucket")
+    )

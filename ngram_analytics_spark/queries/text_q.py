@@ -1401,3 +1401,122 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_readability.__doc__ = q_text_readability.__doc__.format(
     st=_READ_SENT_TOKENS
 )
+
+
+# ------------------------------------------------- learning curve
+
+#: id-ordered eval-prefix grid (the q_vocab_growth geometry).
+_LC_GRID = (4, 16, 64, 256, 1024)
+
+
+@REG.register(
+    "q_ml_learning_curve",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+                   CASE WHEN {_SW_RATIO} >= 0.05 THEN 1 ELSE 0 END
+                       AS pred
+            FROM documents
+        ), grid AS (
+            SELECT unnest([{", ".join(str(g) for g in _LC_GRID)}]) AS g
+        ), c AS (
+            SELECT g,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(truth * pred) AS BIGINT) AS tp,
+                   CAST(sum((1 - truth) * pred) AS BIGINT) AS fp,
+                   CAST(sum(truth * (1 - pred)) AS BIGINT) AS fn,
+                   CAST(sum((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+            FROM grid JOIN p ON p.doc_id < grid.g
+            GROUP BY g
+        )
+        SELECT CAST(g AS BIGINT) AS g, n_docs, tp, fp, fn, tn,
+               CAST(floor((tp + tn) * 1000000.0 / n_docs) AS BIGINT)
+                   AS accuracy_ppm,
+               CAST(floor(2 * tp * 1000000.0
+                          / NULLIF(2 * tp + fp + fn, 0)) AS BIGINT)
+                   AS f1_ppm
+        FROM c
+        ORDER BY g
+    """,
+)
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-vs-eval-size curve for the q_text_langid heuristic:
+    the full confusion census re-evaluated on the id-ordered corpus
+    prefixes {grid} (the q_vocab_growth grid) — accuracy and F1 as a
+    function of how much evaluation data the gate has seen, the
+    stability read a pipeline does before trusting a small holdout
+    (a metric still swinging between the 256- and 1024-doc prefixes
+    is not converged, whatever its point value says).
+
+    Plan: ONE tokenized scan projects per-doc (truth, pred), the
+    broadcast {n}-point grid fans each doc into its covering
+    prefixes, ONE map-side-combined groupBy to {n} rows. The metric
+    algebra runs on the {n}-row rollup; every cell is an integer
+    count, every rate one floor.
+
+    Determinism: the 0.05 heuristic threshold and stopword list are
+    the shared q_ml_confusion constants (one definition — the
+    desync-proofing discipline of _CONF_CELLS_SQL)."""
+    df = tokenized_docs(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / F.size("tokens")
+    )
+    p = df.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred"),
+    )
+    grid = spark.createDataFrame([(g,) for g in _LC_GRID], "g long")
+    c = (
+        p.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") < F.col("g"))
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("truth") * F.col("pred"))
+            .cast("long")
+            .alias("tp"),
+            F.sum((1 - F.col("truth")) * F.col("pred"))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.col("truth") * (1 - F.col("pred")))
+            .cast("long")
+            .alias("fn"),
+            F.sum((1 - F.col("truth")) * (1 - F.col("pred")))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    return c.select(
+        "g",
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.floor(
+            (F.col("tp") + F.col("tn")) * F.lit(1_000_000.0) / F.col("n_docs")
+        )
+        .cast("long")
+        .alias("accuracy_ppm"),
+        F.floor(
+            2
+            * F.col("tp")
+            * F.lit(1_000_000.0)
+            / F.nullif(
+                2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    ).orderBy("g")
+
+
+q_ml_learning_curve.__doc__ = q_ml_learning_curve.__doc__.format(
+    grid=_LC_GRID, n=len(_LC_GRID)
+)

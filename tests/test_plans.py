@@ -414,6 +414,15 @@ NESTED_LOOP_OK = {
                              # class)
     "q_sample_bootstrap",    # 16-row replicate-dim broadcast cross
                              # onto the scan (q_ml_roc_points class)
+    "q_join_spatial_grid",   # 9-row neighbor-offset broadcast cross
+                             # onto the point scan; the JOIN itself is
+                             # the (cx, cy) hash equi-join
+    "q_ml_learning_curve",   # 5-row prefix-grid broadcast cross onto
+                             # the per-doc projection (q_vocab_growth
+                             # class)
+    "q_ml_spearman",         # triangular offset join over the score-
+                             # tick BUCKET summary inside
+                             # grouped_value_cumsum (q_ml_auc class)
 }
 
 

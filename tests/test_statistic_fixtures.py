@@ -966,3 +966,220 @@ def test_sample_bootstrap_pure_python_mirror(spark, tmp_path):
     assert r.boot_hi_tick == max(present)
     assert r.boot_range_tick == max(present) - min(present)
     assert r.boot_mean_tick == sum(present) // 16
+
+
+# ------------------------------------------------------ Spearman rho
+
+
+def test_spearman_closed_form(spark, tmp_path):
+    """4 rows with a tie in both variables and perfect rank
+    agreement: scores 0.1/0.2/0.2/0.3 vs labels 0/1/1/2.  Doubled
+    average ranks are 2/5/5/8 on both sides, so
+
+      Sx = Sy = 20, Sxy = Sxx = Syy = 118,
+      num = 4*118 - 400 = 72, den = sqrt(72)*sqrt(72)
+
+    and rho = +1 -> 1000000 ppm (the den rounds to 71.999999999999986
+    in IEEE, which still floors to 1000000 — verified by the same
+    arithmetic in pure Python)."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 0),
+        (1, mk(0.2), 1),
+        (2, mk(0.2), 1),
+        (3, mk(0.3), 2),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_spearman")(spark, sf).collect()
+    assert len(r) == 1
+    assert r[0].n == 4
+    assert r[0].spearman_ppm == 1_000_000
+
+
+def test_spearman_perfect_inversion(spark, tmp_path):
+    """Reversed labels -> rho = -1 (within one floor tick)."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 3),
+        (1, mk(0.2), 2),
+        (2, mk(0.3), 1),
+        (3, mk(0.4), 0),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_spearman")(spark, sf).collect()[0]
+    assert r.spearman_ppm in (-1_000_000, -1_000_001)
+
+
+# --------------------------------------------------- ordinal patterns
+
+
+def test_ordinal_patterns_closed_form(spark, tmp_path):
+    """Daily counts 1,3,2,2,5 for one type: windows (1,3,2) ->
+    pattern 6 (rise then fall), (3,2,2) -> 0 (fall then tie-flat),
+    (2,2,5) -> 3 (flat then rise) — one each, share 333333."""
+    counts = [1, 3, 2, 2, 5]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 2, day, 9, 0, 0),
+                    0,
+                    "buy",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r.pattern: r for r in _q("q_ts_ordinal")(spark, sf).collect()}
+    assert set(out) == {0, 3, 6}
+    for p in (0, 3, 6):
+        assert out[p].n == 1
+        assert out[p].share_ppm == 333333
+        assert out[p].modal_share_ppm == 333333
+
+
+# ----------------------------------------------------- learning curve
+
+
+def test_learning_curve_closed_form(spark, tmp_path):
+    """The q_ml_mcc 12-doc confusion corpus with ids in cell order
+    (tp 0-3, fp 4-5, fn 6, tn 7-11): the 4-doc prefix is all-tp
+    (accuracy 1.0); the 16-doc prefix covers all 12 docs (accuracy
+    9/12, F1 8/11)."""
+    sw = "the a of and to"
+    hard = "xx yy zz qq"
+    rows = []
+    did = 0
+
+    def doc(text, lang):
+        nonlocal did
+        rows.append((did, text, lang, "synthetic", len(text)))
+        did += 1
+
+    for _ in range(4):
+        doc(sw, "en")
+    for _ in range(2):
+        doc(sw, "fr")
+    doc(hard, "en")
+    for _ in range(5):
+        doc(hard, "fr")
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r.g: r for r in _q("q_ml_learning_curve")(spark, sf).collect()}
+    assert set(out) == {4, 16, 64, 256, 1024}
+    assert out[4].n_docs == 4
+    assert (out[4].tp, out[4].accuracy_ppm, out[4].f1_ppm) == (
+        4,
+        1_000_000,
+        1_000_000,
+    )
+    assert out[16].n_docs == 12
+    assert out[16].accuracy_ppm == 9_000_000 // 12
+    assert out[16].f1_ppm == 8_000_000 // 11
+    assert out[1024].accuracy_ppm == out[16].accuracy_ppm
+
+
+# -------------------------------------------------------- DP release
+
+
+def test_dp_hist_pure_python_mirror(spark, tmp_path):
+    """Two nations with hand counts 3 and 7; noise mirrored via
+    hashlib.md5 of the same 'dp:<key>' seed (shares no code with
+    either engine)."""
+    import hashlib
+
+    cust = [(i, 0) for i in range(3)] + [(100 + i, 1) for i in range(7)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "customer",
+        [(c, k) for c, k in cust],
+        "c_custkey long, c_nationkey long",
+    )
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.mode("append").parquet(f"{sf}/nation.parquet")
+
+    def mirror(key, true_n):
+        hx = hashlib.md5(f"dp:{key}".encode()).hexdigest()
+        u = int(hx[:8], 16) % 1_000_000
+        sgn = 1 if int(hx[8], 16) % 2 == 0 else -1
+        for m, c in ((0, 500000), (1, 750000), (2, 875000),
+                     (3, 937500), (4, 968750)):
+            if u < c:
+                mag = m
+                break
+        else:
+            mag = 5
+        return sgn * mag, max(0, true_n + sgn * mag)
+
+    out = {r.n_name: r for r in _q("q_privacy_dp_hist")(spark, sf).collect()}
+    for key, name, n in ((0, "ALPHA", 3), (1, "BETA", 7)):
+        noise, released = mirror(key, n)
+        assert out[name].true_n == n
+        assert out[name].noise == noise
+        assert out[name].released_n == released
+
+
+# ------------------------------------------------------- spatial grid
+
+
+def test_spatial_grid_closed_form(spark, tmp_path):
+    """4 points at DYADIC coordinates (exact in float32, so the
+    1e-4 floor ticks are hand-derivable): 0 -> (0, 0) tick (0, 0),
+    1 -> (2^-6, 2^-6) tick (156, 156), 2 -> (-2^-10, 0) tick
+    (-10, 0), 3 -> (0.25, 0.25) tick (2500, 2500).  Qualifying
+    pairs: 0-1 d=156, 0-2 d=10, 1-2 d=166; point 3 pairs with
+    nothing.  Buckets: 0 -> 1 pair (mean 10), 1 -> 2 pairs (mean
+    161).  Point 2 sits in a different truncation cell than 0/1, so
+    the 3x3 neighbor replication must find the cross-cell pairs."""
+    mk = lambda a, b: [float(a), float(b)] + [0.0] * 62  # noqa: E731
+    rows = [
+        (0, mk(0.0, 0.0), 0),
+        (1, mk(0.015625, 0.015625), 0),
+        (2, mk(-0.0009765625, 0.0), 0),
+        (3, mk(0.25, 0.25), 0),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.dist_bucket: r
+        for r in _q("q_join_spatial_grid")(spark, sf).collect()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0].n_pairs, out[0].mean_d_tick) == (1, 10)
+    assert (out[1].n_pairs, out[1].mean_d_tick) == (2, 161)
