@@ -248,6 +248,7 @@ EXTENDED = [
     "q_ml_learning_curve",    # metric vs eval-size curve
     "q_ts_ordinal",           # ordinal-pattern census
     "q_privacy_dp_hist",      # noisy-count release
+    "q_dedup_cross_source",   # source-pair containment matrix
 ]
 
 

@@ -139,7 +139,15 @@ def minhash_lsh_candidates(
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
     )
-    feats = tf.transform(shingled)
+    # Plan barrier (tools/null_probe.py): approxSimilarityJoin's
+    # self-join re-analysis re-derives both sides from the raw child
+    # and can evaluate the MinHash hashFunction UDF on rows the
+    # size(_shingles) > 0 filter excludes — on a corpus with NULL or
+    # sub-shingle documents that is an empty vector and MLlib raises
+    # "Must have at least 1 non zero entry". The eager checkpoint
+    # freezes the filtered, featurized table so the join cannot
+    # reorder across the filter.
+    feats = tf.transform(shingled).localCheckpoint(eager=True)
     lsh = MinHashLSH(
         inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -27,7 +27,14 @@ FEATURE_SCHEMA = (
 
 def to_blob_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Simulate a multimodal table: text bytes as the opaque payload +
-    typed metadata struct (what an image/audio ingest would carry)."""
+    typed metadata struct (what an image/audio ingest would carry).
+
+    NULL contract (tools/null_probe.py): a blob store has no NULL
+    payloads — NULL source rows are excluded at ingest here (the
+    decode stubs would otherwise crash on a None payload inside the
+    Arrow batch); every consumer's oracle carries the matching
+    ``WHERE text IS NOT NULL``."""
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),

@@ -25,10 +25,9 @@ from ngram_analytics_spark.registry import QueryRegistry
 # (trainer factored into the _bpe_train helper shared with
 # q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
 # added: their kernels ran on the single scan task at 4% cpu —
-# the r10 sf1 adjudication) — then the 30 keys NEW in r10, then 1
-# key of the r3-certification cohort oldest-first (alphabetical
-# within the cohort); the cohort's remaining 43 keys queue in
-# DEFERRED_R11 below.  Changed/new keys outrank hygiene re-certification because
+# the r10 sf1 adjudication) — then the 31 keys NEW in r10; the
+# late-r10 new-key batches displaced ALL 14 r3-cohort fills, so the
+# cohort's full 44 keys queue in DEFERRED_R11 below.  Changed/new keys outrank hygiene re-certification because
 # they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
@@ -84,8 +83,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_learning_curve",
     "q_ts_ordinal",
     "q_privacy_dp_hist",
-    # --- r3-cohort re-certification, oldest-first tranche 1/2 ---
-    "q_agg_bool",
+    "q_dedup_cross_source",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -95,11 +93,12 @@ DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 DEFERRED_R10: tuple[str, ...] = ()
 
-#: Tail of the r3-cohort re-certification rotation (the 43 keys the
-#: r10 window had no room for — the two late-r10 new-key batches
-#: displaced 13 fills, new keys outranking hygiene) — queued to lead
-#: the round-11 graded window.
+#: Tail of the r3-cohort re-certification rotation (the 44 keys the
+#: r10 window had no room for — the late-r10 new-key batches
+#: displaced all 14 fills, new keys outranking hygiene) — queued to
+#: lead the round-11 graded window.
 DEFERRED_R11: tuple[str, ...] = (
+    "q_agg_bool",
     "q_cte_recursive",
     "q_doc_lm_score",
     "q_ewma",

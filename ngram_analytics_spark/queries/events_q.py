@@ -246,7 +246,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, value,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ), rec AS (
             SELECT user_id, rn, value AS e FROM base WHERE rn = 1
             UNION ALL
@@ -273,9 +273,16 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so results match bit-for-bit, not just to tolerance.
 
     Cited parity: reference has no stateful operator; this extends the
-    SURVEY.md §2.B time-series family (q_ts_*)."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+    SURVEY.md §2.B time-series family (q_ts_*).
+
+    NULL contract (tools/null_probe.py): a NULL value is an absent
+    sample — filtered before the recursion on BOTH engines (the
+    pandas loop would propagate NaN forever; the oracle's arg_max
+    would silently skip it — probed divergent, now aligned)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
     )
     a, b = float(_EWMA_A), float(_EWMA_B)
 
@@ -551,7 +558,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE daily AS (
             SELECT event_type, date_trunc('day', ts) AS d,
                    SUM({_oracle_quantized("value", 1000000.0)}) AS x
-            FROM events GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ), base AS (
             SELECT event_type, d, x,
                    row_number() OVER (PARTITION BY event_type
@@ -603,8 +610,15 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type over the tiny aggregated series (days-per-type rows)
     inside `applyInPandas`. All arithmetic is int64 1e-6 ticks —
     sums, the floored target, and the clamp are exact integers in
-    both engines, so the parity hash cannot lose an ulp anywhere."""
-    e = load(spark, sf_dir, "events").select(
+    both engines, so the parity hash cannot lose an ulp anywhere.
+
+    NULL contract (tools/null_probe.py): NULL values are absent
+    samples, filtered before the rollup on BOTH engines (an all-NULL
+    day otherwise yields a NULL daily mass that NaN-crashes the scan
+    loop — probed, now aligned)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("d"),
         _quantized(F.col("value"), 1_000_000.0).alias("vt"),

@@ -77,7 +77,7 @@ _J_RATIO = (
     oracle=f"""
         WITH s AS (
             SELECT doc_id, list_distinct({ngrams_sql(TOKENS, 2)}) AS st
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                {_J_COMMON} AS n_common,
@@ -105,8 +105,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row shingle construction runs plan-wide, not on one core.
     # tokenizer hoisted to its own projection (longdoc probe r9:
     # 18x at equal token mass with split() inside the slice lambda)
+    # NULL contract (tools/null_probe.py): NULL text = no shingles —
+    # filtered on BOTH engines before pairing.
     d = (
         spread(load(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("st", F.array_distinct(ngram_col("toks", 2)))
     )
@@ -128,9 +131,14 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.register("q_dedup_fuzzy")  # rows-only: MinHash family is impl-specific
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (seeded, deterministic within
-    Spark; hash family not reproducible in SQL => rows-only check)."""
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "tokens", F.split("text", " ")
+    Spark; hash family not reproducible in SQL => rows-only check).
+
+    NULL contract (tools/null_probe.py): NULL text filtered — MLlib's
+    MinHashLSH raises on a NULL token array."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tokens", F.split("text", " "))
     )
     return minhash_lsh_candidates(
         docs, "doc_id", "tokens", max_jaccard_distance=0.5
@@ -476,7 +484,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ascii(text) AS INTEGER) AS first_byte,
                CAST(octet_length(encode(text)) % 64 AS INTEGER) AS fake_w,
                CAST(octet_length(encode(text)) % 48 AS INTEGER) AS fake_h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +504,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS INTEGER) AS frame_val
         FROM documents, UNNEST(range(0, octet_length(encode(text)), 100))
              AS t(off)
+        WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +539,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents,
              UNNEST(range(0, least(8, octet_length(encode(text)))))
                  AS t(i)
+        WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3288,9 +3298,11 @@ def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_dedup",
     oracle="""
         WITH b AS (
+            -- NULL contract: blob ingest (to_blob_table) excludes
+            -- NULL payloads (tools/null_probe.py)
             SELECT doc_id, sha256(text) AS h,
                    CAST(octet_length(encode(text)) AS BIGINT) AS nb
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), g AS (
             SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
                    min(nb) AS n_bytes
@@ -4564,3 +4576,120 @@ def q_ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spearman_ppm"),
     )
+
+
+# -------------------------------------------- cross-source containment
+
+#: cross-source census: 4-token shingles, top-50 source pairs.
+_XS_N = 4
+_XS_TOPK = 50
+
+
+@REG.register(
+    "q_dedup_cross_source",
+    oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   list_distinct({ngrams_sql(TOKENS, _XS_N)}) AS st
+            FROM documents
+        ), post AS (
+            SELECT DISTINCT source, unnest(st) AS sh FROM d
+        ), tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS total_sh
+            FROM post GROUP BY source
+        ), pairs AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS shared_sh
+            FROM post a JOIN post b
+              ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.s1, p.s2, p.shared_sh,
+               t1.total_sh AS total_s1, t2.total_sh AS total_s2,
+               CAST(p.shared_sh * 1000000 // t1.total_sh AS BIGINT)
+                   AS cont_s1_ppm,
+               CAST(p.shared_sh * 1000000 // t2.total_sh AS BIGINT)
+                   AS cont_s2_ppm
+        FROM pairs p
+        JOIN tot t1 ON p.s1 = t1.source
+        JOIN tot t2 ON p.s2 = t2.source
+        ORDER BY p.shared_sh DESC, p.s1 ASC, p.s2 ASC
+        LIMIT {_XS_TOPK}
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE containment matrix: for every source pair, the
+    number of distinct {n}-token shingles they share and each side's
+    containment ratio — the which-source-copies-from-which census
+    that decides dedup ORDER in a multi-source curation run (dedup
+    the contained source against the containing one, not vice versa;
+    the CCNet/RefinedWeb playbook) and flags licensing-risk mirrors.
+    Complements the doc-grain dedup family with the corpus-grain
+    rollup a curation review actually starts from.
+
+    The scale shape: docs compress to the DISTINCT (source, shingle)
+    postings table (per-doc shingles are array_distinct'd map-side,
+    cross-doc by ONE distinct); the pair census is a self-equi-join
+    on the shingle key whose per-key fan-out is bounded by |sources|
+    (<= 20 rows per shingle — NOT document df, so a 10k-doc
+    boilerplate flood costs the same as a 2-doc one), then a
+    |sources|^2-cell groupBy. Totals re-join broadcast.
+
+    Determinism: exact distinct counts, floor-div ppm, (shared, s1,
+    s2) tie-broken top-{k}."""
+    from ngram_analytics_spark.operators import spread
+    from ngram_analytics_spark.operators.ngram import ngram_col
+
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("source", F.split("text", " ").alias("toks"))
+        .withColumn("st", F.array_distinct(ngram_col("toks", _XS_N)))
+    )
+    post = d.select(
+        "source", F.explode("st").alias("sh")
+    ).distinct()
+    tot = post.groupBy("source").agg(
+        F.count("*").cast("long").alias("total_sh")
+    )
+    a = post.select(F.col("source").alias("s1"), "sh")
+    b = post.select(F.col("source").alias("s2"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("shared_sh"))
+    )
+    t1 = tot.select(
+        F.col("source").alias("s1"), F.col("total_sh").alias("total_s1")
+    )
+    t2 = tot.select(
+        F.col("source").alias("s2"), F.col("total_sh").alias("total_s2")
+    )
+    return (
+        pairs.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared_sh",
+            "total_s1",
+            "total_s2",
+            F.expr("shared_sh * 1000000 div total_s1")
+            .cast("long")
+            .alias("cont_s1_ppm"),
+            F.expr("shared_sh * 1000000 div total_s2")
+            .cast("long")
+            .alias("cont_s2_ppm"),
+        )
+        .orderBy(
+            F.col("shared_sh").desc(),
+            F.col("s1").asc(),
+            F.col("s2").asc(),
+        )
+        .limit(_XS_TOPK)
+    )
+
+
+q_dedup_cross_source.__doc__ = q_dedup_cross_source.__doc__.format(
+    n=_XS_N, k=_XS_TOPK
+)

@@ -248,6 +248,7 @@ _PACK_BUDGET = 256
         WITH toks AS (
             SELECT doc_id, lang, len({TOKENS}) AS n_tok
             FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
         ), cum AS (
             SELECT doc_id, lang, n_tok,
                    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
@@ -280,8 +281,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_ordered_cumsum,
     )
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    # NULL contract (tools/null_probe.py): NULL text packs nothing and
+    # packing is per-lang, so NULL-lang docs route through a langid
+    # pass first — both filtered on BOTH engines (a NULL n_tok
+    # otherwise poisons the running cumsum for every later doc in the
+    # lang, and NULL lang keys fall out of the bucket-offset
+    # equi-join on one engine only).
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+        )
     )
     cum = grouped_ordered_cumsum(d, "lang", "doc_id", "n_tok", 4096)
     return (
@@ -950,6 +961,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_toks,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
         FROM documents
+        WHERE lang IS NOT NULL AND text IS NOT NULL
     GROUP BY lang
     """,
 )
@@ -969,9 +981,17 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive a line-oriented dump at all — `read.text` would split the
     row — so the writer raises on them instead of silently corrupting
     (ADVICE r5: the old split_part parse also truncated tab-bearing
-    text; both invariants are now explicit)."""
+    text; both invariants are now explicit).
+
+    NULL contract (tools/null_probe.py): a line-oriented dump has no
+    NULL representation — concat_ws silently DROPS a NULL field and
+    shifts every later one (the probe read doc_ids back as langs), so
+    NULL lang/text rows are excluded from the dump on BOTH engines,
+    the third explicit invariant of this format."""
     out = _roundtrip_dir(spark, sf_dir, "text")
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
     (
         d.select(
             F.when(
@@ -1309,7 +1329,7 @@ _BIN_MOD = 17
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                md5(text) AS digest
         FROM documents
-        WHERE doc_id % {_BIN_MOD} = 0
+        WHERE doc_id % {_BIN_MOD} = 0 AND text IS NOT NULL
         ORDER BY doc_id
     """,
 )
@@ -1338,9 +1358,14 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _roundtrip_dir(spark, sf_dir, "binary")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+    # NULL contract (tools/null_probe.py): a payload export has no
+    # file to write for an absent payload — filtered on BOTH engines.
     sel = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _BIN_MOD == 0)
+        .filter(
+            (F.col("doc_id") % _BIN_MOD == 0)
+            & F.col("text").isNotNull()
+        )
         .select("doc_id", "text")
     )
 
@@ -1379,6 +1404,7 @@ _CLOZE_TOKEN = "<mask>"
     oracle=f"""
         WITH t AS (
             SELECT doc_id, {TOKENS} AS toks FROM documents
+            WHERE text IS NOT NULL
         ), m AS (
             SELECT doc_id, toks,
                    list_transform(
@@ -1453,8 +1479,11 @@ def q_text_cloze(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     masked_idx = F.filter(idx, is_masked)
+    # NULL contract (tools/null_probe.py): NULL text = nothing to
+    # corrupt — filtered on BOTH engines.
     return (
         spread(load(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
         "doc_id",

@@ -57,7 +57,7 @@ _ISLAND_GAP_S = 300
                           '@mail.example call +1-555-',
                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
                           ' from 10.', CAST(doc_id % 256 AS VARCHAR),
-                          '.0.1 ', text) AS t
+                          '.0.1 ', coalesce(text, '')) AS t
             FROM documents
         )
         SELECT doc_id,
@@ -83,7 +83,13 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compile the identical automaton. Pure scan-stage
     projection: no shuffle, no Python — regexp_count/regexp_replace are
     codegen'd JVM expressions, and at 100 TB this is the ideal shape
-    (row-parallel, no state, pushdown-friendly)."""
+    (row-parallel, no state, pushdown-friendly).
+
+    NULL contract (tools/null_probe.py): text coalesces to '' inside
+    the concat on BOTH engines — Spark's concat is NULL-propagating
+    while DuckDB's skips NULLs, the one concat-semantics divergence
+    the probe caught; the scrubber still scans the planted header of
+    a body-less doc."""
     p = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
@@ -95,7 +101,7 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" from 10."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".0.1 "),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
         ).alias("t"),
     )
     red = F.regexp_replace(
@@ -1083,8 +1089,9 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dq_homogeneity",
     oracle="""
         WITH cells AS (
-            SELECT source, lang, CAST(count(*) AS BIGINT) AS o
-            FROM documents GROUP BY source, lang
+            SELECT source, coalesce(lang, 'und') AS lang,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
         ), rt AS (
             SELECT source, CAST(sum(o) AS BIGINT) AS r
             FROM cells GROUP BY source
@@ -1133,8 +1140,15 @@ def q_dq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE map-side-combined (source, lang) groupBy — everything
     after lives on the cell domain (row/column totals re-aggregate
-    the cells, never the facts)."""
-    d = load(spark, sf_dir, "documents")
+    the cells, never the facts).
+
+    NULL contract (tools/null_probe.py): unknown lang is a REAL
+    category for a homogeneity gate — coalesced to 'und' on BOTH
+    engines (a NULL lang cell otherwise falls out of the lang-keyed
+    equi-joins and the two engines count the domain differently)."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.coalesce("lang", F.lit("und")).alias("lang")
+    )
     cells = d.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("o")
     )

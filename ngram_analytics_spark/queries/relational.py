@@ -971,13 +971,20 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
                    AS total_len,
                len(flatten([toks[1:2], toks[3:4]])) AS n_flat
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL)
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function family incl. higher-order transform/filter/aggregate."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.col("text"), " ")
+    """Array function family incl. higher-order transform/filter/aggregate.
+
+    NULL contract (tools/null_probe.py): NULL text filtered on BOTH
+    engines — the engines disagree on NULL-array scalars (Spark
+    concat_ws renders '' where DuckDB keeps NULL)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.split(F.col("text"), " "))
     )
     return d.select(
         "doc_id",

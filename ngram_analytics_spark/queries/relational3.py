@@ -211,14 +211,18 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
                (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
-        FROM events
+        FROM events WHERE props IS NOT NULL
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface over the JSON props column: parse -> map_keys /
     cardinality / lookup / membership (events.props is a JSON string,
-    FIXTURES.md)."""
-    e = load(spark, sf_dir, "events")
+    FIXTURES.md).
+
+    NULL contract (tools/null_probe.py): NULL props filtered on BOTH
+    engines — Spark map_contains_key(NULL) is NULL where DuckDB's
+    IS NOT NULL probe renders false."""
+    e = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",

@@ -223,15 +223,20 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS first_an,
                regexp_matches(text, 'scan (table|index)') AS has_scan_phrase,
                split_part(text, ' ', 3) AS third_token
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_fn_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second regexp family: occurrence counting (regexp_count), first
     match extraction (regexp_substr), boolean match (rlike), and
     split_part. All JVM-side codegen'd expressions — no Python in the
-    row path."""
-    d = load(spark, sf_dir, "documents")
+    row path.
+
+    NULL contract (tools/null_probe.py): NULL text filtered on BOTH
+    engines — split_part(NULL) is NULL in Spark but '' in DuckDB."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit("the")).alias("n_the"),
@@ -775,7 +780,7 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(len(longs) AS INT) AS n_long,
-               unnest(CASE WHEN len(longs) = 0
+               unnest(CASE WHEN longs IS NULL OR len(longs) = 0
                            THEN [CAST(NULL AS VARCHAR)]
                            ELSE longs END) AS tok
         FROM t
@@ -789,8 +794,11 @@ def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inner explode silently drops parents, the classic row-loss bug).
 
     The generator runs inside the scan stage (no shuffle). DuckDB has
-    no outer unnest, so the oracle lifts empty lists to [NULL] before
-    unnesting — spelling out exactly the semantics under test."""
+    no outer unnest, so the oracle lifts empty AND NULL lists to
+    [NULL] before unnesting — spelling out exactly the semantics
+    under test (Spark's explode_outer preserves the parent for a NULL
+    array too; tools/null_probe.py caught the oracle covering only
+    the empty case)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 8)
     return d.select(

@@ -821,7 +821,7 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-            FROM events
+            FROM events WHERE props IS NOT NULL
         )
     """,
 )
@@ -835,8 +835,16 @@ def q_fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives every expected output ARITHMETICALLY from the underlying
     json value — certifying the Spark lambdas against independently
     computed results rather than a same-shaped query. All expressions
-    are JVM codegen (no UDFs); per-row, shuffle-free."""
-    e = load(spark, sf_dir, "events").select("event_id", "props")
+    are JVM codegen (no UDFs); per-row, shuffle-free.
+
+    NULL contract (tools/null_probe.py): NULL props filtered on BOTH
+    engines (the arithmetic oracle renders constants where the Spark
+    lambdas propagate NULL)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select("event_id", "props")
+    )
     m = F.from_json("props", "map<string,int>")
     m10 = F.transform_values(m, lambda k, v: v * 10)
     return e.select(
@@ -870,7 +878,7 @@ def q_fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(json_extract_string(props, '$.k') AS INTEGER) * 100
                    AS arr_first,
                CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
-        FROM events
+        FROM events WHERE props IS NOT NULL
     """,
 )
 def q_fn_json2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,9 +892,16 @@ def q_fn_json2(spark: SparkSession, sf_dir: str) -> DataFrame:
     number formatting against a string the oracle assembles by hand;
     the array columns certify array indexing on a document BUILT
     in-plan (so the oracle can derive the expectations
-    arithmetically). All JVM codegen, per-row, shuffle-free."""
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", "props"
+    arithmetically). All JVM codegen, per-row, shuffle-free.
+
+    NULL contract (tools/null_probe.py): NULL props filtered on BOTH
+    engines (Spark to_json still packs the non-props fields of a
+    NULL-props row while the hand-assembled oracle string collapses
+    to NULL — probed divergent, now aligned)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select("event_id", "event_type", "props")
     )
     # parse the document ONCE (json_tuple generator); every other
     # column derives from the extracted value — the naive spelling
@@ -930,7 +945,7 @@ def q_fn_json2(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS k_back,
                event_type AS type_back,
                2 AS n_entries
-        FROM events
+        FROM events WHERE props IS NOT NULL
     """,
 )
 def q_fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,9 +959,15 @@ def q_fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     it re-derives the built string and the expected extractions from
     the underlying columns, certifying Spark's parse against
     independently computed values (the q_fn_map2 discipline).
-    Per-row codegen, shuffle-free."""
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", "props"
+    Per-row codegen, shuffle-free.
+
+    NULL contract (tools/null_probe.py): NULL props filtered on BOTH
+    engines (the NULL-propagating Spark concat vs DuckDB's
+    NULL-skipping || diverge on the built string)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select("event_id", "event_type", "props")
     )
     kv_text = F.concat(
         F.lit("k="),

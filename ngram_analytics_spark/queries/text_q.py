@@ -272,7 +272,13 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import IDF, HashingTF
     from pyspark.ml.functions import vector_to_array
 
-    docs = tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    # NULL contract (tools/null_probe.py): NULL text filtered —
+    # HashingTF raises on a NULL token array.
+    docs = (
+        tokenized_docs(spark, sf_dir)
+        .filter(F.col("tokens").isNotNull())
+        .select("doc_id", "tokens")
+    )
     tf = HashingTF(inputCol="tokens", outputCol="_tf", numFeatures=1 << 16)
     tfd = tf.transform(docs)
     idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(tfd)
@@ -333,7 +339,7 @@ _FP_WINNOW_W = 4
                        i -> CAST('0x' || substring(
                                 md5(substring(lower(text), i, 8)), 1, 8)
                             AS BIGINT)) AS hs
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                list_min(hs) AS fp_min,
@@ -377,8 +383,13 @@ def q_text_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: 47.3x at equal token mass); slice on the array is O(8) and
     # size(_lc) == length(text) keeps the sequence bound identical
     # (empty text: _lc = [''] joins back to '' like substring did)
+    # NULL contract (tools/null_probe.py): no fingerprint for absent
+    # text — filtered on BOTH engines (NULL otherwise rides the
+    # greatest() clamp into a phantom [NULL] shingle, and the two
+    # engines disagree on its winnow count).
     d = (
         spread(load(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower("text"), "").alias("_lc"))
         .withColumn(
             "_hs",

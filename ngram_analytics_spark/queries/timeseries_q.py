@@ -393,6 +393,7 @@ REG.oracles["q_stream_live_session"] = REG.oracles["q_stream_session"]
                    AS close,
                count(*) AS n_ticks
         FROM events
+        WHERE value IS NOT NULL
         GROUP BY 1, 2
     """,
 )
@@ -401,8 +402,15 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the financial-bars / sensor-rollup shape. One map-side-combined
     aggregation; open/close ride min_by/max_by over a lexicographic
     (epoch, event_id) string key, so ties are broken identically on
-    both engines (DuckDB's arg_min can't order by struct)."""
-    e = load(spark, sf_dir, "events")
+    both engines (DuckDB's arg_min can't order by struct).
+
+    NULL contract (tools/null_probe.py): NULL values are absent ticks,
+    filtered on BOTH engines (Spark min_by returns a NULL value at
+    the min key while DuckDB arg_min skips NULL-value rows — probed
+    divergent, now aligned; n_ticks counts present ticks)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     k = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
@@ -773,7 +781,7 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "ORDER BY ts, event_id "
                    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
                )} AS med7
-        FROM events
+        FROM events WHERE value IS NOT NULL
     """,
 )
 def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,7 +795,13 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's continuous-median semantics on DOUBLE). The frame bound
     caps per-row state at 7 values, so the window is one shuffle on
     user_id and O(frame log frame) per row — safe at any scale. Ties
-    on ts break on event_id, pinning frame contents across engines."""
+    on ts break on event_id, pinning frame contents across engines.
+
+    NULL contract (tools/null_probe.py): NULL values are absent
+    observations, filtered before the window on BOTH engines (an
+    all-NULL frame otherwise makes collect_list empty and
+    element_at(arr, 0) raise — probed, now aligned; the frame spans
+    the trailing 7 PRESENT observations)."""
     from pyspark.sql.window import Window as W
 
     w = (
@@ -804,8 +818,10 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
     mid = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
     med = F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2.0)
-    return load(spark, sf_dir, "events").select(
-        "event_id", "user_id", round4det(med).alias("med7")
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", round4det(med).alias("med7"))
     )
 
 
@@ -947,7 +963,7 @@ def q_ts_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                        || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                    AS last_value
-        FROM events GROUP BY user_id
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
     """,
 )
 def q_stream_live_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,12 +983,20 @@ def q_stream_live_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-pass over the in-memory sink. The oracle is the equivalent
     batch aggregate with the same lexicographic (epoch, event_id)
     tie-break as q_ts_ohlc. State is one fixed-width row per user —
-    GC-bounded by the key domain, the scalable shape."""
+    GC-bounded by the key domain, the scalable shape.
+
+    NULL contract (tools/null_probe.py): NULL-value writes are
+    dropped before the state operator on BOTH engines (DuckDB's
+    arg_max skips NULL values while the state cache would store them
+    — probed divergent, now aligned: the cache tracks the last
+    PRESENT value)."""
     import hashlib
 
     from ngram_analytics_spark import streaming as S
 
-    events = S.read_events_stream(spark, sf_dir)
+    events = S.read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
     st = S.lww_state(events)
     name = "t_live_lww_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     S.run_to_memory(st, name, output_mode="update")
@@ -1376,6 +1400,7 @@ _LB_TOPK = 3
                                     WHEN value > 0 THEN 1
                                     ELSE 0 END)) AS BIGINT) AS ticks
             FROM events
+            WHERE value IS NOT NULL
             GROUP BY event_type, user_id
         ), r AS (
             SELECT event_type, user_id, n_events, ticks,
@@ -1417,7 +1442,11 @@ def q_stream_live_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ngram_analytics_spark import streaming as S
 
-    events = S.read_events_stream(spark, sf_dir)
+    # NULL contract (tools/null_probe.py): NULL-value events carry no
+    # ticks — dropped before the state operator on BOTH engines.
+    events = S.read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
     st = S.leaderboard_state(events)
     name = "t_live_lb_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     S.run_to_memory(st, name, output_mode="update")

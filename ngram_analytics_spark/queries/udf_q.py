@@ -275,7 +275,8 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (CASE WHEN value < 0 THEN -1
                                WHEN value > 0 THEN 1 ELSE 0 END))
                        AS click_value_t
-            FROM events WHERE event_type = 'click'
+            FROM events
+            WHERE event_type = 'click' AND value IS NOT NULL
             GROUP BY user_id
         ), p AS (
             SELECT user_id, count(*) AS n_purchases
@@ -312,9 +313,12 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "value"
-    )
+    # NULL contract (tools/null_probe.py): NULL click values carry no
+    # ticks — filtered on BOTH engines (NaN otherwise poisons the
+    # numpy tick cast inside the cogroup batch).
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select("user_id", "value")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id"
     )

@@ -1183,3 +1183,33 @@ def test_spatial_grid_closed_form(spark, tmp_path):
     assert set(out) == {0, 1}
     assert (out[0].n_pairs, out[0].mean_d_tick) == (1, 10)
     assert (out[1].n_pairs, out[1].mean_d_tick) == (2, 161)
+
+
+# ------------------------------------------------ cross-source matrix
+
+
+def test_cross_source_closed_form(spark, tmp_path):
+    """Source A = {'a b c d e'} -> shingles {abcd, bcde}; source B =
+    {'a b c d x', 'a b c d e'} -> {abcd, bcdx, bcde}.  Shared = 2
+    (abcd, bcde): containment of A = 2/2, of B = 2/3."""
+    rows = [
+        (0, "a b c d e", "en", "A", 9),
+        (1, "a b c d x", "en", "B", 9),
+        (2, "a b c d e", "en", "B", 9),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_dedup_cross_source")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.s1, r.s2) == ("A", "B")
+    assert r.shared_sh == 2
+    assert (r.total_s1, r.total_s2) == (2, 3)
+    assert r.cont_s1_ppm == 1_000_000
+    assert r.cont_s2_ppm == 666_666
