@@ -4591,7 +4591,7 @@ _XS_TOPK = 50
         WITH d AS (
             SELECT source,
                    list_distinct({ngrams_sql(TOKENS, _XS_N)}) AS st
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), post AS (
             SELECT DISTINCT source, unnest(st) AS sh FROM d
         ), tot AS (
@@ -4627,13 +4627,17 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements the doc-grain dedup family with the corpus-grain
     rollup a curation review actually starts from.
 
-    The scale shape: docs compress to the DISTINCT (source, shingle)
-    postings table (per-doc shingles are array_distinct'd map-side,
-    cross-doc by ONE distinct); the pair census is a self-equi-join
-    on the shingle key whose per-key fan-out is bounded by |sources|
-    (<= 20 rows per shingle — NOT document df, so a 10k-doc
-    boilerplate flood costs the same as a 2-doc one), then a
-    |sources|^2-cell groupBy. Totals re-join broadcast.
+    The scale shape: ONE shuffle keyed on the shingle —
+    collect_set(source) per shingle is bounded at |sources| (<= 20
+    entries no matter the document frequency, so a 10k-doc
+    boilerplate flood costs the same as a 2-doc one); pairs then
+    explode from the SORTED set via the indexed combinations lambda
+    (<= C(20,2) per shingle, most shingles are single-source and
+    emit nothing) into a |sources|^2-cell groupBy. Totals re-derive
+    from the same shingle-grouped table (set explode), never a
+    second fact pass. Re-planned from a shingle-keyed self-join
+    (6.3x at 10x data — two shingle-domain shuffles + join) to this
+    single-aggregation shape.
 
     Determinism: exact distinct counts, floor-div ppm, (shared, s1,
     s2) tie-broken top-{k}."""
@@ -4642,20 +4646,35 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         spread(load(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
         .select("source", F.split("text", " ").alias("toks"))
         .withColumn("st", F.array_distinct(ngram_col("toks", _XS_N)))
     )
-    post = d.select(
-        "source", F.explode("st").alias("sh")
-    ).distinct()
-    tot = post.groupBy("source").agg(
-        F.count("*").cast("long").alias("total_sh")
+    # explode_outer + null filter, NOT explode (the
+    # q_dedup_minhash_exact idiom): InferFiltersFromGenerate infers
+    # size(st) > 0 AND isnotnull(st) from an INNER explode and pushes
+    # THREE full copies of the non-cheap shingle expression into the
+    # scan-side filter — measured 177 s vs 3.7 s on the longdoc-probe
+    # corpus (the probe flagged this query at 29x before the fix; the
+    # rule does not fire for outer generate).
+    sets = (
+        d.select("source", F.explode_outer("st").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)
     )
-    a = post.select(F.col("source").alias("s1"), "sh")
-    b = post.select(F.col("source").alias("s2"), "sh")
+    tot = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("total_sh"))
+    )
     pairs = (
-        a.join(b, "sh")
-        .filter(F.col("s1") < F.col("s2"))
+        sets.filter(F.size("srcs") >= 2)
+        .select(F.explode(_pairs_lambda(F.col("srcs"))).alias("p"))
+        .select(
+            F.col("p.a").alias("s1"), F.col("p.b").alias("s2")
+        )
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("long").alias("shared_sh"))
     )

@@ -86,6 +86,7 @@ PARTKEY_QUERIES = [
 ]
 DIGEST_QUERIES = [
     "q_dedup_exact",
+    "q_dedup_cross_source",
     "q_dedup_substring",
     "q_stream_live_minhash",
     "q_stream_live_spans",

@@ -67,6 +67,7 @@ PROBE_QUERIES = [
     "q_text_diversity",
     # --- late-r10 additions ---
     "q_text_mixed_script",
+    "q_dedup_cross_source",
 ]
 
 TOTAL_TOKENS = 100_000
