@@ -249,6 +249,9 @@ EXTENDED = [
     "q_ts_ordinal",           # ordinal-pattern census
     "q_privacy_dp_hist",      # noisy-count release
     "q_dedup_cross_source",   # source-pair containment matrix
+    "q_ml_ks_separation",     # KS class-separation statistic
+    "q_text_burstiness",      # Fano-factor term census
+    "q_ab_srm",               # sample-ratio-mismatch gate
 ]
 
 

@@ -1058,3 +1058,99 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_vocab_growth.__doc__ = q_vocab_growth.__doc__.format(
     n=len(_VG_GRID), grid=_VG_GRID
 )
+
+
+# ------------------------------------------------------- burstiness
+
+#: burstiness census: terms must appear in >= 5 docs; top-20 reported.
+_BURST_MIN_DF = 5
+_BURST_TOPK = 20
+
+
+@REG.register(
+    "q_text_burstiness",
+    oracle=f"""
+        WITH dd AS (
+            SELECT CAST(count(*) AS BIGINT) AS d FROM documents
+            WHERE text IS NOT NULL
+        ), tc AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY doc_id, tok
+        ), term AS (
+            SELECT tok,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS cf,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM tc GROUP BY tok
+            HAVING count(*) >= {_BURST_MIN_DF}
+        )
+        SELECT tok, df, cf,
+               CAST((dd.d * s2 - cf * cf) * 1000000 // (dd.d * cf)
+                    AS BIGINT) AS fano_ppm
+        FROM term CROSS JOIN dd
+        ORDER BY fano_ppm DESC, tok ASC
+        LIMIT {_BURST_TOPK}
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness census: the Fano factor (variance-to-mean of
+    per-doc occurrence counts over ALL documents, zero-count docs
+    included algebraically) for every term in >= {mindf} docs, top-{k}
+    burstiest — the classic content-vs-function-word separator
+    (Church & Gale: content words arrive in bursts, Fano >> 1;
+    function words are Poisson-ish, Fano ~ 1) that q_text_keywords'
+    extractor and q_doc_lm_score's smoothing both implicitly assume.
+
+    Determinism: Fano = (D*sum(c^2) - cf^2) / (D*cf) — the zero-count
+    docs enter EXACTLY through the D scaling, so the whole statistic
+    is one integer floor-div over exact int64 moments (D*s2 bounded
+    ~5e15 at sf1; headroom 3 orders). Top-{k} ties break on the term.
+
+    Plan: ONE token explode -> map-side-combined (doc, term) rollup
+    -> term-domain moment rollup with the df floor -> broadcast 1-row
+    doc count -> TakeOrderedAndProject. Facts touched once;
+    everything after the first rollup is term-domain sized.
+
+    NULL contract: D counts only docs WITH text — a NULL doc has no
+    terms and is not a zero-occurrence observation (both engines)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dd = d.agg(F.count("*").cast("long").alias("d"))
+    tc = (
+        spread(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    term = (
+        tc.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("c").cast("long").alias("cf"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .filter(F.col("df") >= _BURST_MIN_DF)
+    )
+    return (
+        term.crossJoin(F.broadcast(dd))
+        .select(
+            "tok",
+            "df",
+            "cf",
+            F.expr("(d * s2 - cf * cf) * 1000000 div (d * cf)")
+            .cast("long")
+            .alias("fano_ppm"),
+        )
+        .orderBy(F.col("fano_ppm").desc(), F.col("tok").asc())
+        .limit(_BURST_TOPK)
+    )
+
+
+q_text_burstiness.__doc__ = q_text_burstiness.__doc__.format(
+    mindf=_BURST_MIN_DF, k=_BURST_TOPK
+)

@@ -4712,3 +4712,114 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_cross_source.__doc__ = q_dedup_cross_source.__doc__.format(
     n=_XS_N, k=_XS_TOPK
 )
+
+
+# ------------------------------------------------- KS separation
+
+@REG.register(
+    "q_ml_ks_separation",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t,
+                   CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS cum_c,
+                   CAST(sum(npos) OVER (ORDER BY t) AS BIGINT) AS cum_p,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS n,
+                   CAST(sum(npos) OVER () AS BIGINT) AS p
+            FROM pt
+        ), d AS (
+            SELECT t,
+                   abs(cum_p * (n - p) - (cum_c - cum_p) * p) AS sep,
+                   n, p
+            FROM c
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(max(p) AS BIGINT) AS n_pos,
+               CAST(max(n) - max(p) AS BIGINT) AS n_neg,
+               CAST(max(sep) * 1000000
+                    // NULLIF(max(p) * (max(n) - max(p)), 0)
+                    AS BIGINT) AS ks_ppm,
+               CAST(max_by(t, sep * 3000000 + (1500000 - t))
+                    AS BIGINT) AS ks_at_tick
+        FROM d
+    """,
+)
+def q_ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov class separation of the score column: the
+    max gap between the positive and negative score CDFs, and the
+    score tick where it occurs — THE credit-scoring/model-gate
+    statistic beside q_ml_auc (AUC integrates the separation; KS
+    reports its best single threshold — the operating point
+    q_ml_roc_points tabulates and q_ml_stump searches by Gini).
+
+    Determinism: the gap is the EXACT integer cross-product
+    |cum_pos * N_neg - cum_neg * N_pos| on the score-VALUE domain
+    (bounded by n^2 ~ 4e8 at sf1 — int64-safe past 3e9 rows); one
+    floor-div at the end; the argmax tick ties break to the smallest
+    tick on both engines via the scalar lexicographic key
+    sep * 3e6 + (1.5e6 - t) (ticks span +-1e6, so the tick term can
+    never cross a sep step; int64-safe to sep ~ 3e12 = n ~ 3.5e6
+    rows — two orders above sf1; widen the multiplier's type past
+    that).
+
+    Plan: the q_ml_auc shape — ONE map-side-combined tick compress,
+    grouped_value_cumsum over tick buckets (window partitions
+    bounded by the value domain), 1-row final aggregate."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    pt = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .select(F.lit(0).alias("g"), "t", "cnt", "npos")
+    )
+    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
+    d = c.select(
+        "t",
+        F.abs(
+            F.col("cum_npos") * (F.col("tot_cnt") - F.col("tot_npos"))
+            - (F.col("cum_cnt") - F.col("cum_npos"))
+            * F.col("tot_npos")
+        ).alias("sep"),
+        F.col("tot_cnt").alias("n"),
+        F.col("tot_npos").alias("p"),
+    )
+    return d.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("p").cast("long").alias("n_pos"),
+        (F.max("n") - F.max("p")).cast("long").alias("n_neg"),
+        F.expr(
+            "max(sep) * 1000000"
+            " div nullif(max(p) * (max(n) - max(p)), 0)"
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+        F.expr("max_by(t, sep * 3000000 + (1500000 - t))")
+        .cast("long")
+        .alias("ks_at_tick"),
+    )

@@ -978,3 +978,127 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sample_bootstrap.__doc__ = q_sample_bootstrap.__doc__.format(b=_BOOT_B)
+
+
+# --------------------------------------------------------- A/B SRM
+
+#: chi-square(1 dof) critical value at alpha = 0.05, in milli.
+_SRM_CRIT_MILLI = 3841
+
+
+@REG.register(
+    "q_ab_srm",
+    oracle=f"""
+        WITH a AS (
+            SELECT DISTINCT event_type, user_id,
+                   CAST('0x' || substring(
+                       md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 2 AS variant
+            FROM events
+        ), seg AS (
+            SELECT event_type AS segment,
+                   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM a GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL',
+                   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM (SELECT DISTINCT user_id, variant FROM a)
+        )
+        SELECT segment, n_a, n_b, n_a - n_b AS delta,
+               CAST((n_a - n_b) * (n_a - n_b) * 1000
+                    // NULLIF(n_a + n_b, 0) AS BIGINT) AS chi2_milli,
+               CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000
+                              > {_SRM_CRIT_MILLI} * (n_a + n_b)
+                         THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        FROM seg
+        ORDER BY segment
+    """,
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) gate for a deterministic 50/50
+    experiment assignment: users hash into variants via
+    md5('exp1:' || user_id), and each exposure segment (users seen in
+    each event type, plus ALL) reports the observed split, the
+    1-dof chi-square statistic against the designed 50/50, and the
+    alpha = 0.05 flag — the FIRST check every experimentation
+    platform runs before reading any metric (a skewed split means
+    broken assignment or differential logging, and every downstream
+    read like q_ab_ztest / q_stream_live_ab is invalid). Completes
+    the experiment family: assign -> SRM-gate -> test -> monitor.
+
+    Determinism: assignment rides md5 (bit-identical both engines —
+    auditable and re-derivable, the q_sample_hash discipline);
+    chi-square compares exact integer cross-products against the
+    hand-literal critical value ({crit} milli) so the flag never
+    touches a double.
+
+    Plan: ONE distinct over (type, user, variant) — map-side
+    combined, keyed on the pair domain; segments are |type|-domain
+    rollups; the ALL row re-aggregates the distinct-user table, not
+    the facts."""
+    e = load(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp1:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    a = e.select(
+        "event_type", "user_id", variant.alias("variant")
+    ).distinct()
+
+    def split_agg(df, seg_col):
+        return df.groupBy(seg_col.alias("segment")).agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+
+    seg = split_agg(a, F.col("event_type")).unionByName(
+        split_agg(
+            a.select("user_id", "variant").distinct(), F.lit("ALL")
+        )
+    )
+    return seg.select(
+        "segment",
+        "n_a",
+        "n_b",
+        (F.col("n_a") - F.col("n_b")).alias("delta"),
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) * 1000 div nullif(n_a + n_b, 0)"
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+        F.when(
+            (F.col("n_a") - F.col("n_b"))
+            * (F.col("n_a") - F.col("n_b"))
+            * 1000
+            > _SRM_CRIT_MILLI * (F.col("n_a") + F.col("n_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("srm_flag"),
+    ).orderBy("segment")
+
+
+q_ab_srm.__doc__ = q_ab_srm.__doc__.format(crit=_SRM_CRIT_MILLI)

@@ -875,3 +875,47 @@ def test_dedup_substring_bounded_work_on_long_document(spark, tmp_path):
         assert r.dup_tokens == 10 * (n_win - 1) + 20
         assert r.keep == 0
     assert elapsed < 60, f"q_dedup_substring took {elapsed:.1f}s"
+
+
+def test_spatial_grid_join_is_hash_equi_join(spark):
+    """q_join_spatial_grid's ONLY nested-loop is the 9-row offset-dim
+    broadcast cross; the pair join itself must be a hash equi-join on
+    the (cx, cy) cell key — a radius join planned as BNLJ would be
+    the O(n^2) cliff the grid exists to avoid."""
+    plan = P.physical_plan(_q("q_join_spatial_grid")(spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert (
+        "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or plan.count("BroadcastHashJoin") >= 1
+    ), plan
+
+
+def test_cross_source_census_has_no_shingle_join(spark):
+    """q_dedup_cross_source (re-planned from a shingle self-join to
+    ONE collect_set aggregation) must contain no shuffle-side join —
+    only the two broadcast totals re-attach joins. The shingle stage
+    itself sits behind the eager checkpoint (Scan ExistingRDD in the
+    final plan); its outer-generate idiom is enforced behaviorally by
+    tools/longdoc_probe.py (0.4 post-fix, 29.1 before)."""
+    plan = P.physical_plan(_q("q_dedup_cross_source")(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_bootstrap_explode_multiplies_scan_not_shuffle(spark):
+    """q_sample_bootstrap's x16 replicate explode must happen map-side
+    (broadcast cross), with the only wide exchange keyed on the
+    (event_type, b) cells — never a fact-width shuffle of the
+    exploded rows to a non-aggregating operator."""
+    df = _q("q_sample_bootstrap")(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # partial aggregation runs before the exchange (map-side combine)
+    import re
+
+    assert re.search(r"HashAggregate.*partial", plan, re.I) or (
+        "HashAggregate" in plan
+    ), plan

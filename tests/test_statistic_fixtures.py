@@ -1213,3 +1213,106 @@ def test_cross_source_closed_form(spark, tmp_path):
     assert (r.total_s1, r.total_s2) == (2, 3)
     assert r.cont_s1_ppm == 1_000_000
     assert r.cont_s2_ppm == 666_666
+
+
+# ------------------------------------------------------ KS separation
+
+
+def test_ks_separation_closed_form(spark, tmp_path):
+    """Scores 0.1(pos)/0.2(neg)/0.3(pos)/0.4(neg): P = N = 2, the
+    integer cross-gap |cum_p*N - cum_n*P| is 2 at ticks 100000 and
+    300000 (0 elsewhere) -> KS = 2e6 // 4 = 500000, argmax tie breaks
+    to the SMALLEST tick."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 7),
+        (1, mk(0.2), 1),
+        (2, mk(0.3), 9),
+        (3, mk(0.4), 0),
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_ks_separation")(spark, sf).collect()[0]
+    assert (r.n, r.n_pos, r.n_neg) == (4, 2, 2)
+    assert r.ks_ppm == 500_000
+    assert r.ks_at_tick == 100_000
+
+
+# --------------------------------------------------------- burstiness
+
+
+def test_burstiness_closed_form(spark, tmp_path):
+    """6 docs: five 'a b' and one 'a a a b'.  Term a: df 6, cf 8,
+    sum(c^2) = 14 -> Fano = (6*14 - 64)e6 // (6*8) = 416666; term b
+    is constant one-per-doc -> Fano 0."""
+    rows = [(i, "a b", "en", "s", 3) for i in range(5)]
+    rows.append((5, "a a a b", "en", "s", 7))
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = _q("q_text_burstiness")(spark, sf).collect()
+    assert [r.tok for r in out] == ["a", "b"]
+    a, b = out
+    assert (a.df, a.cf, a.fano_ppm) == (6, 8, 416666)
+    assert (b.df, b.cf, b.fano_ppm) == (6, 6, 0)
+
+
+# ------------------------------------------------------------ A/B SRM
+
+
+def test_ab_srm_pure_python_mirror(spark, tmp_path):
+    """10 users, each with one click; even users also view.  Expected
+    splits derived via an independent hashlib.md5 mirror of the
+    'exp1:<user>' assignment."""
+    import hashlib
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append(
+            (eid, datetime.datetime(2024, 3, 1, 0, 0, eid), u,
+             "click", 1.0, "{}")
+        )
+        eid += 1
+        if u % 2 == 0:
+            rows.append(
+                (eid, datetime.datetime(2024, 3, 1, 0, 0, eid), u,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+
+    def variant(u):
+        return int(
+            hashlib.md5(f"exp1:{u}".encode()).hexdigest()[:8], 16
+        ) % 2
+
+    click_a = sum(1 for u in range(10) if variant(u) == 0)
+    view_a = sum(1 for u in range(0, 10, 2) if variant(u) == 0)
+    out = {r.segment: r for r in _q("q_ab_srm")(spark, sf).collect()}
+    assert set(out) == {"click", "view", "ALL"}
+    assert (out["click"].n_a, out["click"].n_b) == (click_a, 10 - click_a)
+    assert (out["view"].n_a, out["view"].n_b) == (view_a, 5 - view_a)
+    assert (out["ALL"].n_a, out["ALL"].n_b) == (click_a, 10 - click_a)
+    for seg, r in out.items():
+        n, d = r.n_a + r.n_b, r.n_a - r.n_b
+        assert r.delta == d
+        assert r.chi2_milli == d * d * 1000 // n
+        assert r.srm_flag == (1 if d * d * 1000 > 3841 * n else 0)
