@@ -252,6 +252,7 @@ EXTENDED = [
     "q_ml_ks_separation",     # KS class-separation statistic
     "q_text_burstiness",      # Fano-factor term census
     "q_ab_srm",               # sample-ratio-mismatch gate
+    "q_ab_cuped",             # CUPED variance reduction
 ]
 
 

@@ -25,11 +25,11 @@ from ngram_analytics_spark.registry import QueryRegistry
 # (trainer factored into the _bpe_train helper shared with
 # q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
 # added: their kernels ran on the single scan task at 4% cpu —
-# the r10 sf1 adjudication) — then 31 of the 34 keys NEW in r10; the
+# the r10 sf1 adjudication) — then 31 of the 35 keys NEW in r10; the
 # late-r10 new-key batches displaced ALL 14 r3-cohort fills, and the
-# 3 newest keys (q_ml_ks_separation / q_text_burstiness / q_ab_srm)
-# overflow to DEFERRED_R11's head; the cohort's full 44 keys queue
-# behind them.  Changed/new keys outrank hygiene re-certification because
+# 4 newest keys (q_ml_ks_separation / q_text_burstiness / q_ab_srm /
+# q_ab_cuped) overflow to DEFERRED_R11's head; the cohort's full 44
+# keys queue behind them.  Changed/new keys outrank hygiene re-certification because
 # they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
@@ -95,10 +95,10 @@ DEFERRED_R8: tuple[str, ...] = ()
 DEFERRED_R9: tuple[str, ...] = ()
 DEFERRED_R10: tuple[str, ...] = ()
 
-#: Queued to LEAD the round-11 graded window: first the three
+#: Queued to LEAD the round-11 graded window: first the four
 #: newest r10 keys that no longer fit the 50-slot r10 window (new
 #: keys outrank hygiene, but the VERDICT-prescribed DEFERRED_R10
-#: head and the 4 changed keys outrank THEM — all three are green in
+#: head and the 4 changed keys outrank THEM — all four are green in
 #: the full local sf0.01 differential meanwhile), then the 44-key
 #: tail of the r3-cohort re-certification rotation (the late-r10
 #: new-key batches displaced all 14 r10 fills).
@@ -106,6 +106,7 @@ DEFERRED_R11: tuple[str, ...] = (
     "q_ml_ks_separation",
     "q_text_burstiness",
     "q_ab_srm",
+    "q_ab_cuped",
     "q_agg_bool",
     "q_cte_recursive",
     "q_doc_lm_score",

@@ -1102,3 +1102,165 @@ def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ab_srm.__doc__ = q_ab_srm.__doc__.format(crit=_SRM_CRIT_MILLI)
+
+
+# ------------------------------------------------------------- CUPED
+
+#: experiment period split (events span 2024-01; the pre-period
+#: covariate is each user's spend before the cutover).
+_CUPED_CUT = "2024-01-16"
+
+
+@REG.register(
+    "q_ab_cuped",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST('0x' || substring(
+                       md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 2 AS variant,
+                   COALESCE(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                       THEN CAST(floor(value) AS BIGINT) END), 0) AS x,
+                   COALESCE(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                       THEN CAST(floor(value) AS BIGINT) END), 0) AS y
+            FROM events GROUP BY user_id
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM u
+        ), t AS (
+            SELECT n, sx, sy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+                       AS theta,
+                   CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        * 1000000.0
+                        / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0))
+                        AS BIGINT) AS rho_ppm
+            FROM g
+        )
+        SELECT u.variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               {oracle_round4det(
+                   "CAST(sum(u.x) AS DOUBLE) / count(*)"
+               )} AS mean_pre,
+               {oracle_round4det(
+                   "CAST(sum(u.y) AS DOUBLE) / count(*)"
+               )} AS mean_post,
+               {oracle_round4det(
+                   "CAST(sum(u.y) AS DOUBLE) / count(*)"
+                   " - t.theta * (CAST(sum(u.x) AS DOUBLE) / count(*)"
+                   "   - CAST(t.sx AS DOUBLE) / t.n)"
+               )} AS mean_post_adj,
+               t.rho_ppm
+        FROM u CROSS JOIN t
+        GROUP BY u.variant, t.theta, t.sx, t.n, t.rho_ppm
+        ORDER BY u.variant
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: each user's
+    PRE-period spend is the covariate, theta = cov(pre, post) /
+    var(pre) fits on the pooled user table, and each variant reports
+    its raw and adjusted post-period means plus the pre/post
+    correlation (rho^2 = the variance-reduction fraction) — the
+    standard trick that makes an A/B test as sensitive as one
+    several times larger, sitting between q_ab_srm (validity gate)
+    and q_ab_ztest (the significance read).
+
+    Determinism: per-user period sums ride integer-dollar ticks, so
+    every moment is an exact int64 (n*sxx ~ 3e17 at sf1 — int64-safe
+    with ~30x headroom; widen to DECIMAL(38,0) beyond); theta and
+    the adjusted means are IEEE doubles computed from identical
+    integers (the q_graph_assortativity discipline), rounded by the
+    4-decimal gate; rho floors to ppm after two IEEE sqrts.
+
+    Plan: ONE map-side-combined user rollup (conditional period
+    sums), a 1-row moment aggregate broadcast back, and a 2-row
+    variant rollup. Facts touched once."""
+    e = load(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp1:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    tick = F.floor("value").cast("long")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, tick)), F.lit(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, tick)), F.lit(0)
+        ).alias("y"),
+    ).select(variant.alias("variant"), "x", "y")
+    g = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    vary = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    t = g.select(
+        "n",
+        "sx",
+        (num / F.nullif(varx, F.lit(0.0))).alias("theta"),
+        F.floor(
+            num
+            * F.lit(1_000_000.0)
+            / F.nullif(F.sqrt(varx) * F.sqrt(vary), F.lit(0.0))
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    )
+    return (
+        u.crossJoin(F.broadcast(t))
+        .groupBy("variant", "theta", "sx", "n", "rho_ppm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            (F.sum("x").cast("double") / F.count("*")).alias("_mp"),
+            (F.sum("y").cast("double") / F.count("*")).alias("_mo"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            round4det(F.col("_mp")).alias("mean_pre"),
+            round4det(F.col("_mo")).alias("mean_post"),
+            round4det(
+                F.col("_mo")
+                - F.col("theta")
+                * (
+                    F.col("_mp")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("mean_post_adj"),
+            "rho_ppm",
+        )
+        .orderBy("variant")
+    )

@@ -423,6 +423,12 @@ NESTED_LOOP_OK = {
     "q_ml_spearman",         # triangular offset join over the score-
                              # tick BUCKET summary inside
                              # grouped_value_cumsum (q_ml_auc class)
+    "q_ml_ks_separation",    # same grouped_value_cumsum triangular
+                             # offset join (q_ml_auc class)
+    "q_text_burstiness",     # 1-row doc-count broadcast onto the
+                             # term-domain table (tcloseness class)
+    "q_ab_cuped",            # 1-row moment broadcast onto the
+                             # user-domain table (tcloseness class)
 }
 
 

@@ -1316,3 +1316,74 @@ def test_ab_srm_pure_python_mirror(spark, tmp_path):
         assert r.delta == d
         assert r.chi2_milli == d * d * 1000 // n
         assert r.srm_flag == (1 if d * d * 1000 > 3841 * n else 0)
+
+
+# -------------------------------------------------------------- CUPED
+
+
+def test_cuped_pure_python_mirror(spark, tmp_path):
+    """4 users with hand pre/post spends (pre 10/20/30/40, post
+    12/24/31/45); variants from a hashlib mirror of the 'exp1:' md5
+    assignment; theta / rho / per-variant adjusted means recomputed
+    in pure Python with the same half-up 4-decimal rounding."""
+    import hashlib
+    import math as m
+
+    pre = {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+    post = {0: 12.0, 1: 24.0, 2: 31.0, 3: 45.0}
+    rows = []
+    eid = 0
+    for u in range(4):
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 10, 8, 0, 0), u, "buy",
+             pre[u], "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 20, 8, 0, 0), u, "buy",
+             post[u], "{}")
+        )
+        eid += 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+
+    def variant(u):
+        return int(
+            hashlib.md5(f"exp1:{u}".encode()).hexdigest()[:8], 16
+        ) % 2
+
+    xs = [int(pre[u]) for u in range(4)]
+    ys = [int(post[u]) for u in range(4)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho_ppm = m.floor(
+        (n * sxy - sx * sy)
+        * 1e6
+        / (m.sqrt(n * sxx - sx * sx) * m.sqrt(n * syy - sy * sy))
+    )
+
+    def r4(v):
+        return m.floor(abs(v) * 1e4 + 0.5) * (1 if v > 0 else -1 if v < 0 else 0) / 1e4
+
+    out = {r.variant: r for r in _q("q_ab_cuped")(spark, sf).collect()}
+    for v in set(variant(u) for u in range(4)):
+        us = [u for u in range(4) if variant(u) == v]
+        mp = sum(xs[u] for u in us) / len(us)
+        mo = sum(ys[u] for u in us) / len(us)
+        adj = mo - theta * (mp - sx / n)
+        r = out[v]
+        assert r.n_users == len(us)
+        assert r.mean_pre == r4(mp)
+        assert r.mean_post == r4(mo)
+        assert abs(r.mean_post_adj - r4(adj)) < 1e-9
+        assert r.rho_ppm == rho_ppm

@@ -68,6 +68,7 @@ PROBE_QUERIES = [
     # --- late-r10 additions ---
     "q_text_mixed_script",
     "q_dedup_cross_source",
+    "q_text_burstiness",
 ]
 
 TOTAL_TOKENS = 100_000

@@ -50,6 +50,9 @@ PROBE_QUERIES = [
     "q_basket_lift",
     "q_gdpr_cascade",
     "q_sample_reservoir",
+    # --- late-r10 user-keyed additions ---
+    "q_ab_srm",
+    "q_ab_cuped",
 ]
 
 TOTAL = 200_000
