@@ -15,98 +15,32 @@ from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The 50 keys the differential driver should grade first.  Round-10
-# rotation (VERDICT r9 "Next round" item 2): the DEFERRED_R10 queue
-# (the r2-cohort tail the r9 window had no room for) leads, then
-# q_agg_regr (the last remaining r2-certified key), then the 4 keys
-# whose code changed in r10 — q_dedup_minhash_exact (the fact-skew
-# probe's one flag: fingerprint-equal clone pairs short-circuit the
-# exact recheck, 54.9x -> 1.0x on the clone corpus), q_bpe_train_loop
-# (trainer factored into the _bpe_train helper shared with
-# q_bpe_encode), and q_ngram_chars / q_embed_bucket_stats (spread()
-# added: their kernels ran on the single scan task at 4% cpu —
-# the r10 sf1 adjudication) — then 31 of the 35 keys NEW in r10; the
-# late-r10 new-key batches displaced ALL 14 r3-cohort fills, and the
-# 4 newest keys (q_ml_ks_separation / q_text_burstiness / q_ab_srm /
-# q_ab_cuped) overflow to DEFERRED_R11's head; the cohort's full 44
-# keys queue behind them.  Changed/new keys outrank hygiene re-certification because
-# they are the only rows with correctness RISK; every deferred key is
+# The ~50 keys the differential driver should grade first.  Round-11
+# rotation (VERDICT r10 "Next round" item 1): the 4 r10 keys that
+# landed after the r10 snapshot lead — they are the only SURVEY §2
+# keys without a driver CORRECTNESS row (all four are green in the
+# full local sf0.01 differential meanwhile) — then the 6 keys whose
+# code changed in r11 (q_ml_spearman / q_ml_brier DECIMAL(38,0)-
+# HUGEINT moment widening past the int64 wrap cliffs, VERDICT items
+# 2-3; q_ml_ks_separation tick clamp, q_zone_map_prune explicit-floor
+# file ids, q_dq_benford + streaming twin tick-domain guard — the
+# ADVICE r10 lows), then the r3-cohort re-certification tail.
+# Changed/new keys outrank hygiene re-certification because they are
+# the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- oldest-first re-certification: DEFERRED_R10 (r2 cohort) ---
-    "q_ts_ffill",
-    "q_stream_live_session",
-    "q_ts_ohlc",
-    "q_ts_rolling_zscore",
-    "q_stream_live_sliding",
-    "q_udf_pandas",
-    "q_udtf",
-    "q_udaf_grouped",
-    "q_udf_arrow",
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_dedup_fuzzy_jaccard",
-    "q_sim_ann_ivf",
-    "q_agg_approx_percentile",
-    "q_agg_regr",
-    # --- code changed in r10 ---
-    "q_dedup_minhash_exact",
-    "q_bpe_train_loop",
-    "q_ngram_chars",
-    "q_embed_bucket_stats",
-    # --- new in r10 ---
-    "q_dedup_substring",
-    "q_bpe_encode",
-    "q_graph_modularity",
-    "q_text_readability",
-    "q_ml_roc_points",
-    "q_sample_neyman",
-    "q_text_diversity",
-    "q_ts_macd",
-    "q_graph_assortativity",
-    "q_ml_stump",
-    "q_stream_live_minhash",
-    "q_stream_live_spans",
-    "q_ml_hard_negatives",
-    "q_dq_homogeneity",
-    "q_ml_ann_recall",
-    "q_privacy_generalization",
-    "q_vocab_growth",
-    "q_ts_rsi",
-    "q_dq_benford",
-    "q_text_mixed_script",
-    "q_zone_map_prune",
-    "q_sample_ess",
-    "q_sample_bootstrap",
-    "q_graph_hits",
-    "q_stream_live_benford",
-    "q_join_spatial_grid",
-    "q_ml_spearman",
-    "q_ml_learning_curve",
-    "q_ts_ordinal",
-    "q_privacy_dp_hist",
-    "q_dedup_cross_source",
-)
-
-#: earlier deferred queues, fully promoted (archived in
-#: CORRECTNESS_r08/r09/r10.json respectively).
-DEFERRED_R7: tuple[str, ...] = ()
-DEFERRED_R8: tuple[str, ...] = ()
-DEFERRED_R9: tuple[str, ...] = ()
-DEFERRED_R10: tuple[str, ...] = ()
-
-#: Queued to LEAD the round-11 graded window: first the four
-#: newest r10 keys that no longer fit the 50-slot r10 window (new
-#: keys outrank hygiene, but the VERDICT-prescribed DEFERRED_R10
-#: head and the 4 changed keys outrank THEM — all four are green in
-#: the full local sf0.01 differential meanwhile), then the 44-key
-#: tail of the r3-cohort re-certification rotation (the late-r10
-#: new-key batches displaced all 14 r10 fills).
-DEFERRED_R11: tuple[str, ...] = (
+    # --- r10 keys with no driver CORRECTNESS row yet ---
     "q_ml_ks_separation",
     "q_text_burstiness",
     "q_ab_srm",
     "q_ab_cuped",
+    # --- code changed in r11 ---
+    "q_ml_spearman",
+    "q_ml_brier",
+    "q_zone_map_prune",
+    "q_dq_benford",
+    "q_stream_live_benford",
+    # --- oldest-first re-certification: DEFERRED_R11 (r3 cohort) ---
     "q_agg_bool",
     "q_cte_recursive",
     "q_doc_lm_score",
@@ -148,6 +82,20 @@ DEFERRED_R11: tuple[str, ...] = (
     "q_subquery_in",
     "q_subquery_lateral",
     "q_subquery_scalar",
+)
+
+#: earlier deferred queues, fully promoted (archived in
+#: CORRECTNESS_r08/r09/r10/r11.json respectively).
+DEFERRED_R7: tuple[str, ...] = ()
+DEFERRED_R8: tuple[str, ...] = ()
+DEFERRED_R9: tuple[str, ...] = ()
+DEFERRED_R10: tuple[str, ...] = ()
+DEFERRED_R11: tuple[str, ...] = ()
+
+#: Queued to LEAD the round-12 graded window: the r3-cohort keys the
+#: ~50-slot r11 window had no room for (the r11 changed/new block
+#: displaced them).
+DEFERRED_R12: tuple[str, ...] = (
     "q_values_inline",
     "q_win_ignorenulls",
     "q_win_range_interval",
@@ -208,6 +156,7 @@ def build_registry() -> QueryRegistry:
             *DEFERRED_R9,
             *DEFERRED_R10,
             *DEFERRED_R11,
+            *DEFERRED_R12,
         )
         if k not in merged.queries
     ]
@@ -221,6 +170,7 @@ def build_registry() -> QueryRegistry:
         | set(DEFERRED_R9)
         | set(DEFERRED_R10)
         | set(DEFERRED_R11)
+        | set(DEFERRED_R12)
     )
     if overlap:
         raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
@@ -241,6 +191,7 @@ def build_registry() -> QueryRegistry:
         | set(DEFERRED_R9)
         | set(DEFERRED_R10)
         | set(DEFERRED_R11)
+        | set(DEFERRED_R12)
     )
     for key in (
         *GRADED_FIRST,
@@ -249,6 +200,7 @@ def build_registry() -> QueryRegistry:
         *DEFERRED_R9,
         *DEFERRED_R10,
         *DEFERRED_R11,
+        *DEFERRED_R12,
         *(k for k in merged.queries if k not in pinned),
     ):
         ordered.queries[key] = merged.queries[key]

@@ -722,7 +722,8 @@ _ZM_PRED_ROWS = ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _ZM_PREDS)
             FROM r GROUP BY 1, 2, 3
             UNION ALL
             SELECT 'sorted' AS layout,
-                   (d - {_ZM_D0}) * {_ZM_FILES} // {_ZM_SPAN} AS file_id,
+                   CAST(floor(CAST((d - {_ZM_D0}) * {_ZM_FILES} AS DOUBLE)
+                              / {_ZM_SPAN}) AS BIGINT) AS file_id,
                    d, CAST(count(*) AS BIGINT) AS n
             FROM r GROUP BY 1, 2, 3
         ), zones AS (
@@ -776,10 +777,15 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hilbert_layout produce clusterings; this measures what a
     clustering is worth against a workload.
 
-    Determinism: file ids are pure integer div/mod on epoch days
+    Determinism: file ids are pure integer arithmetic on epoch days
     against FIXED domain literals (no data-dependent max() scan, no
     ntile over a global sort); every statistic is an integer count or
-    floor-div ppm.
+    floor-div ppm. The clustered file id is an explicit FLOOR on both
+    engines (ADVICE r10: Spark `div` and DuckDB integer `//` BOTH
+    truncate toward zero, so a pre-1992 shipdate would bucket into
+    file 0 instead of a negative id — floor makes out-of-window days
+    well-defined instead of contract-assumed; the double division is
+    exact, numerator <= 1.7e5).
 
     Plan: ONE fact scan -> ONE map-side-combined (layout, file, day)
     rollup (day-domain bounded: <= 2 x {nf} x ~2500 cells regardless
@@ -800,9 +806,15 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("n"))
     srt = r.groupBy(
         F.lit("sorted").alias("layout"),
-        F.expr(f"(d - {_ZM_D0}) * {_ZM_FILES} div {_ZM_SPAN}").alias(
-            "file_id"
-        ),
+        # true FLOOR division (not `div`, which truncates toward zero)
+        # so a pre-1992 shipdate (d < _ZM_D0) buckets identically to
+        # the oracle's floor-semantics `//` instead of silently
+        # diverging (ADVICE r10)
+        F.floor(
+            (F.col("d") - _ZM_D0) * _ZM_FILES / F.lit(_ZM_SPAN)
+        )
+        .cast("long")
+        .alias("file_id"),
         "d",
     ).agg(F.count("*").cast("long").alias("n"))
     cells = nat.unionByName(srt)

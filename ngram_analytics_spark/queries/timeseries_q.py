@@ -2077,6 +2077,7 @@ def _benford_oracle() -> str:
                        AS digit
             FROM events
             WHERE CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT) > 0
+              AND abs(value) < 1e12
         )
         SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
         FROM t GROUP BY 1, 2
@@ -2089,7 +2090,9 @@ def q_stream_live_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-significant-digit histogram per event type: the
     live twin of q_dq_benford's counting stage — events stream in,
     the digit is a stateless per-row projection (1e-4 tick
-    quantization + string-of-integer head, no log10), and ONE
+    quantization + string-of-integer head, no log10; tick domain
+    guarded in-plan at abs(value) < 1e12 on both engines, mirroring
+    the batch twin — ADVICE r10), and ONE
     complete-mode aggregation maintains the |type| x 9 counter grid a
     feed-forensics dashboard polls (the deviation-vs-law algebra is
     q_dq_benford's batch half; counts are the certifiable stream
@@ -2108,12 +2111,16 @@ def q_stream_live_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = S.read_events_stream(spark, sf_dir)
     ticks = F.floor(F.abs(F.col("value")) * 10000.0 + 0.5).cast("long")
-    t = ev.select(
-        "event_type",
-        F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
-            "digit"
-        ),
-    ).filter(ticks > 0)
+    t = (
+        ev.filter(F.abs(F.col("value")) < 1e12)
+        .select(
+            "event_type",
+            F.substring(ticks.cast("string"), 1, 1).cast("long").alias(
+                "digit"
+            ),
+        )
+        .filter(ticks > 0)
+    )
     agg = t.groupBy("event_type", "digit").agg(
         F.count("*").cast("long").alias("n")
     )

@@ -1,9 +1,22 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+#: corpus roots, overridable for non-container hosts (ADVICE r10);
+#: tests that need a corpus should go through the `smoke_sf` fixture
+#: (or check os.path.isdir themselves) so a missing layout skips
+#: instead of erroring.
+SF_SMOKE = os.environ.get("NAS_SF_SMOKE", "/root/testdata/sf0.001")
+SF_CORRECT = os.environ.get("NAS_SF_CORRECT", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def smoke_sf() -> str:
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip(f"smoke corpus {SF_SMOKE!r} not present on this host")
+    return SF_SMOKE
 
 
 @pytest.fixture(scope="session")

@@ -40,14 +40,14 @@ KEYS = (
 
 
 @pytest.fixture(scope="module")
-def null_sf(tmp_path_factory):
+def null_sf(tmp_path_factory, smoke_sf):
     import sys
 
     sys.path.insert(0, ".")
     from tools.null_probe import make_null_corpus
 
     dst = str(tmp_path_factory.mktemp("null_sf"))
-    make_null_corpus("/root/testdata/sf0.001", dst)
+    make_null_corpus(smoke_sf, dst)
     return dst
 
 
