@@ -1110,10 +1110,16 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one integer floor-div over exact int64 moments (D*s2 bounded
     ~5e15 at sf1; headroom 3 orders). Top-{k} ties break on the term.
 
-    Plan: ONE token explode -> map-side-combined (doc, term) rollup
-    -> term-domain moment rollup with the df floor -> broadcast 1-row
-    doc count -> TakeOrderedAndProject. Facts touched once;
-    everything after the first rollup is term-domain sized.
+    Plan: the (doc, term) rollup happens INSIDE the row (r11 re-plan,
+    VERDICT r10 watch item): sort the token array, mark run starts,
+    and emit (term, run_length) structs via native array transforms —
+    O(t log t) per document, zero exchange — so the ONLY shuffle is
+    the map-side-combined term-domain moment rollup (per-task state =
+    local vocab, the q_text_cooc lattice discipline; the old
+    groupBy(doc_id, tok) shuffled every distinct doc x term pair).
+    Then the df floor, a broadcast 1-row doc count, and
+    TakeOrderedAndProject. Facts touched once; everything after the
+    explode is term-domain sized.
 
     NULL contract: D counts only docs WITH text — a NULL doc has no
     terms and is not a zero-occurrence observation (both engines)."""
@@ -1121,11 +1127,35 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     dd = d.agg(F.count("*").cast("long").alias("d"))
+    # 1-based run-start positions in the sorted token array; each run
+    # is one (doc, term) observation with c = next_start - start.
+    # element_at is guarded everywhere (ANSI mode): i >= 2 for the
+    # i-1 probe, CASE for the past-the-end next start.
+    runs = F.expr(
+        """
+        transform(
+          sequence(1, size(starts)),
+          j -> struct(
+            element_at(srt, element_at(starts, j)) AS tok,
+            CAST((CASE WHEN j < size(starts)
+                       THEN element_at(starts, j + 1)
+                       ELSE size(srt) + 1 END)
+                 - element_at(starts, j) AS BIGINT) AS c))
+        """
+    )
     tc = (
         spread(d)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.array_sort(F.split("text", " ")).alias("srt"))
+        .select(
+            "srt",
+            F.expr(
+                "filter(sequence(1, size(srt)),"
+                " i -> i = 1 OR"
+                " element_at(srt, i) != element_at(srt, i - 1))"
+            ).alias("starts"),
+        )
+        .select(F.explode(runs).alias("r"))
+        .select(F.col("r.tok").alias("tok"), F.col("r.c").alias("c"))
     )
     term = (
         tc.groupBy("tok")
