@@ -37,6 +37,8 @@ GRADED_FIRST: tuple[str, ...] = (
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
+    "q_embed_stats",
+    "q_embed_cov",
     "q_zone_map_prune",
     "q_dq_benford",
     "q_stream_live_benford",
@@ -80,8 +82,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_sql_pipe",
     "q_subquery_exists_corr",
     "q_subquery_in",
-    "q_subquery_lateral",
-    "q_subquery_scalar",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -96,6 +96,8 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_subquery_lateral",
+    "q_subquery_scalar",
     "q_values_inline",
     "q_win_ignorenulls",
     "q_win_range_interval",

@@ -1579,7 +1579,11 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sqrt(sum z_x^2) * sqrt(sum z_y^2)) — exact int64 sums, two
     correctly-rounded sqrts, one double multiply and divide. The
     denominator product is computed as sqrt * sqrt (not sqrt of the
-    int product, which can overflow int64 at scale).
+    int product, which can overflow int64 at scale). Headroom (r11
+    tick-sum audit): z ~ M (total series events), so the z*z products
+    wrap int64 past M ~ 3e9 events per series (~3000x sf1); widen z
+    to DECIMAL(38,0)/HUGEINT on both engines beyond (the q_ml_spearman
+    widening — the day-domain aggregate makes it free).
 
     Plan: daily rollup is the only pass over raw events (map-side
     combined); everything downstream lives on the DAY domain
@@ -2292,6 +2296,11 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     {w}*y - sum > k*sqrt({w}*sumsq - sum^2) (LHS exact int64, RHS one
     IEEE-correctly-rounded sqrt of an exact int) — no division, no
     variance doubles; reported deviations are the exact integers.
+    Headroom (r11 tick-sum audit): {w}*sumsq ~ {w}^2 * y^2 wraps
+    int64 past y ~ 1.5e8 daily events per type (~1e5 x sf1's
+    densest day); widen the window sums to DECIMAL(38,0)/HUGEINT on
+    both engines beyond — the windows run on the day-domain rollup,
+    so the cost is nil.
 
     Plan: ONE map-side-combined daily rollup (fact-width compress),
     then ROWS windows over the per-type DAY series — calendar-bounded

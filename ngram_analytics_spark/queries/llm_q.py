@@ -881,9 +881,14 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row level, so the sums are exact integers in both engines and
     the mean / mean-square descale with deterministic double division
     (the q_anomaly_mad discipline; no stddev_samp — its float
-    summation order is engine-dependent). Plan: posexplode to
-    (dim, value), one map-side-combinable aggregate on the 64-value
-    dim key — a single narrow shuffle regardless of corpus size."""
+    summation order is engine-dependent). Headroom (r11 tick-sum
+    audit): the squared-tick sum accumulates in DECIMAL(38,0) on
+    Spark (per-row xt^2 <= ~1e12 stays int64) mirroring DuckDB's
+    native HUGEINT sum — the old int64 partial wrapped silently past
+    ~9.2e6 vectors per dim while the oracle did not. Plan: posexplode
+    to (dim, value), one map-side-combinable aggregate on the
+    64-value dim key — a single narrow shuffle regardless of corpus
+    size."""
     e = load(spark, sf_dir, "embeddings")
     x = F.col("x").cast("double")
     xt = (
@@ -898,7 +903,9 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xt").cast("double") / F.lit(1_000_000.0) / F.count("*")
         ).alias("mean_raw"),
         (
-            F.sum(F.col("xt") * F.col("xt")).cast("double")
+            F.sum(
+                (F.col("xt") * F.col("xt")).cast("decimal(38,0)")
+            ).cast("double")
             / F.lit(1_000_000_000_000.0)
             / F.count("*")
         ).alias("msq_raw"),
@@ -1007,8 +1014,14 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = e.mapInPandas(
         gram, "i int, j int, sxy long, si long, n long"
     )
+    # merge batch partials in DECIMAL(38,0) (r11 tick-sum audit): a
+    # per-batch sxy is int64-exact (<= 1e4 rows x 1e12/tick-product)
+    # but the GLOBAL sum wraps int64 past ~9.2e6 vectors — the oracle
+    # side is HUGEINT, so the old long sum diverged instead of
+    # erroring.
     agg = partials.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"), F.sum("n").alias("n")
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum("n").alias("n"),
     )
     dims = e.select(
         F.posexplode(F.col("embedding")).alias("dim", "x")
@@ -2687,7 +2700,10 @@ def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar summary of the full vector).
 
     Determinism: md5-chunk hash (bit-identical engines), integer
-    signed sums only.
+    signed sums only. Headroom (r11 tick-sum audit): the dim-weighted
+    checksum sums dim * count <= {d} x doc tokens, int64-safe to
+    ~9e15 tokens PER DOCUMENT — unreachable before the doc itself is
+    unstorable.
 
     Plan: token explode -> ONE (doc, dim)-keyed map-side-combined sum
     (state bounded by {d} dims per doc) -> doc-keyed rollup. Both
@@ -3333,7 +3349,10 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-keyed map-side-combined agg + a 1-row census rollup.
 
     Determinism: sha256 is standard across engines; counts and byte
-    masses are exact ints."""
+    masses are exact ints. Headroom (r11 tick-sum audit): bytes_total
+    sums n_copies * n_bytes — bounded by total corpus bytes, so int64
+    holds to 9.2 exabytes (the 100 TB design point is 5 orders
+    inside)."""
     blobs = to_blob_table(load(spark, sf_dir, "documents"))
     g = (
         blobs.select(

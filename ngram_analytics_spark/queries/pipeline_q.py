@@ -1660,7 +1660,10 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning pair is a 1-row TakeOrdered broadcast.
 
     Determinism: integer counts/lengths; top-1 ties break on the pair
-    string (ASCII corpus alphabet)."""
+    string (ASCII corpus alphabet). Headroom (r11 tick-sum audit):
+    the cnt * occ / cnt * len sums are bounded by total corpus
+    CHARACTERS — int64 holds to 9.2e18 chars (~9.2 EB of text), 5
+    orders past the design point."""
     from ngram_analytics_spark.operators import spread
 
     toks = (
@@ -2031,7 +2034,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (encode cost is vocab-sized, the q_bpe_pair_counts discipline).
 
     Determinism: integer counts and floor-div ppm ratios; the merge
-    sequence is the property-pinned exact-greedy one."""
+    sequence is the property-pinned exact-greedy one. Headroom (r11
+    tick-sum audit): cnt * n_syms / cnt * len sums are bounded by
+    total corpus characters — int64-safe to ~9.2 EB of text."""
     from ngram_analytics_spark.operators import spread
 
     vocabs, _tops = _bpe_train(spark, sf_dir)

@@ -212,7 +212,9 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     in int64 (order-independent across partitionings and engines); the
     only cross-engine float surface is one log2 per distinct token and
     the final 4-dp round — the q_fn_trig determinism discipline. Two
-    map-side-combined aggregations, no Python."""
+    map-side-combined aggregations, no Python. Headroom (r11 tick-sum
+    audit): the summed tick term is <= 1e6 * log2(c) per distinct
+    token — int64-safe past 1e11 distinct tokens per doc."""
     w = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )

@@ -906,7 +906,10 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: md5 is identical on both engines (hex via '0x' cast
     — the q_dedup_minhash_exact discipline); value rides 1e-4 ticks;
     replicate means are floor-divs of exact int64 sums. The pmf tail
-    (k > 5, cumulative mass 594 ppm) lumps into k = 6.
+    (k > 5, cumulative mass 594 ppm) lumps into k = 6. Headroom (r11
+    tick-sum audit): sum(k * v) <= 6 x 1e4-tick x rows wraps int64
+    past ~1.5e14 rows per (type, replicate) cell — 8 orders above
+    sf1; widen to DECIMAL(38,0)/HUGEINT beyond.
 
     Plan: ONE fact scan exploded x{b} by a broadcast replicate dim
     (map-side, no shuffle to explode), ONE map-side-combined groupBy

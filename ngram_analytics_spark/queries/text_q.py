@@ -1468,7 +1468,9 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the 0.05 heuristic threshold and stopword list are
     the shared q_ml_confusion constants (one definition — the
-    desync-proofing discipline of _CONF_CELLS_SQL)."""
+    desync-proofing discipline of _CONF_CELLS_SQL). Headroom (r11
+    tick-sum audit): the truth * pred confusion sums are 0/1 products
+    — plain counts, int64-safe to 9.2e18 rows."""
     df = tokenized_docs(spark, sf_dir)
     sw = F.array(*[F.lit(s) for s in _STOPWORDS])
     ratio = (

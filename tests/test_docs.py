@@ -140,3 +140,45 @@ def test_no_tokenizer_expression_inside_positional_lambdas():
         "tokenizer expression inside a positional lambda — hoist "
         f"the split to its own projection first: {offenders}"
     )
+
+
+def test_every_power_sum_documents_its_headroom():
+    """r11 tick-sum audit (VERDICT r10 item 3 'make that universal'):
+    any query whose source sums a PRODUCT of columns (the power-sum
+    shape that silently wrapped q_ml_spearman at ~5.5e4 rows and
+    q_ml_brier at ~9.2e6 rows) must either accumulate in 128-bit
+    (DECIMAL(38,0)/HUGEINT) or carry a greppable headroom note in its
+    docstring stating where int64 runs out and what to widen."""
+    import importlib
+    import inspect
+
+    mods = (
+        "corpus_q", "events_q", "graph_q", "llm_q", "pipeline_q",
+        "quality_q", "relational", "relational2", "relational3",
+        "relational4", "relational5", "relational6", "relational7",
+        "sampling_q", "text_q", "timeseries_q", "udf_q", "layout_q",
+    )
+    power_sum = re.compile(r"F\.sum\([^)]*\*|sum\(\s*\w+\s*\*\s*\w+")
+    note = re.compile(
+        r"headroom|wrap|int64-safe|DECIMAL|HUGEINT|128-bit", re.I
+    )
+    undocumented = []
+    for m in mods:
+        mod = importlib.import_module(
+            f"ngram_analytics_spark.queries.{m}"
+        )
+        for name, fn in vars(mod).items():
+            if not name.startswith("q_") or not callable(fn):
+                continue
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):
+                continue
+            if power_sum.search(src) and not (
+                note.search(fn.__doc__ or "") or note.search(src)
+            ):
+                undocumented.append(f"{m}.{name}")
+    assert not undocumented, (
+        "power-sum aggregates with neither 128-bit accumulation nor a "
+        f"headroom docstring note: {undocumented}"
+    )
