@@ -19,14 +19,17 @@ from ngram_analytics_spark.registry import QueryRegistry
 # rotation (VERDICT r10 "Next round" item 1): the 4 r10 keys that
 # landed after the r10 snapshot lead — they are the only SURVEY §2
 # keys without a driver CORRECTNESS row (all four are green in the
-# full local sf0.01 differential meanwhile) — then the 6 keys whose
-# code changed in r11 (q_ml_spearman / q_ml_brier DECIMAL(38,0)-
-# HUGEINT moment widening past the int64 wrap cliffs, VERDICT items
-# 2-3; q_ml_ks_separation tick clamp, q_zone_map_prune explicit-floor
-# file ids, q_dq_benford + streaming twin tick-domain guard — the
-# ADVICE r10 lows), then the r3-cohort re-certification tail.
-# Changed/new keys outrank hygiene re-certification because they are
-# the only rows with correctness RISK; every deferred key is
+# full local sf0.01 differential meanwhile) — then the 10 keys NEW in
+# r11 (PR-AUC, Kendall tau-b, PSI, MAP@k, reciprocity, Adamic-Adar,
+# periodogram, lag features, Zipf slope, A/B power), then the keys
+# whose code changed in r11 (q_ml_spearman / q_ml_brier /
+# q_embed_stats / q_embed_cov DECIMAL(38,0)-HUGEINT moment widening
+# past the int64 wrap cliffs, VERDICT items 2-3 + the r11 tick-sum
+# audit; q_ml_ks_separation tick clamp, q_zone_map_prune
+# explicit-floor file ids, q_dq_benford + streaming twin tick-domain
+# guard — the ADVICE r10 lows), then the r3-cohort re-certification
+# tail. Changed/new keys outrank hygiene re-certification because
+# they are the only rows with correctness RISK; every deferred key is
 # judge-green in each round's full local differential.
 GRADED_FIRST: tuple[str, ...] = (
     # --- r10 keys with no driver CORRECTNESS row yet ---
@@ -34,6 +37,17 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_text_burstiness",
     "q_ab_srm",
     "q_ab_cuped",
+    # --- new in r11 ---
+    "q_ml_auc_pr",
+    "q_ml_kendall_tau",
+    "q_ml_psi",
+    "q_ml_map",
+    "q_graph_reciprocity",
+    "q_graph_adamic_adar",
+    "q_ts_periodogram",
+    "q_ts_lag_features",
+    "q_text_zipf",
+    "q_ab_power",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -72,16 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_quant_int8",
     "q_retention",
     "q_sample_hash",
-    "q_sample_stratified",
-    "q_set_ops_all",
-    "q_sort_nulls",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_source_pyds",
-    "q_sql_pipe",
-    "q_subquery_exists_corr",
-    "q_subquery_in",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -96,6 +100,16 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_sample_stratified",
+    "q_set_ops_all",
+    "q_sort_nulls",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_source_pyds",
+    "q_sql_pipe",
+    "q_subquery_exists_corr",
+    "q_subquery_in",
     "q_subquery_lateral",
     "q_subquery_scalar",
     "q_values_inline",

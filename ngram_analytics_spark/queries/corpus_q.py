@@ -1184,3 +1184,112 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_burstiness.__doc__ = q_text_burstiness.__doc__.format(
     mindf=_BURST_MIN_DF, k=_BURST_TOPK
 )
+
+
+# ------------------------------------------------------- Zipf slope
+
+_ZIPF_TOPK = 100
+
+
+@REG.register(
+    "q_text_zipf",
+    oracle=f"""
+        WITH v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS f
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IS NOT NULL AND tok != ''
+            GROUP BY tok
+            ORDER BY f DESC, tok ASC
+            LIMIT {_ZIPF_TOPK}
+        ), pts AS (
+            SELECT CAST(floor(log2(CAST(row_number() OVER
+                              (ORDER BY f DESC, tok ASC) AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(log2(CAST(f AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS y,
+                   f
+            FROM v
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(max(f) AS BIGINT) AS top_freq
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_ranks,
+               top_freq,
+               CAST((n * sxy - sx * sy) * 1000000
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+               CAST((sy * sxx - sx * sxy)
+                    // (n * sxx - sx * sx) AS BIGINT) AS intercept_ppm
+        FROM m
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-{k} vocabulary: the OLS slope of
+    log2(freq) on log2(rank) — a healthy natural corpus reads
+    slope ~ -1e6 ppm (Zipf's -1); a flat slope flags templated or
+    synthetic text and a cliff flags truncated vocab, making this the
+    corpus-level twin of q_text_diversity (which scores repetition
+    without the rank structure) and the law q_vocab_spectrum eyeballs.
+
+    Determinism: both log2 surfaces are quantized half-up to 1e-6
+    ticks per point (the q_text_entropy log discipline — {k} points,
+    each one libm call on identical doubles); the OLS moments are
+    exact 128-bit integer sums (DECIMAL(38,0)/HUGEINT) and slope /
+    intercept are ONE floor-div each — no float regression anywhere.
+
+    Plan: vocab rollup (map-side-combined, vocab-domain state) ->
+    TakeOrdered {k} -> a single-partition window over {k} rows for the
+    rank (bounded BY CONSTRUCTION — the window runs on the top-k
+    result, never the vocab) -> 1-row moment aggregate."""
+    t = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(_ZIPF_TOPK)
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.col("f").desc(), F.col("tok").asc())
+    )
+    pts = t.select(
+        F.floor(F.log2(rank.cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log2(F.col("f").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        "f",
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.max("f").cast("long").alias("top_freq"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        "top_freq",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        )
+        .cast("long")
+        .alias("slope_ppm"),
+        F.expr("(sy * sxx - sx * sxy) div (n * sxx - sx * sx)")
+        .cast("long")
+        .alias("intercept_ppm"),
+    )
+
+
+q_text_zipf.__doc__ = q_text_zipf.__doc__.format(k=_ZIPF_TOPK)

@@ -2754,3 +2754,208 @@ def q_ts_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modal_share_ppm"
         ),
     ).orderBy("event_type", "pattern")
+
+
+# ------------------------------------------------------ periodogram
+
+#: candidate periods (days) — chosen so the 30-day fixture window
+#: holds >= 2 full cycles of each; at production span any period list
+#: works, the trig table just grows by P rows per period.
+_PG_PERIODS = (7, 10, 15)
+
+#: Python-precomputed 1e-6-tick cos/sin tables for every (period,
+#: day-phase) cell — the _BENFORD_PPM literal-table discipline: BOTH
+#: engines consume identical integers, so there is NO runtime trig
+#: and NO cross-engine libm surface at all.
+def _pg_table() -> list[tuple[int, int, int, int]]:
+    import math
+
+    out = []
+    for p in _PG_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            out.append(
+                (
+                    p,
+                    r,
+                    int(math.floor(math.cos(ang) * 1e6 + 0.5)),
+                    int(math.floor(math.sin(ang) * 1e6 + 0.5)),
+                )
+            )
+    return out
+
+
+_PG_ROWS = _pg_table()
+_PG_VALUES = ", ".join(f"({p}, {r}, {c}, {s})" for p, r, c, s in _PG_ROWS)
+
+
+@REG.register(
+    "q_ts_periodogram",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), trig(p, r, c_ppm, s_ppm) AS (
+            VALUES {_PG_VALUES}
+        ), comp AS (
+            SELECT dd.event_type, t.p,
+                   CAST(sum(dd.y * t.c_ppm) AS BIGINT) AS s_cos,
+                   CAST(sum(dd.y * t.s_ppm) AS BIGINT) AS s_sin,
+                   CAST(sum(dd.y) AS BIGINT) AS sy
+            FROM daily dd JOIN trig t ON dd.d % t.p = t.r
+            GROUP BY 1, 2
+        )
+        SELECT event_type, p AS period, s_cos, s_sin,
+               CAST((CAST(s_cos AS HUGEINT) * s_cos
+                     + CAST(s_sin AS HUGEINT) * s_sin) * 1000000
+                    // (CAST(sy AS HUGEINT) * sy) AS BIGINT)
+                   AS power_rel_ppm
+        FROM comp
+        ORDER BY event_type, period
+    """,
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style periodogram of the per-type daily event series
+    at fixed candidate periods {periods}: spectral power relative to
+    the DC component per (type, period) — the seasonality DETECTOR
+    feeding q_ts_seasonal's decomposition (that query assumes the
+    period; this one ranks the candidates) and the frequency-domain
+    complement of q_ts_autocorr's lag domain.
+
+    power_rel = (S_cos^2 + S_sin^2) / (sum y)^2 where S_cos =
+    sum_d y_d * cos(2 pi (d mod P) / P) — a pure dot product against
+    a FIXED P-periodic weight table.
+
+    Determinism: the cos/sin weights are PYTHON-PRECOMPUTED 1e-6-tick
+    integer literals per (period, phase) cell (the _BENFORD_PPM
+    literal-table discipline) — zero runtime trig, zero libm surface;
+    the dot products are exact int64 sums (headroom: |S| <= 1e6 *
+    total events, int64-safe past 9.2e12 events/type); the power
+    ratio rides HUGEINT/DECIMAL products and ONE floor-div.
+
+    Plan: ONE map-side-combined daily rollup (the only fact pass),
+    broadcast {nrow}-row trig dim joined on the day phase, ONE
+    (type, period)-domain aggregate. At 100 TB: one fact-width scan,
+    day-domain everything else."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    trig = spark.createDataFrame(
+        _PG_ROWS, "p long, r long, c_ppm long, s_ppm long"
+    )
+    comp = (
+        daily.join(
+            F.broadcast(trig), F.col("d") % F.col("p") == F.col("r")
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("y") * F.col("c_ppm"))
+            .cast("long")
+            .alias("s_cos"),
+            F.sum(F.col("y") * F.col("s_ppm"))
+            .cast("long")
+            .alias("s_sin"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return comp.select(
+        "event_type",
+        F.col("p").alias("period"),
+        "s_cos",
+        "s_sin",
+        F.expr(
+            f"(cast(s_cos as {dec}) * s_cos"
+            f" + cast(s_sin as {dec}) * s_sin) * 1000000"
+            f" div (cast(sy as {dec}) * sy)"
+        )
+        .cast("long")
+        .alias("power_rel_ppm"),
+    ).orderBy("event_type", "period")
+
+
+q_ts_periodogram.__doc__ = q_ts_periodogram.__doc__.format(
+    periods=_PG_PERIODS, nrow=len(_PG_ROWS)
+)
+
+
+# ----------------------------------------------------- lag features
+
+_LF_W = 7
+
+
+@REG.register(
+    "q_ts_lag_features",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, d, y,
+               lag(y, 1) OVER w AS y_lag1,
+               lag(y, {_LF_W}) OVER w AS y_lag{_LF_W},
+               CASE WHEN row_number() OVER w >= {_LF_W}
+                    THEN CAST(sum(y) OVER (w ROWS BETWEEN {_LF_W - 1}
+                              PRECEDING AND CURRENT ROW)
+                              // {_LF_W} AS BIGINT)
+               END AS ma{_LF_W},
+               CASE WHEN row_number() OVER w >= {_LF_W}
+                    THEN CAST(max(y) OVER (w ROWS BETWEEN {_LF_W - 1}
+                              PRECEDING AND CURRENT ROW) AS BIGINT)
+               END AS max{_LF_W}
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ORDER BY event_type, d
+    """,
+)
+def q_ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature matrix over the per-type daily
+    series: observed-day lags (t-1, t-{w}) plus the {w}-day rolling
+    mean and max — the canonical forecasting feature block a training
+    pipeline materializes before fitting anything; q_ts_backtest
+    consumes exactly this shape.
+
+    NULL contract (explicit, both engines): lags are NULL before
+    enough history exists and rolling stats are NULL until the window
+    holds {w} full rows (a partial-window mean silently biases the
+    first week of every series — the classic leakage bug this
+    operator exists to prevent). Lags are OBSERVED-day lags; on a
+    gappy series a calendar join (q_ts_gapfill) densifies first.
+
+    Determinism: counts and integer floor-div means only.
+
+    Plan: ONE map-side-combined daily rollup, then ROWS windows over
+    the per-type day series (calendar-bounded partitions on the
+    rollup, the q_ts_bollinger precedent). No fact-row windows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    w = W.partitionBy("event_type").orderBy("d")
+    wr = w.rowsBetween(-(_LF_W - 1), W.currentRow)
+    full = F.row_number().over(w) >= _LF_W
+    return daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.lag("y", 1).over(w).cast("long").alias("y_lag1"),
+        F.lag("y", _LF_W).over(w).cast("long").alias(f"y_lag{_LF_W}"),
+        F.when(full, F.expr(f"sum(y) over (partition by event_type order by d rows between {_LF_W - 1} preceding and current row) div {_LF_W}"))
+        .cast("long")
+        .alias(f"ma{_LF_W}"),
+        F.when(full, F.max("y").over(wr))
+        .cast("long")
+        .alias(f"max{_LF_W}"),
+    ).orderBy("event_type", "d")
+
+
+q_ts_lag_features.__doc__ = q_ts_lag_features.__doc__.format(w=_LF_W)

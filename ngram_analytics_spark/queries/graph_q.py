@@ -1121,3 +1121,168 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_hits.__doc__ = q_graph_hits.__doc__.format(k=_HITS_TOPK)
+
+
+# ------------------------------------------------------- reciprocity
+
+@REG.register(
+    "q_graph_reciprocity",
+    oracle=f"""
+        WITH {_EDGES_CTE}, m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_recip
+            FROM e a JOIN e b
+              ON a.src = b.dst AND a.dst = b.src
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+        )
+        SELECT n_edges,
+               n_recip,
+               CAST(n_recip / 2 AS BIGINT) AS n_mutual_pairs,
+               CAST(n_recip * 1000000 // n_edges AS BIGINT)
+                   AS reciprocity_ppm
+        FROM tot CROSS JOIN m
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the 3-NN graph: the fraction of
+    "a is a top-3 neighbor of b" edges where b is ALSO a top-3
+    neighbor of a — the global mutuality dial that decides whether the
+    mutual-kNN graph (q_graph_kcore's substrate) keeps enough edges to
+    be useful, and a redundancy signal in its own right (reciprocated
+    similarity = genuinely interchangeable vectors; one-way edges are
+    hub attraction).
+
+    Determinism: pure edge counts and one floor-div ppm.
+
+    Plan: the kNN edge kernel (auto-dispatched GEMM/LSH) emits 3n
+    edges; reciprocity is ONE self-equi-join on the reversed key pair
+    (hash join on (src, dst) — fan-out 1, no residual) and two 1-row
+    aggregates. At 100 TB the join is edge-set-sized, never
+    corpus-sized."""
+    e = _edges(spark, sf_dir).select("src", "dst")
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_recip"))
+    )
+    tot = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(n_recip)).select(
+        "n_edges",
+        "n_recip",
+        F.expr("n_recip div 2").cast("long").alias("n_mutual_pairs"),
+        F.expr("n_recip * 1000000 div n_edges")
+        .cast("long")
+        .alias("reciprocity_ppm"),
+    )
+
+
+# ------------------------------------------------------ Adamic-Adar
+
+_AA_TOPK = 20
+
+
+@REG.register(
+    "q_graph_adamic_adar",
+    oracle=f"""
+        WITH {_EDGES_CTE}, u AS (
+            SELECT DISTINCT least(src, dst) AS s1,
+                   greatest(src, dst) AS s2
+            FROM e
+        ), adj AS (
+            SELECT s1 AS node, s2 AS nbr FROM u
+            UNION ALL
+            SELECT s2 AS node, s1 AS nbr FROM u
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY node
+        ), wt AS (
+            SELECT node, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))
+                                    + 0.5) AS BIGINT) AS w_ppm
+            FROM deg WHERE d >= 2
+        ), wedges AS (
+            SELECT x.node AS a, y.node AS b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(w.w_ppm) AS BIGINT) AS aa_ppm
+            FROM adj x
+            JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+            JOIN wt w ON w.node = x.nbr
+            GROUP BY x.node, y.node
+        ), nonedge AS (
+            SELECT w.* FROM wedges w
+            LEFT JOIN u ON u.s1 = w.a AND u.s2 = w.b
+            WHERE u.s1 IS NULL
+        )
+        SELECT a, b, n_common, aa_ppm
+        FROM nonedge
+        ORDER BY aa_ppm DESC, a ASC, b ASC
+        LIMIT {_AA_TOPK}
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected 3-NN graph:
+    for every NON-edge pair sharing a neighbor, sum 1/ln(deg(w)) over
+    the common neighbors w — the common-neighbor score that discounts
+    promiscuous hubs (a shared rare neighbor says more than a shared
+    hub), the standard upgrade from q_graph_jaccard_nbrs' set overlap;
+    top-{k} missing edges = the near-duplicate candidates the kNN cut
+    just missed.
+
+    Determinism: degrees are exact ints; the single float surface is
+    one ln per DEGREE VALUE (the wedge-center degree domain, bounded
+    by 2k + in-degree), quantized half-up to 1e-6 ticks — the
+    q_text_entropy log discipline; scores are exact integer sums of
+    those ticks. deg(w) >= 2 for every wedge center by construction,
+    so ln never sees 1.
+
+    Plan: the q_graph_jaccard_nbrs wedge shape — adjacency self-join
+    on the shared neighbor (fan-out bounded by kNN degree), weight
+    attached by ONE keyed join to the degree-domain tick table,
+    existing edges removed with a left anti join, TakeOrdered
+    boundary. Headroom: aa_ppm sums 1e6-ticks over common neighbors —
+    int64-safe past 9.2e12 shared neighbors per pair."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("s1"),
+            F.greatest("src", "dst").alias("s2"),
+        )
+        .distinct()
+    )
+    adj = u.select(
+        F.col("s1").alias("node"), F.col("s2").alias("nbr")
+    ).unionAll(
+        u.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    wt = deg.filter(F.col("d") >= 2).select(
+        F.col("node").alias("wnode"),
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")) + 0.5)
+        .cast("long")
+        .alias("w_ppm"),
+    )
+    x = adj.select(F.col("node").alias("a"), "nbr")
+    y = adj.select(F.col("node").alias("b"), F.col("nbr").alias("nbr_y"))
+    wedges = (
+        x.join(y, (F.col("nbr") == F.col("nbr_y")) & (F.col("a") < F.col("b")))
+        .join(wt, F.col("wnode") == F.col("nbr"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w_ppm").cast("long").alias("aa_ppm"),
+        )
+    )
+    nonedge = wedges.join(
+        u,
+        (F.col("s1") == F.col("a")) & (F.col("s2") == F.col("b")),
+        "left_anti",
+    )
+    return nonedge.orderBy(
+        F.col("aa_ppm").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_AA_TOPK)
+
+
+q_graph_adamic_adar.__doc__ = q_graph_adamic_adar.__doc__.format(
+    k=_AA_TOPK
+)

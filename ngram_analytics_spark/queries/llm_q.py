@@ -4863,3 +4863,518 @@ def q_ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ks_at_tick"),
     )
+
+
+# ------------------------------------------------ PR-AUC (average precision)
+
+#: per-tick term: floor once per threshold (documented semantics —
+#: AP is a sum of |ticks| floored ppm terms, identical on both
+#: engines); 128-bit products from day one (npos * pos_ge * 1e6
+#: ~ n^2 * 1e6 wraps int64 at n ~ 3e6 otherwise).
+_PR_TERM_SPARK = (
+    "cast(npos as decimal(38,0)) * (tot_npos - cum_npos + npos)"
+    " * 1000000"
+    " div (cast(tot_npos as decimal(38,0))"
+    " * (tot_cnt - cum_cnt + cnt))"
+)
+
+
+@REG.register(
+    "q_ml_auc_pr",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t, cnt, npos,
+                   CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_cnt,
+                   CAST(sum(npos) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_npos,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS tot_cnt,
+                   CAST(sum(npos) OVER () AS BIGINT) AS tot_npos
+            FROM pt
+        )
+        SELECT CAST(max(tot_npos) AS BIGINT) AS n_pos,
+               CAST(max(tot_cnt) - max(tot_npos) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_ticks,
+               CAST(max(tot_npos) * 1000000 // max(tot_cnt) AS BIGINT)
+                   AS base_rate_ppm,
+               CAST(coalesce(sum(
+                   CAST(npos AS HUGEINT)
+                   * (tot_npos - cum_npos + npos) * 1000000
+                   // (CAST(tot_npos AS HUGEINT)
+                      * (tot_cnt - cum_cnt + cnt))
+               ), 0) AS BIGINT) AS ap_ppm
+        FROM c
+    """,
+)
+def q_ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT area under the precision-recall curve (average precision
+    with the step integral, ties collapsed to score thresholds) — the
+    imbalance-robust companion to q_ml_auc: when positives are rare
+    (the usual shape of a quality-filter or toxicity gate over a 100 TB
+    corpus), ROC-AUC saturates while AP still separates models, and
+    base_rate_ppm is reported beside it as the no-skill floor.
+
+    AP = sum over thresholds t of (pos_at_t / n_pos) * precision(>=t).
+    Each threshold term is ONE integer floor at ppm scale (documented
+    term-wise floor semantics — both engines sum identical integers,
+    so the statistic is bit-stable under any partitioning); products
+    ride DECIMAL(38,0)/HUGEINT from day one (headroom: the npos *
+    pos_ge * 1e6 product passes int64 at n ~ 3e6 rows — the
+    q_ml_spearman lesson applied preemptively).
+
+    Plan: the q_ml_auc shape — ONE map-side-combined tick compress,
+    grouped_value_cumsum on the tick domain (window partitions bounded
+    by the value domain), ONE 1-row final aggregate. No per-row ranks,
+    no global sort."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    pt = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .select(F.lit(0).alias("g"), "t", "cnt", "npos")
+    )
+    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
+    return c.agg(
+        F.max("tot_npos").cast("long").alias("n_pos"),
+        (F.max("tot_cnt") - F.max("tot_npos"))
+        .cast("long")
+        .alias("n_neg"),
+        F.count("*").cast("long").alias("n_ticks"),
+        F.expr("max(tot_npos) * 1000000 div max(tot_cnt)")
+        .cast("long")
+        .alias("base_rate_ppm"),
+        F.coalesce(F.expr(f"sum({_PR_TERM_SPARK})"), F.lit(0))
+        .cast("long")
+        .alias("ap_ppm"),
+    )
+
+
+# --------------------------------------------------- Kendall tau-b
+
+#: the fixture's closed label alphabet; the pivot lattice is sized by
+#: it, so the pair census is value-domain work (never O(n^2) rows).
+_TAU_LABELS = tuple(range(10))
+
+#: concordant mass: each cell (t, y) pairs with strictly-greater
+#: ticks of strictly-greater labels — (tot - cum_inclusive) counts
+#: exactly the t' > t rows, so x-ties never leak into C or D.
+_TAU_C_SPARK = " + ".join(
+    f"cast(c{y} as decimal(38,0)) * ("
+    + " + ".join(f"(tot_c{yp} - cum_c{yp})" for yp in _TAU_LABELS[y + 1:])
+    + ")"
+    for y in _TAU_LABELS[:-1]
+)
+_TAU_D_SPARK = " + ".join(
+    f"cast(c{y} as decimal(38,0)) * ("
+    + " + ".join(f"(tot_c{yp} - cum_c{yp})" for yp in _TAU_LABELS[:y])
+    + ")"
+    for y in _TAU_LABELS[1:]
+)
+_TAU_NT = " + ".join(f"c{y}" for y in _TAU_LABELS)
+
+_TAU_C_DUCK = _TAU_C_SPARK.replace("decimal(38,0)", "HUGEINT")
+_TAU_D_DUCK = _TAU_D_SPARK.replace("decimal(38,0)", "HUGEINT")
+
+_TAU_PIVOT_DUCK = ", ".join(
+    f"CAST(sum(CASE WHEN y = {y} THEN 1 ELSE 0 END) AS BIGINT) AS c{y}"
+    for y in _TAU_LABELS
+)
+_TAU_CUM_DUCK = ", ".join(
+    f"CAST(sum(c{y}) OVER (ORDER BY t) AS BIGINT) AS cum_c{y},"
+    f" CAST(sum(c{y}) OVER () AS BIGINT) AS tot_c{y}"
+    for y in _TAU_LABELS
+)
+_TAU_TWO_TY = " + ".join(
+    f"CAST(max(tot_c{y}) AS {{T}}) * (max(tot_c{y}) - 1)"
+    for y in _TAU_LABELS
+)
+
+
+@REG.register(
+    "q_ml_kendall_tau",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CAST(label AS BIGINT) AS y
+            FROM embeddings
+        ), pt AS (
+            SELECT t, {_TAU_PIVOT_DUCK}
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t, * EXCLUDE (t), {_TAU_CUM_DUCK}
+            FROM pt
+        ), s AS (
+            SELECT CAST(sum({_TAU_C_DUCK}) AS HUGEINT) AS conc,
+                   CAST(sum({_TAU_D_DUCK}) AS HUGEINT) AS disc,
+                   CAST(sum(CAST({_TAU_NT} AS HUGEINT)
+                            * ({_TAU_NT} - 1)) AS HUGEINT) AS two_tx,
+                   {_TAU_TWO_TY.format(T="HUGEINT")} AS two_ty,
+                   CAST(max(tot_c0
+                        {"".join(f" + tot_c{y}" for y in _TAU_LABELS[1:])})
+                        AS HUGEINT) AS n
+            FROM c
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(conc AS BIGINT) AS n_concordant,
+               CAST(disc AS BIGINT) AS n_discordant,
+               CAST(floor(CAST(2 * (conc - disc) AS DOUBLE) * 1000000.0
+                    / (sqrt(CAST(n * (n - 1) - two_tx AS DOUBLE))
+                       * sqrt(CAST(n * (n - 1) - two_ty AS DOUBLE))))
+                    AS BIGINT) AS tau_b_ppm
+        FROM s
+    """,
+)
+def q_ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall tau-b between the score column and the 10-level
+    label — the pair-concordance companion to q_ml_spearman (same
+    monotone-association question, different robustness profile: tau's
+    influence function is bounded, so one wild score moves it by at
+    most O(1/n)) — with the textbook tie correction for BOTH the
+    massively-tied label and tied score ticks.
+
+    The scale shape: tau needs PAIR counts, not pairs. The corpus
+    compresses to the score-tick domain pivoted over the closed
+    10-label alphabet (one map-side-combined groupBy), the 10 label
+    columns get their cumulative masses in ONE grouped_value_cumsum
+    pass, and every cell's concordant/discordant partners arrive from
+    (tot - cum) differences — C, D, and both tie terms are then one
+    1-row aggregate. No O(n^2) pair enumeration anywhere.
+
+    Determinism: exact 128-bit pair counts (DECIMAL(38,0) / HUGEINT —
+    C ~ n^2/2 wraps int64 at n ~ 4e9, so widened from day one); ONE
+    floor after two IEEE sqrts of identical integers (the
+    q_ml_spearman discipline)."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    base = e.select(t.alias("t"), F.col("label").cast("long").alias("y"))
+    pt = (
+        base.groupBy("t")
+        .pivot("y", list(_TAU_LABELS))
+        .agg(F.count("y"))
+        .select(
+            F.lit(0).alias("g"),
+            "t",
+            *[
+                F.coalesce(F.col(str(y)), F.lit(0))
+                .cast("long")
+                .alias(f"c{y}")
+                for y in _TAU_LABELS
+            ],
+        )
+    )
+    c = grouped_value_cumsum(
+        pt, "g", "t", [f"c{y}" for y in _TAU_LABELS], _AUC_BUCKET
+    )
+    s = c.agg(
+        F.expr(f"sum({_TAU_C_SPARK})").alias("conc"),
+        F.expr(f"sum({_TAU_D_SPARK})").alias("disc"),
+        F.expr(
+            f"sum(cast({_TAU_NT} as decimal(38,0)) * ({_TAU_NT} - 1))"
+        ).alias("two_tx"),
+        F.expr(_TAU_TWO_TY.format(T="decimal(38,0)")).alias("two_ty"),
+        F.expr(
+            "cast(max(tot_c0"
+            + "".join(f" + tot_c{y}" for y in _TAU_LABELS[1:])
+            + ") as decimal(38,0))"
+        ).alias("n"),
+    )
+    den = F.sqrt(
+        (F.col("n") * (F.col("n") - 1) - F.col("two_tx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * (F.col("n") - 1) - F.col("two_ty")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("disc").cast("long").alias("n_discordant"),
+        F.floor(
+            (2 * (F.col("conc") - F.col("disc"))).cast("double")
+            * F.lit(1000000.0)
+            / den
+        )
+        .cast("long")
+        .alias("tau_b_ppm"),
+    )
+
+
+# ------------------------------------------- population stability index
+
+#: 10 fixed-width score buckets over the clamped [-1, 1] tick domain;
+#: Laplace add-one smoothing so empty-on-one-side buckets stay finite.
+_PSI_NB = 10
+
+
+@REG.register(
+    "q_ml_psi",
+    oracle=f"""
+        WITH tick AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+            FROM embeddings
+        ), r AS (
+            SELECT least((t + 1000000) * {_PSI_NB} // 2000000,
+                         {_PSI_NB - 1}) AS bucket,
+                   in_a
+            FROM tick
+        ), b AS (
+            SELECT bucket,
+                   CAST(sum(in_a) AS BIGINT) AS n_a,
+                   CAST(sum(1 - in_a) AS BIGINT) AS n_b
+            FROM r GROUP BY bucket
+        ), tot AS (
+            SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb
+            FROM b
+        )
+        SELECT bucket, n_a, n_b,
+               CAST(floor(
+                   (CAST(n_a + 1 AS DOUBLE) / (ta + {_PSI_NB})
+                    - CAST(n_b + 1 AS DOUBLE) / (tb + {_PSI_NB}))
+                   * ln((CAST(n_a + 1 AS DOUBLE) / (ta + {_PSI_NB}))
+                        / (CAST(n_b + 1 AS DOUBLE) / (tb + {_PSI_NB})))
+                   * 1000000.0 + 0.5) AS BIGINT) AS psi_term_ppm
+        FROM b CROSS JOIN tot
+        ORDER BY bucket
+    """,
+)
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two deterministic halves of
+    the corpus (vec_id parity — the stand-in for "training week vs
+    serving week"): per score bucket, the (p_a - p_b) * ln(p_a / p_b)
+    drift term — THE model-monitoring statistic (PSI > 0.2 = retrain
+    alarm) beside q_ks_drift's distribution test and
+    q_embed_centroid_drift's geometric one; per-bucket rows so the
+    alarm can point at WHERE the score moved.
+
+    Determinism: bucketing is pure integer arithmetic on clamped 1e-6
+    score ticks (the q_ml_ks_separation clamp); proportions are exact
+    rationals with add-one Laplace smoothing (identical on both
+    engines, keeps empty-on-one-side buckets finite); the single
+    float surface is one ln per BUCKET (10 total) quantized to 1e-6
+    ticks half-up — the q_text_entropy log discipline. Each term is
+    >= 0 by convexity, so half-up rounding needs no sign split.
+
+    Plan: ONE scan -> per-row integer bucket + parity -> ONE
+    map-side-combined groupBy to <= {nb} rows; totals broadcast back
+    with a 1-row crossJoin. At 100 TB state is {nb} integers."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (
+        F.least(F.floor(F.abs(x) * 1e6 + F.lit(0.5)), F.lit(1e6))
+        * F.signum(x)
+    ).cast("long")
+    # non-negative domain (t + 1e6 >= 0), so truncating integer `div`
+    # IS floor and matches DuckDB's `//` exactly
+    b = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias(
+                "in_a"
+            ),
+        )
+        .select(
+            F.expr(
+                f"least(((t + 1000000) * {_PSI_NB}) div 2000000,"
+                f" {_PSI_NB - 1})"
+            )
+            .cast("long")
+            .alias("bucket"),
+            "in_a",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_NB)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_NB)
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.floor((pa - pb) * F.log(pa / pb) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("psi_term_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+q_ml_psi.__doc__ = q_ml_psi.__doc__.format(nb=_PSI_NB)
+
+
+# ------------------------------------------------- MAP@k (average precision)
+
+_MAP_K = 5
+_MAP_NQ = 10
+
+
+@REG.register(
+    "q_ml_map",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT qid, ql, nl, rn FROM (
+                SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_AB} DESC, b.vec_id ASC
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+                WHERE a.vec_id < {_MAP_NQ}
+            ) WHERE rn <= {_MAP_K}
+        ), terms AS (
+            SELECT qid,
+                   CASE WHEN nl = ql THEN
+                       (CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY qid ORDER BY rn)
+                             AS BIGINT) * 1000000) // rn
+                   ELSE 0 END AS term_ppm,
+                   CASE WHEN nl = ql THEN 1 ELSE 0 END AS hit
+            FROM ranked
+        ), rel AS (
+            SELECT q.vec_id AS qid,
+                   CAST(count(*) FILTER (
+                       WHERE c.label = q.label
+                             AND c.vec_id != q.vec_id) AS BIGINT)
+                       AS n_rel
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {_MAP_NQ}
+            GROUP BY q.vec_id
+        )
+        SELECT t.qid,
+               CAST(min(rel.n_rel) AS BIGINT) AS n_rel,
+               CAST(sum(t.hit) AS BIGINT) AS hits,
+               CAST(sum(t.term_ppm)
+                    // greatest(least(min(rel.n_rel), {_MAP_K}), 1)
+                    AS BIGINT) AS ap_at_k_ppm
+        FROM terms t JOIN rel ON rel.qid = t.qid
+        GROUP BY t.qid ORDER BY t.qid
+    """,
+)
+def q_ml_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision at k={k} per query (the MAP family): for each
+    query vector (vec_id < {nq}), AP = sum over HIT ranks i of
+    precision@i, normalized by min(n_rel, k) — the rank-sensitive
+    retrieval metric between q_ml_precision_at_k (set overlap only)
+    and q_ml_ndcg (graded gains): AP rewards putting the hits EARLY,
+    with no discount table to choose.
+
+    Determinism: precision@i = cum_hits/i rides ONE integer ppm floor
+    per rank (term-wise floor semantics, the q_ml_auc_pr discipline);
+    the per-query window is k={k} rows ordered by the fully
+    tie-broken exact-cosine rank (q_sim_knn fold-order cosine).
+
+    Plan: brute_force_knn broadcasts the {nq}-row query side against
+    the corpus scan; the cumulative-hit window partitions are k rows
+    each; the relevant-mass side is ONE label-keyed count (never
+    corpus x corpus); final agg groups {nq} rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    top = brute_force_knn(
+        emb, emb.filter(F.col("vec_id") < _MAP_NQ), k=_MAP_K
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    lbl_mass = emb.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    rel = (
+        emb.filter(F.col("vec_id") < _MAP_NQ)
+        .join(F.broadcast(lbl_mass), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("n_lbl") - 1).alias("n_rel"),
+        )
+    )
+    hit = F.when(F.col("nl") == F.col("ql"), 1).otherwise(0)
+    terms = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .select("query_id", "rn", hit.alias("hit"))
+        .select(
+            "query_id",
+            "hit",
+            F.when(
+                F.col("hit") == 1,
+                F.expr(
+                    "(sum(hit) over (partition by query_id order by rn)"
+                    " * 1000000) div rn"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("term_ppm"),
+        )
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("hits"),
+            F.sum("term_ppm").cast("long").alias("ap_num"),
+        )
+        .join(F.broadcast(rel), "query_id")
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("n_rel").cast("long").alias("n_rel"),
+            "hits",
+            F.expr(
+                f"ap_num div greatest(least(n_rel, {_MAP_K}), 1)"
+            )
+            .cast("long")
+            .alias("ap_at_k_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+q_ml_map.__doc__ = q_ml_map.__doc__.format(k=_MAP_K, nq=_MAP_NQ)

@@ -1267,3 +1267,99 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------- power analysis
+
+#: (z_{alpha/2} + z_{beta})^2 at alpha = 5% two-sided, power = 80% —
+#: a Python-precomputed 1e-6-tick literal (1.959964 + 0.841621)^2, the
+#: _BENFORD_PPM constant-table discipline: no erf/quantile at runtime.
+_POW_Z2_PPM = int(round((1.959964 + 0.841621) ** 2 * 1e6))
+
+#: minimum-detectable-effect grid, percent of the metric mean.
+_POW_MDE_PCTS = (1, 2, 5, 10)
+
+_POW_METRIC = "purchase"
+
+
+@REG.register(
+    "q_ab_power",
+    oracle=f"""
+        WITH m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(CAST(floor(value * 10000.0 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS s,
+                   CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            * CAST(floor(value * 10000.0 + 0.5)
+                                   AS HUGEINT)) AS HUGEINT) AS s2
+            FROM events WHERE event_type = '{_POW_METRIC}'
+        ), grid(mde_pct) AS (
+            VALUES {", ".join(f"({p})" for p in _POW_MDE_PCTS)}
+        )
+        SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+               CAST(n AS BIGINT) AS n_obs,
+               CAST(s // n AS BIGINT) AS mean_tick,
+               CAST((CAST({_POW_Z2_PPM} AS HUGEINT) * (n * s2 - s * s)
+                     + 50 * s * s * mde_pct * mde_pct - 1)
+                    // (50 * s * s * mde_pct * mde_pct) AS BIGINT)
+                   AS n_required_per_arm
+        FROM m CROSS JOIN grid
+        ORDER BY mde_pct
+    """,
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis on the {metric} value metric: for each
+    minimum detectable effect (percent of the current mean), the
+    per-arm sample size at 5% two-sided alpha / 80% power — the
+    planning query every experiment starts with, closing the loop
+    with q_ab_ztest (verdict), q_ab_srm (validity) and q_ab_cuped
+    (variance reduction: its theta tells you how much this n shrinks).
+
+    The algebra is folded to ONE integer ceiling-division:
+    n = ceil(2 sigma^2 (z_a + z_b)^2 / (mean * pct/100)^2) — the n^2
+    factors of the variance and the squared mean CANCEL, leaving
+    n_req = ceil(Z2_ppm * (n*s2 - s*s) / (50 * s^2 * pct^2)) over the
+    exact 1e-4-tick moments s, s2. The z-constant is a Python-
+    precomputed 1e-6-tick literal ({z2} — the _BENFORD_PPM constant
+    discipline), so there is NO quantile function and NO float
+    ANYWHERE — the whole statistic is 128-bit integer arithmetic.
+
+    Headroom: Z2 * n * s2 passes DECIMAL(38,0)/HUGEINT at n ~ 1e9
+    metric rows; shard the moment aggregate beyond.
+
+    Plan: ONE filtered scan -> 1-row exact moment aggregate ->
+    broadcast 4-row MDE grid. Constant state at any corpus size."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == _POW_METRIC
+    )
+    dec = "decimal(38,0)"
+    tick = F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+    m = e.select(tick.alias("v")).agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("s2"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _POW_MDE_PCTS], "mde_pct long"
+    )
+    return (
+        m.crossJoin(F.broadcast(grid))
+        .select(
+            "mde_pct",
+            F.col("n").cast("long").alias("n_obs"),
+            F.expr("s div n").cast("long").alias("mean_tick"),
+            F.expr(
+                f"(cast({_POW_Z2_PPM} as decimal(38,0)) * (n * s2 - s * s)"
+                " + 50 * s * s * mde_pct * mde_pct - 1)"
+                " div (50 * s * s * mde_pct * mde_pct)"
+            )
+            .cast("long")
+            .alias("n_required_per_arm"),
+        )
+        .orderBy("mde_pct")
+    )
+
+
+q_ab_power.__doc__ = q_ab_power.__doc__.format(
+    metric=_POW_METRIC, z2=_POW_Z2_PPM
+)

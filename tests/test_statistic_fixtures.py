@@ -1387,3 +1387,312 @@ def test_cuped_pure_python_mirror(spark, tmp_path):
         assert r.mean_post == r4(mo)
         assert abs(r.mean_post_adj - r4(adj)) < 1e-9
         assert r.rho_ppm == rho_ppm
+
+
+# ------------------------------------------------------ r11 additions
+
+
+def test_auc_pr_closed_form(spark, tmp_path):
+    """Scores .1/.2/.3/.4 with labels 0/9/0/9 (pos iff label >= 5):
+    threshold .4 -> P=1/1, pos share 1/2 -> 500000;
+    threshold .2 -> P=2/3, pos share 1/2 -> floor(2e6/6) = 333333;
+    negative thresholds contribute 0.  ap_ppm = 833333,
+    base_rate = 2e6 div 4 = 500000."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 0),
+        (1, mk(0.2), 9),
+        (2, mk(0.3), 0),
+        (3, mk(0.4), 9),
+    ]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_auc_pr")(spark, sf).collect()[0]
+    assert (r.n_pos, r.n_neg, r.n_ticks) == (2, 2, 4)
+    assert r.base_rate_ppm == 500_000
+    assert r.ap_ppm == 833_333
+
+
+def test_kendall_tau_closed_form(spark, tmp_path):
+    """Scores .1/.2/.2/.3, labels 0/1/1/2 (a tie in BOTH variables):
+    concordant pairs = 5, discordant = 0, the (2,3) pair is doubly
+    tied and drops from both; two_tx = two_ty = 2, so
+    tau_b = 2*5e6 / (sqrt(10)*sqrt(10)) = 1.0 up to one IEEE ulp
+    (sqrt(10)^2 = 10 + 2e-15 -> the floor may land one tick under)."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 0),
+        (1, mk(0.2), 1),
+        (2, mk(0.2), 1),
+        (3, mk(0.3), 2),
+    ]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_kendall_tau")(spark, sf).collect()[0]
+    assert (r.n, r.n_concordant, r.n_discordant) == (4, 5, 0)
+    assert r.tau_b_ppm in (999_999, 1_000_000)
+
+
+def test_kendall_tau_inversion(spark, tmp_path):
+    """Reversed labels -> every non-tied pair discordant, tau ~ -1."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 2),
+        (1, mk(0.2), 1),
+        (2, mk(0.2), 1),
+        (3, mk(0.3), 0),
+    ]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_kendall_tau")(spark, sf).collect()[0]
+    assert (r.n_concordant, r.n_discordant) == (0, 5)
+    assert r.tau_b_ppm in (-999_999, -1_000_000)
+
+
+def test_psi_identical_halves_are_zero(spark, tmp_path):
+    """Both parity halves hold the same scores -> p_a = p_b in every
+    bucket after smoothing -> all drift terms exactly 0."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.15), 0), (1, mk(0.15), 0),
+            (2, mk(0.35), 0), (3, mk(0.35), 0)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_psi")(spark, sf).collect()
+    assert [row.bucket for row in r] == [5, 6]
+    assert all(row.psi_term_ppm == 0 for row in r)
+    assert all(row.n_a == 1 and row.n_b == 1 for row in r)
+
+
+def test_psi_disjoint_halves_closed_form(spark, tmp_path):
+    """A holds two 0.1-scores (bucket 5), B two 0.9-scores (bucket 9):
+    smoothed p = 3/12 vs 1/12 in each occupied bucket, so each term is
+    (1/6)*ln(3) = 0.18310204... -> 183102 ppm, symmetric by
+    construction."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.1), 0), (2, mk(0.1), 0),
+            (1, mk(0.9), 0), (3, mk(0.9), 0)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = {row.bucket: row for row in _q("q_ml_psi")(spark, sf).collect()}
+    assert set(r) == {5, 9}
+    assert (r[5].n_a, r[5].n_b) == (2, 0)
+    assert (r[9].n_a, r[9].n_b) == (0, 2)
+    expected = math.floor((1 / 6) * math.log(3.0) * 1e6 + 0.5)
+    assert r[5].psi_term_ppm == expected == 183_102
+    assert r[9].psi_term_ppm == expected
+
+
+def test_map_closed_form(spark, tmp_path):
+    """Four collinear vectors (exact dyadic components -> cosine is
+    EXACTLY 1.0, ranks resolve purely by the vec_id tiebreak), labels
+    1/1/2/1.  For query 0 (label 1, candidates 1,2,3 in id order):
+    hits at ranks 1 and 3 -> terms 1e6 and floor(2e6/3) = 666666,
+    n_rel = 2 -> AP = 2e6 - wait, (1000000 + 666666) div 2 = 833333.
+    Query 2 (label 2) has zero relevant -> AP 0.  Query 3: hits at
+    ranks 1, 2 -> (1e6 + 1e6) div 2 = 1e6."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.25), 1),
+        (1, mk(0.5), 1),
+        (2, mk(1.0), 2),
+        (3, mk(0.5), 1),
+    ]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = {row.qid: row for row in _q("q_ml_map")(spark, sf).collect()}
+    assert set(r) == {0, 1, 2, 3}
+    assert r[0].ap_at_k_ppm == 833_333 and r[0].hits == 2
+    assert r[1].ap_at_k_ppm == 833_333
+    assert r[2].ap_at_k_ppm == 0 and r[2].n_rel == 0
+    assert r[3].ap_at_k_ppm == 1_000_000
+
+
+def _two_cluster_embeddings():
+    """v0,v1 on axis e1; v2,v3 on axis e2; v4 on the 45-degree
+    bisector: cos = 1.0 within a cluster, 0.7071 to v4, 0.0 across
+    clusters (below the 0.2 kNN floor)."""
+    def vec(a, b):
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        return v
+
+    return [
+        (0, vec(1.0, 0.0), 0),
+        (1, vec(0.5, 0.0), 0),
+        (2, vec(0.0, 1.0), 0),
+        (3, vec(0.0, 0.5), 0),
+        (4, vec(0.5, 0.5), 0),
+    ]
+
+
+def test_reciprocity_closed_form(spark, tmp_path):
+    """Hand kNN graph of the two-cluster fixture: directed edges
+    0->{1,4} 1->{0,4} 2->{3,4} 3->{2,4} 4->{0,1,2} (top-3 by cosine
+    desc, id asc — v4's four 0.7071 ties resolve to ids 0,1,2).
+    Only 3->4 lacks its reverse: 10 of 11 edges reciprocate ->
+    5 mutual pairs, 909090 ppm."""
+    sf = _write(
+        spark, tmp_path, "embeddings", _two_cluster_embeddings(),
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_graph_reciprocity")(spark, sf).collect()[0]
+    assert r.n_edges == 11
+    assert r.n_recip == 10
+    assert r.n_mutual_pairs == 5
+    assert r.reciprocity_ppm == 909_090
+
+
+def test_adamic_adar_closed_form(spark, tmp_path):
+    """Undirected edges of the two-cluster fixture: (0,1) (0,4) (1,4)
+    (2,3) (2,4) (3,4).  Every non-edge pair shares exactly the hub 4
+    (degree 4): AA = 1/ln(4) -> floor(1e6/ln4 + .5) = 721348 for
+    (0,2) (0,3) (1,2) (1,3)."""
+    sf = _write(
+        spark, tmp_path, "embeddings", _two_cluster_embeddings(),
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = _q("q_graph_adamic_adar")(spark, sf).collect()
+    got = {(r.a, r.b): (r.n_common, r.aa_ppm) for r in rows}
+    expected_pairs = {(0, 2), (0, 3), (1, 2), (1, 3)}
+    assert set(got) == expected_pairs
+    w = math.floor(1e6 / math.log(4.0) + 0.5)
+    assert all(v == (1, w) for v in got.values())
+    assert w == 721_348
+
+
+def test_periodogram_detects_the_planted_period(spark, tmp_path):
+    """A pure 7-day pulse train (y=8 when day%7==0 else 1) over 28
+    days: the period-7 bin carries the pulse's whole AC energy while
+    10 and 15 don't divide 28 evenly -> strictly smaller relative
+    power.  Expected sums re-derived by an independent in-test trig
+    mirror (math.cos/sin, same half-up tick quantization)."""
+    days = list(range(7, 35))
+    rows, eid = [], 0
+    for d in days:
+        y = 8 if d % 7 == 0 else 1
+        for _ in range(y):
+            rows.append(
+                (eid, datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(days=d, hours=9),
+                 1, "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r.period: r for r in
+           _q("q_ts_periodogram")(spark, sf).collect()}
+    assert set(out) == {7, 10, 15}
+    # independent mirror
+    for p, row in out.items():
+        sc = ss = sy = 0
+        for d in days:
+            y = 8 if d % 7 == 0 else 1
+            ang = 2.0 * math.pi * (d % p) / p
+            sc += y * math.floor(math.cos(ang) * 1e6 + 0.5)
+            ss += y * math.floor(math.sin(ang) * 1e6 + 0.5)
+            sy += y
+        assert (row.s_cos, row.s_sin) == (sc, ss), p
+        assert row.power_rel_ppm == (sc * sc + ss * ss) * 10**6 // (sy * sy)
+    assert out[7].power_rel_ppm > 10 * out[10].power_rel_ppm
+    assert out[7].power_rel_ppm > 10 * out[15].power_rel_ppm
+
+
+def test_lag_features_closed_form(spark, tmp_path):
+    """Daily counts 1..8 for one type: day 8 reads lag1=7, lag7=1,
+    ma7 = (2+...+8) div 7 = 5, max7 = 8; rolling stats are NULL until
+    the 7th observed day (the anti-leakage contract)."""
+    rows, eid = [], 0
+    for day in range(1, 9):
+        for _ in range(day):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day, 12, 0, 0),
+                 1, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = _q("q_ts_lag_features")(spark, sf).collect()
+    assert len(out) == 8
+    by_y = {r.y: r for r in out}
+    last = by_y[8]
+    assert (last.y_lag1, last.y_lag7, last.ma7, last.max7) == (7, 1, 5, 8)
+    first = by_y[1]
+    assert first.y_lag1 is None and first.ma7 is None
+    assert by_y[6].ma7 is None  # 6 rows of history only
+    assert by_y[7].ma7 == 28 // 7 and by_y[7].max7 == 7
+
+
+def test_zipf_closed_form(spark, tmp_path):
+    """One document with exact power-of-two frequencies 8/4/2/1 ->
+    log2(f) ticks are EXACT (3e6, 2e6, 1e6, 0); slope/intercept
+    re-derived by an independent integer OLS mirror."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    sf = _write(
+        spark, tmp_path, "documents",
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_text_zipf")(spark, sf).collect()[0]
+    assert (r.n_ranks, r.top_freq) == (4, 8)
+    xs = [math.floor(math.log2(rk) * 1e6 + 0.5) for rk in (1, 2, 3, 4)]
+    ys = [3_000_000, 2_000_000, 1_000_000, 0]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+
+    def tdiv(a, b):  # both engines' `div` truncates toward zero
+        return -((-a) // b) if a < 0 else a // b
+
+    assert r.slope_ppm == tdiv(
+        (n * sxy - sx * sy) * 10**6, n * sxx - sx * sx
+    ) == -1_459_021
+    assert r.intercept_ppm == tdiv(
+        sy * sxx - sx * sxy, n * sxx - sx * sx
+    ) == 3_172_390
+    assert -1_700_000 < r.slope_ppm < -1_300_000  # steeper than Zipf -1
+
+
+def test_ab_power_closed_form(spark, tmp_path):
+    """Two purchase values 1.0 / 3.0: population variance 1.0, mean
+    2.0 -> n_per_arm = ceil(2 * 1 * (z_a+z_b)^2 / (2*pct/100)^2),
+    re-derived via the same integer ceiling-division mirror; zero
+    variance would read 0."""
+    rows = [
+        (0, datetime.datetime(2024, 1, 1, 1), 1, "purchase", 1.0, "{}"),
+        (1, datetime.datetime(2024, 1, 1, 2), 2, "purchase", 3.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 3), 3, "click", 9.0, "{}"),
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r.mde_pct: r for r in _q("q_ab_power")(spark, sf).collect()}
+    assert set(out) == {1, 2, 5, 10}
+    z2 = int(round((1.959964 + 0.841621) ** 2 * 1e6))
+    n, s, s2 = 2, 40_000, 10_000**2 + 30_000**2
+    for pct, r in out.items():
+        a = z2 * (n * s2 - s * s)
+        b = 50 * s * s * pct * pct
+        assert r.n_required_per_arm == -(-a // b), pct
+        assert r.mean_tick == 20_000 and r.n_obs == 2
+    # sanity: sigma=1, mean=2 at 10% MDE -> ~392-393 per arm
+    assert 380 <= out[10].n_required_per_arm <= 400
