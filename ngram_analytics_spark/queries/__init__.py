@@ -48,6 +48,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ts_lag_features",
     "q_text_zipf",
     "q_ab_power",
+    "q_ml_iv_woe",
+    "q_ml_cramers_v",
+    "q_ml_mutual_info",
+    "q_ts_mann_kendall",
+    "q_ts_anova_dow",
+    "q_sample_horvitz",
+    "q_text_bigram_entropy",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -79,13 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_try",
     "q_fn_url",
     "q_fn_variant",
-    "q_funnel",
-    "q_graph_pagerank",
-    "q_merge_upsert",
-    "q_multimodal_audio",
-    "q_quant_int8",
-    "q_retention",
-    "q_sample_hash",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -100,6 +100,13 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_funnel",
+    "q_graph_pagerank",
+    "q_merge_upsert",
+    "q_multimodal_audio",
+    "q_quant_int8",
+    "q_retention",
+    "q_sample_hash",
     "q_sample_stratified",
     "q_set_ops_all",
     "q_sort_nulls",

@@ -1293,3 +1293,108 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_zipf.__doc__ = q_text_zipf.__doc__.format(k=_ZIPF_TOPK)
+
+
+# -------------------------------------------- bigram conditional entropy
+
+@REG.register(
+    "q_text_bigram_entropy",
+    oracle=f"""
+        WITH bg AS (
+            SELECT lang, unnest({ngrams_sql(TOKENS, 2)}) AS bg
+            FROM documents
+        ), bc AS (
+            SELECT lang, bg, CAST(count(*) AS BIGINT) AS c_bi
+            FROM bg GROUP BY 1, 2
+        ), uc AS (
+            SELECT lang, string_split(bg, ' ')[1] AS w1,
+                   CAST(sum(c_bi) AS BIGINT) AS c_uni
+            FROM bc GROUP BY 1, 2
+        ), terms AS (
+            SELECT b.lang,
+                   CAST(sum(b.c_bi) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_bigram_types,
+                   CAST(sum(
+                       CAST(b.c_bi AS HUGEINT)
+                       * CAST(floor(ln(CAST(u.c_uni AS DOUBLE) / b.c_bi)
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                   ) AS HUGEINT) AS mass
+            FROM bc b
+            JOIN uc u ON b.lang = u.lang
+                     AND u.w1 = string_split(b.bg, ' ')[1]
+            GROUP BY b.lang
+        )
+        SELECT lang, n_bigrams, n_bigram_types,
+               CAST(mass // n_bigrams AS BIGINT)
+                   AS cond_entropy_micronat
+        FROM terms
+        ORDER BY lang
+    """,
+)
+def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(w2 | w1) per language, in
+    micro-nats: how predictable the next token is given the current
+    one — LOW entropy flags templated/boilerplate-heavy text while
+    q_text_entropy's unigram read stays normal (templates reuse normal
+    words in fixed ORDER), and the statistic is exactly what
+    q_doc_lm_score's bigram LM assumes is informative. H(w2|w1) =
+    sum c_ij * ln(c_i / c_ij) / N over the bigram-type domain.
+
+    Determinism: the unigram marginal is DERIVED from the bigram
+    table (sum of c_ij over the continuation — so boundary tokens
+    cannot desync the two counts); one ln per bigram TYPE of the
+    exact integer ratio, quantized half-up to 1e-6 (the
+    q_text_entropy log discipline; c_i >= c_ij so terms are >= 0);
+    the weighted mass rides HUGEINT/DECIMAL(38,0) (c * tick wraps
+    int64 past ~9e12 ln-units of corpus mass) and ONE trunc-div
+    descales.
+
+    Plan: ONE bigram explode (map-side combined to the bigram-type
+    domain, the q_doc_lm_score shape); the marginal re-aggregates the
+    TYPE table; join keys on (lang, w1). Nothing after the first
+    rollup scales with corpus size — only with vocabulary."""
+    t = spread(load(spark, sf_dir, "documents")).select(
+        "lang", F.split("text", " ").alias("toks")
+    )
+    bg = t.select(
+        "lang", F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    bc = bg.groupBy("lang", "bg").agg(
+        F.count("*").cast("long").alias("c_bi")
+    )
+    uc = (
+        bc.select(
+            "lang",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            "c_bi",
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("c_bi").cast("long").alias("c_uni"))
+    )
+    dec = "decimal(38,0)"
+    tick = F.floor(
+        F.log(F.col("c_uni").cast("double") / F.col("c_bi")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        bc.select(
+            "lang",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            "c_bi",
+        )
+        .join(uc, ["lang", "w1"])
+        .groupBy("lang")
+        .agg(
+            F.sum("c_bi").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_bigram_types"),
+            F.sum(F.col("c_bi").cast(dec) * tick).alias("mass"),
+        )
+    )
+    return terms.select(
+        "lang",
+        "n_bigrams",
+        "n_bigram_types",
+        F.expr("mass div n_bigrams")
+        .cast("long")
+        .alias("cond_entropy_micronat"),
+    ).orderBy("lang")

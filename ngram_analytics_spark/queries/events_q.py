@@ -2959,3 +2959,244 @@ def q_ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ts_lag_features.__doc__ = q_ts_lag_features.__doc__.format(w=_LF_W)
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+@REG.register(
+    "q_ts_mann_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+            GROUP BY 1
+        ), nn AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie_adj
+            FROM (
+                SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT s.event_type, nn.n AS n_days, s.s_stat,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_adj
+                    AS BIGINT) AS var_s_x18,
+               CAST(floor(
+                   (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                         WHEN s.s_stat < 0 THEN s.s_stat + 1
+                         ELSE 0 END) * 1000000.0
+                   / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                               - ties.tie_adj AS DOUBLE) / 18.0))
+                   AS BIGINT) AS z_ppm
+        FROM s
+        JOIN nn ON s.event_type = nn.event_type
+        JOIN ties ON s.event_type = ties.event_type
+        ORDER BY s.event_type
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type: S = sum of
+    sign(y_j - y_i) over ordered day pairs, the tie-corrected variance
+    (kept x18 so it stays integer), and the continuity-corrected
+    z-statistic — the SIGNIFICANCE half of the trend pair whose SLOPE
+    half is q_ts_theil_sen (same pairwise lattice, same robustness),
+    and the formal test behind q_ts_pop's eyeballed deltas.
+
+    Determinism: S and the tie adjustment are exact int64 on the
+    DAY domain; z takes one sqrt of the identical integer-valued
+    double and one floor — no other float surface.
+
+    Plan: ONE map-side-combined daily rollup, then the triangular
+    (type, day) self-join on the CALENDAR-bounded rollup (the
+    q_ts_theil_sen shape — at 100 TB the pair lattice is
+    days^2/2 per type, independent of event count); tie counts from
+    one (type, y)-domain rollup."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, ["event_type"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_adj")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_adj")
+    )
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.cast("long").alias("var_s_x18"),
+            F.floor(
+                corrected * F.lit(1000000.0)
+                / F.sqrt(var18.cast("double") / F.lit(18.0))
+            )
+            .cast("long")
+            .alias("z_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- day-of-week ANOVA eta^2
+
+@REG.register(
+    "q_ts_anova_dow",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT event_type, d % 7 AS dow,
+                   CAST(sum(y) AS BIGINT) AS sg,
+                   CAST(count(*) AS BIGINT) AS ng
+            FROM daily GROUP BY 1, 2
+        ), gt AS (
+            SELECT event_type,
+                   CAST(sum(CAST(sg AS HUGEINT) * sg * 1000000 // ng)
+                        AS BIGINT) AS between_raw
+            FROM g GROUP BY 1
+        ), t AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS s2
+            FROM daily GROUP BY 1
+        )
+        SELECT t.event_type, t.n AS n_days,
+               CAST(gt.between_raw
+                    - CAST(s AS HUGEINT) * s * 1000000 // n AS BIGINT)
+                   AS ssb_tick,
+               CAST(CAST(s2 AS HUGEINT) * 1000000
+                    - CAST(s AS HUGEINT) * s * 1000000 // n AS BIGINT)
+                   AS sst_tick,
+               CAST((gt.between_raw
+                     - CAST(s AS HUGEINT) * s * 1000000 // n) * 1000000
+                    // NULLIF(CAST(s2 AS HUGEINT) * 1000000
+                              - CAST(s AS HUGEINT) * s * 1000000 // n,
+                              0) AS BIGINT) AS eta2_ppm
+        FROM t JOIN gt ON t.event_type = gt.event_type
+        ORDER BY t.event_type
+    """,
+)
+def q_ts_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality STRENGTH per event type: one-way ANOVA
+    eta-squared of the daily counts over the 7 epoch-day-mod-7 groups
+    (SSB/SST — the fraction of daily variance the weekly cycle
+    explains) — the effect-size dial between q_ts_periodogram (which
+    period?) and q_ts_seasonal (what does the cycle look like?): run
+    the decomposition only where eta^2 says the cycle is real.
+
+    Determinism: every sum of squares rides exact integer ticks —
+    per-group S_g^2 * 1e6 div n_g with ONE floor per group (term-wise
+    floor over at most 7 groups, the q_ml_auc_pr discipline), grand
+    terms S^2 * 1e6 div n — in HUGEINT/DECIMAL(38,0) from day one
+    (S_g^2 wraps int64 past ~3e9 events/type). eta^2 is one final
+    integer floor-div; no doubles anywhere.
+
+    Plan: daily rollup (only fact pass) -> 7-row dow rollup + 1-row
+    totals per type, both on the day-domain table."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    g = daily.groupBy(
+        "event_type", (F.col("d") % 7).alias("dow")
+    ).agg(
+        F.sum("y").cast("long").alias("sg"),
+        F.count("*").cast("long").alias("ng"),
+    )
+    gt = g.groupBy("event_type").agg(
+        F.expr(f"sum(cast(sg as {dec}) * sg * 1000000 div ng)")
+        .cast(dec)
+        .alias("between_raw")
+    )
+    t = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("s2"),
+    )
+    grand = F.expr(f"cast(s as {dec}) * s * 1000000 div n").cast(dec)
+    return (
+        t.join(gt, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            (F.col("between_raw") - grand).cast("long").alias("ssb_tick"),
+            (F.col("s2") * 1_000_000 - grand).cast("long").alias("sst_tick"),
+            F.expr(
+                "(between_raw - cast(s as decimal(38,0)) * s * 1000000"
+                " div n) * 1000000"
+                " div nullif(s2 * 1000000 - cast(s as decimal(38,0))"
+                " * s * 1000000 div n, 0)"
+            )
+            .cast("long")
+            .alias("eta2_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -5378,3 +5378,122 @@ def q_ml_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_map.__doc__ = q_ml_map.__doc__.format(k=_MAP_K, nq=_MAP_NQ)
+
+
+# --------------------------------------------- WOE / information value
+
+@REG.register(
+    "q_ml_iv_woe",
+    oracle=f"""
+        WITH tick AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), b AS (
+            SELECT least((t + 1000000) * {_PSI_NB} // 2000000,
+                         {_PSI_NB - 1}) AS bucket,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - pos) AS BIGINT) AS n_neg
+            FROM tick GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                   CAST(sum(n_neg) AS BIGINT) AS tn
+            FROM b
+        ), w AS (
+            SELECT bucket, n_pos, n_neg,
+                   (CAST(n_pos + 1 AS DOUBLE) / (tp + {_PSI_NB}))
+                       AS ps,
+                   (CAST(n_neg + 1 AS DOUBLE) / (tn + {_PSI_NB}))
+                       AS ns
+            FROM b CROSS JOIN tot
+        )
+        SELECT bucket, n_pos, n_neg,
+               CAST(floor(abs(ln(ps / ns)) * 1000000.0 + 0.5) AS BIGINT)
+               * (CASE WHEN ps / ns < 1 THEN -1
+                       WHEN ps / ns > 1 THEN 1 ELSE 0 END)
+                   AS woe_ppm,
+               CAST(floor((ps - ns) * ln(ps / ns) * 1000000.0 + 0.5)
+                    AS BIGINT) AS iv_term_ppm
+        FROM w
+        ORDER BY bucket
+    """,
+)
+def q_ml_iv_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the score
+    against the binary label: per score bucket, WOE = ln(share of
+    positives / share of negatives) and the IV summand
+    (p_share - n_share) * WOE — the credit-scoring feature-strength
+    standard (IV > 0.3 = strong predictor) that reads the SAME
+    10-bucket geometry as q_ml_psi but splits by LABEL instead of by
+    cohort; the bucket-resolved view of what q_ml_ks_separation
+    reports as one max gap.
+
+    Determinism: the q_ml_psi discipline end-to-end — integer bucket
+    on clamped ticks, exact-rational add-one-smoothed shares, ONE ln
+    per bucket quantized half-up to 1e-6 ticks (sign split for WOE,
+    which is signed; the IV term is >= 0 by convexity).
+
+    Plan: ONE scan -> integer bucket + label flag -> ONE map-side
+    groupBy to <= {nb} rows -> broadcast totals. Constant state."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (
+        F.least(F.floor(F.abs(x) * 1e6 + F.lit(0.5)), F.lit(1e6))
+        * F.signum(x)
+    ).cast("long")
+    b = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .select(
+            F.expr(
+                f"least(((t + 1000000) * {_PSI_NB}) div 2000000,"
+                f" {_PSI_NB - 1})"
+            )
+            .cast("long")
+            .alias("bucket"),
+            "pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    )
+    ps = (F.col("n_pos") + 1).cast("double") / (F.col("tp") + _PSI_NB)
+    ns = (F.col("n_neg") + 1).cast("double") / (F.col("tn") + _PSI_NB)
+    ratio = ps / ns
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_pos",
+            "n_neg",
+            (
+                F.floor(F.abs(F.log(ratio)) * 1e6 + F.lit(0.5))
+                * F.signum(ratio - 1)
+            )
+            .cast("long")
+            .alias("woe_ppm"),
+            F.floor((ps - ns) * F.log(ratio) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("iv_term_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+q_ml_iv_woe.__doc__ = q_ml_iv_woe.__doc__.format(nb=_PSI_NB)

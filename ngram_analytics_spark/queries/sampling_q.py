@@ -1363,3 +1363,93 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ab_power.__doc__ = q_ab_power.__doc__.format(
     metric=_POW_METRIC, z2=_POW_Z2_PPM
 )
+
+
+# ------------------------------------------- Horvitz-Thompson audit
+
+@REG.register(
+    "q_sample_horvitz",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, n_chars,
+                   least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS wt
+            FROM documents
+        ), kept AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(greatest(n_chars, 400)) AS BIGINT)
+                       AS ht_estimate
+            FROM w
+            WHERE {{keep}} < wt
+            GROUP BY lang
+        ), truth AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(n_chars) AS BIGINT) AS true_total
+            FROM w GROUP BY lang
+        )
+        SELECT t.lang, t.n_total, t.true_total,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.ht_estimate, 0) AS ht_estimate,
+               CAST((coalesce(k.ht_estimate, 0) - t.true_total)
+                    * 1000000 // t.true_total AS BIGINT) AS err_ppm
+        FROM truth t LEFT JOIN kept k ON t.lang = k.lang
+        ORDER BY t.lang
+    """.format(keep=_uniform_sql("doc_id")),
+)
+def q_sample_horvitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimator audit of the q_sample_weighted
+    design: re-estimate each language's TOTAL character mass from the
+    weighted sample alone (each kept doc contributes n_chars / p_keep)
+    and report the signed error against the full-scan truth — the
+    closed-loop check that the sampling design is actually unbiased
+    BEFORE a 100 TB pipeline trusts sample-based corpus statistics.
+
+    The inverse-probability weight collapses to pure integers:
+    p = min(1, n_chars/400), so n_chars / p = max(n_chars, 400) — the
+    whole estimator is an integer sum (no division per row at all).
+
+    Determinism: the keep set replays from the arithmetic-uniform
+    hash of doc_id (the q_sample_weighted predicate, shared
+    spelling); estimate, truth, and error are exact ints + one
+    trunc-div ppm.
+
+    Plan: ONE scan feeds both the filtered sample rollup and the
+    truth rollup (lang-domain); a lang-keyed outer join stitches
+    them. Headroom: sums bounded by total corpus chars — int64 to
+    ~9.2 EB of text."""
+    d = load(spark, sf_dir, "documents")
+    wt = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 400.0)
+    kept = (
+        d.filter(_uniform(F.col("doc_id")) < wt)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(F.greatest(F.col("n_chars"), F.lit(400)))
+            .cast("long")
+            .alias("ht_estimate"),
+        )
+    )
+    truth = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("true_total"),
+    )
+    return (
+        truth.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "true_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("ht_estimate", F.lit(0))
+            .cast("long")
+            .alias("ht_estimate"),
+            F.expr(
+                "(coalesce(ht_estimate, 0) - true_total) * 1000000"
+                " div true_total"
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -1533,3 +1533,209 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ml_learning_curve.__doc__ = q_ml_learning_curve.__doc__.format(
     grid=_LC_GRID, n=len(_LC_GRID)
 )
+
+
+# ------------------------------------------- Cramer's V association
+
+@REG.register(
+    "q_ml_cramers_v",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
+        ), mr AS (
+            SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1
+        ), mc AS (
+            SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT source) AS BIGINT) AS nc
+            FROM o
+        ), grid AS (
+            -- the FULL contingency grid: unobserved (lang, source)
+            -- cells still contribute (0 - e)^2/e to chi-square
+            SELECT mr.lang, mc.source, mr.r, mc.c,
+                   coalesce(o.o, 0) AS o
+            FROM mr CROSS JOIN mc
+            LEFT JOIN o ON o.lang = mr.lang AND o.source = mc.source
+        ), terms AS (
+            SELECT CAST(sum(
+                       CAST(g.o * t.n - g.r * g.c AS HUGEINT)
+                       * (g.o * t.n - g.r * g.c) * 1000000
+                       // (CAST(t.n AS HUGEINT) * g.r * g.c)
+                   ) AS BIGINT) AS chi2_ppm,
+                   CAST(max(t.n) AS BIGINT) AS n,
+                   CAST(max(t.nr) AS BIGINT) AS nr,
+                   CAST(max(t.nc) AS BIGINT) AS nc
+            FROM grid g CROSS JOIN tot t
+        )
+        SELECT n, nr AS n_langs, nc AS n_sources, chi2_ppm,
+               CAST(floor(sqrt(
+                   CAST(chi2_ppm AS DOUBLE) / 1000000.0
+                   / (n * least(nr - 1, nc - 1))) * 1000.0) AS BIGINT)
+                   AS cramers_v_milli
+        FROM terms
+    """,
+)
+def q_ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between the two categorical corpus axes
+    (lang x source): the normalized chi-square in [0, 1] — "are my
+    sources language-balanced or does each source bring its own
+    language?" — the corpus-composition diagnostic upstream of
+    q_mix_budget / q_sample_balanced (a high V means you cannot
+    rebalance one axis without skewing the other); per-token
+    supervised selection is q_ml_chi2's job, this is the table-level
+    verdict.
+
+    Determinism: each chi-square term rides the exact integer identity
+    (o*n - r*c)^2 / (n*r*c) with ONE ppm floor per cell (term-wise
+    floor, the q_ml_auc_pr discipline) — products in
+    HUGEINT/DECIMAL(38,0) from day one (o*n ~ n^2 wraps int64 at
+    n ~ 3e9); V takes one sqrt of the identical double. The grid is
+    the FULL marginal cross product, so unobserved cells pay their
+    (0 - e)^2/e — the perfect-association fixture (V must read
+    exactly 1) is what catches the observed-cells-only bug.
+
+    Plan: ONE scan -> (lang, source)-domain cell rollup (map-side
+    combined); marginals re-aggregate the CELLS, never the facts;
+    everything after the first groupBy lives on the |langs|x|sources|
+    grid."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    mr = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    mc = o.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = o.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    )
+    dec = "decimal(38,0)"
+    # the FULL |langs| x |sources| grid — unobserved cells still owe
+    # (0 - e)^2/e to chi-square; the cell rollup alone underestimates
+    grid = (
+        mr.crossJoin(F.broadcast(mc))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "r", "c", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                f"sum(cast(o * n - r * c as {dec})"
+                f" * (o * n - r * c) * 1000000"
+                f" div (cast(n as {dec}) * r * c))"
+            )
+            .cast("long")
+            .alias("chi2_ppm"),
+            F.max("n").cast("long").alias("n"),
+            F.max("nr").cast("long").alias("nr"),
+            F.max("nc").cast("long").alias("nc"),
+        )
+    )
+    return terms.select(
+        "n",
+        F.col("nr").alias("n_langs"),
+        F.col("nc").alias("n_sources"),
+        "chi2_ppm",
+        F.floor(
+            F.sqrt(
+                F.col("chi2_ppm").cast("double")
+                / F.lit(1000000.0)
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            )
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("cramers_v_milli"),
+    )
+
+
+# ------------------------------------------------- mutual information
+
+@REG.register(
+    "q_ml_mutual_info",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
+            FROM documents GROUP BY 1, 2
+        ), mr AS (
+            SELECT lang, CAST(sum(n_cell) AS BIGINT) AS r
+            FROM o GROUP BY 1
+        ), mc AS (
+            SELECT source, CAST(sum(n_cell) AS BIGINT) AS c
+            FROM o GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_cell) AS BIGINT) AS n FROM o
+        )
+        SELECT o.lang, o.source, o.n_cell,
+               CAST(floor(abs(
+                       (CAST(o.n_cell AS DOUBLE) / t.n)
+                       * ln(CAST(o.n_cell AS DOUBLE) * t.n
+                            / (CAST(mr.r AS DOUBLE) * mc.c))
+                   ) * 1000000.0 + 0.5) AS BIGINT)
+               * (CASE WHEN CAST(o.n_cell AS DOUBLE) * t.n
+                            < CAST(mr.r AS DOUBLE) * mc.c THEN -1
+                       WHEN CAST(o.n_cell AS DOUBLE) * t.n
+                            > CAST(mr.r AS DOUBLE) * mc.c THEN 1
+                       ELSE 0 END) AS mi_term_micronat
+        FROM o
+        JOIN mr ON o.lang = mr.lang
+        JOIN mc ON o.source = mc.source
+        CROSS JOIN tot t
+        ORDER BY o.lang, o.source
+    """,
+)
+def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information census of the (lang, source)
+    contingency: per cell, p_ij * ln(p_ij / (p_i p_j)) in micro-nats —
+    the summands of MI(lang; source), the information-theoretic twin
+    of q_ml_cramers_v (chi-square weighs squared deviations, MI weighs
+    log surprise; together they bracket the association) with per-cell
+    attribution of WHICH lang/source pairs carry the dependence.
+
+    Determinism: the cell/marginal masses are exact int64; each term
+    takes ONE ln of the exact integer ratio n_cell*n / (r*c) quantized
+    half-up to 1e-6 (sign split — cells above/below independence carry
+    opposite signs; the q_text_entropy log discipline). Zero cells are
+    absent on BOTH engines (lim p->0 of the term is 0).
+
+    Plan: identical to q_ml_cramers_v — one fact pass to the cell
+    grid, marginals from the cells, broadcast scalars."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_cell")
+    )
+    mr = o.groupBy("lang").agg(F.sum("n_cell").cast("long").alias("r"))
+    mc = o.groupBy("source").agg(
+        F.sum("n_cell").cast("long").alias("c")
+    )
+    tot = o.agg(F.sum("n_cell").cast("long").alias("n"))
+    lhs = F.col("n_cell").cast("double") * F.col("n")
+    rhs = F.col("r").cast("double") * F.col("c")
+    term = (F.col("n_cell").cast("double") / F.col("n")) * F.log(
+        F.col("n_cell").cast("double")
+        * F.col("n")
+        / (F.col("r").cast("double") * F.col("c"))
+    )
+    return (
+        o.join(mr, "lang")
+        .join(F.broadcast(mc), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_cell",
+            (
+                F.floor(F.abs(term) * 1e6 + F.lit(0.5))
+                * F.signum(lhs - rhs)
+            )
+            .cast("long")
+            .alias("mi_term_micronat"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1696,3 +1696,179 @@ def test_ab_power_closed_form(spark, tmp_path):
         assert r.mean_tick == 20_000 and r.n_obs == 2
     # sanity: sigma=1, mean=2 at 10% MDE -> ~392-393 per arm
     assert 380 <= out[10].n_required_per_arm <= 400
+
+
+def test_iv_woe_closed_form(spark, tmp_path):
+    """Two positives (label 9) at score .1, two negatives (label 0)
+    at .9: bucket 5 holds all positives -> smoothed shares 3/12 vs
+    1/12 -> WOE = +ln(3) = 1098612 ppm, IV term (1/6)ln3 = 183102;
+    bucket 9 is the mirror image with negative WOE."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.1), 9), (1, mk(0.1), 9),
+            (2, mk(0.9), 0), (3, mk(0.9), 0)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = {row.bucket: row for row in _q("q_ml_iv_woe")(spark, sf).collect()}
+    assert set(r) == {5, 9}
+    woe = math.floor(math.log(3.0) * 1e6 + 0.5)
+    iv = math.floor((1 / 6) * math.log(3.0) * 1e6 + 0.5)
+    assert (r[5].n_pos, r[5].n_neg) == (2, 0)
+    assert r[5].woe_ppm == woe == 1_098_612
+    assert r[9].woe_ppm == -woe
+    assert r[5].iv_term_ppm == r[9].iv_term_ppm == iv == 183_102
+
+
+def test_cramers_v_perfect_association(spark, tmp_path):
+    """2x2 with each language exclusive to one source: chi2 = n = 4
+    (each cell term (o*n - r*c)^2/(n*r*c) = 1e6 ppm, INCLUDING the
+    two zero cells — the pin that catches an observed-cells-only
+    chi-square), V = sqrt(4/(4*1)) = 1 -> 1000 milli."""
+    rows = [
+        (0, "t", "en", "s1", 1), (1, "t", "en", "s1", 1),
+        (2, "t", "fr", "s2", 1), (3, "t", "fr", "s2", 1),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents",
+        [(i, t, l, s, n) for i, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_ml_cramers_v")(spark, sf).collect()[0]
+    assert (r.n, r.n_langs, r.n_sources) == (4, 2, 2)
+    assert r.chi2_ppm == 4_000_000
+    assert r.cramers_v_milli == 1000
+
+
+def test_cramers_v_independence_is_zero(spark, tmp_path):
+    """A perfectly balanced 2x2 (every lang x source cell equal):
+    every o*n - r*c difference is exactly 0 -> chi2 = V = 0."""
+    rows = [(i, "t", l, s, 1)
+            for i, (l, s) in enumerate(
+                [("en", "s1"), ("en", "s2"), ("fr", "s1"), ("fr", "s2")])]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_ml_cramers_v")(spark, sf).collect()[0]
+    assert r.chi2_ppm == 0 and r.cramers_v_milli == 0
+
+
+def test_mutual_info_closed_form(spark, tmp_path):
+    """Perfect 2x2 association: each observed cell carries
+    (1/2) * ln(2) micro-nats -> 346574 each; summed MI = ln(2)."""
+    rows = [
+        (0, "t", "en", "s1", 1), (1, "t", "en", "s1", 1),
+        (2, "t", "fr", "s2", 1), (3, "t", "fr", "s2", 1),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = _q("q_ml_mutual_info")(spark, sf).collect()
+    assert len(out) == 2  # zero cells absent by design (term -> 0)
+    term = math.floor(0.5 * math.log(2.0) * 1e6 + 0.5)
+    assert all(r.mi_term_micronat == term == 346_574 for r in out)
+
+
+def test_mann_kendall_closed_form(spark, tmp_path):
+    """Daily counts 1, 2, 3 (strictly rising): S = 3, no ties,
+    var*18 = 3*2*11 = 66, z = (3-1)*1e6 / sqrt(66/18)."""
+    rows, eid = [], 0
+    for day, c in enumerate([1, 2, 3], start=1):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, day, 8), 1,
+                 "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_mann_kendall")(spark, sf).collect()[0]
+    assert (r.n_days, r.s_stat, r.var_s_x18) == (3, 3, 66)
+    assert r.z_ppm == math.floor(2e6 / math.sqrt(66 / 18.0)) == 1_044_465
+
+
+def test_anova_dow_perfect_weekly_cycle(spark, tmp_path):
+    """14 days where y = 10 on one weekday and 1 elsewhere, repeated
+    exactly: within-group variance is 0, so eta^2 = SSB/SST = 1e6
+    exactly (the dow groups explain ALL the variance)."""
+    rows, eid = [], 0
+    for d in range(14):
+        y = 10 if d % 7 == 0 else 1
+        for _ in range(y):
+            rows.append(
+                (eid, datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(days=d, hours=6),
+                 1, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_anova_dow")(spark, sf).collect()[0]
+    assert r.n_days == 14
+    assert r.ssb_tick == r.sst_tick
+    assert r.eta2_ppm == 1_000_000
+
+
+def test_horvitz_saturated_weights_are_exact(spark, tmp_path):
+    """Docs all >= 400 chars have keep probability exactly 1: the
+    sample IS the population and the HT estimate must equal the true
+    total with err_ppm = 0."""
+    rows = [(i, "t", "en", "s", 400 + 100 * i) for i in range(4)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_sample_horvitz")(spark, sf).collect()[0]
+    assert r.n_kept == r.n_total == 4
+    assert r.ht_estimate == r.true_total == 400 + 500 + 600 + 700
+    assert r.err_ppm == 0
+
+
+def test_horvitz_small_doc_mirror(spark, tmp_path):
+    """One 100-char doc (p = 1/4): the keep decision replays from the
+    arithmetic-uniform mirror; if kept it contributes max(100, 400) =
+    400 — the pure-integer inverse-probability weight."""
+    rows = [(7, "t", "fr", "s", 100), (8, "t", "fr", "s", 500)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    kept_small = ((7 * 2654435761) % 1000003) / 1000003 < 100 / 400.0
+    r = _q("q_sample_horvitz")(spark, sf).collect()[0]
+    expected_ht = 500 + (400 if kept_small else 0)
+    assert r.ht_estimate == expected_ht
+    assert r.true_total == 600
+    assert r.n_kept == (2 if kept_small else 1)
+
+
+def test_bigram_entropy_closed_form(spark, tmp_path):
+    """lang en: 'a b a b a' alternates deterministically -> every
+    continuation is forced, H(w2|w1) = 0.  lang fr: 'x y x z' has one
+    binary choice after x -> mass = 2*ln(2) ticks over 3 bigrams."""
+    rows = [
+        (1, "a b a b a", "en", "s", 9),
+        (2, "x y x z", "fr", "s", 7),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = {row.lang: row for row in
+         _q("q_text_bigram_entropy")(spark, sf).collect()}
+    assert r["en"].cond_entropy_micronat == 0
+    assert (r["en"].n_bigrams, r["en"].n_bigram_types) == (4, 2)
+    ln2 = math.floor(math.log(2.0) * 1e6 + 0.5)
+    assert r["fr"].n_bigrams == 3
+    assert r["fr"].cond_entropy_micronat == 2 * ln2 // 3 == 462_098
