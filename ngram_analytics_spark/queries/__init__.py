@@ -55,6 +55,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ts_anova_dow",
     "q_sample_horvitz",
     "q_text_bigram_entropy",
+    "q_ts_hurst",
+    "q_ml_ece",
+    "q_stream_live_ngram_topk",
+    "q_privacy_dp_mean",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -82,10 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_regexp2",
     "q_fn_string2",
     "q_fn_struct",
-    "q_fn_trig",
-    "q_fn_try",
-    "q_fn_url",
-    "q_fn_variant",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -100,6 +100,10 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_fn_trig",
+    "q_fn_try",
+    "q_fn_url",
+    "q_fn_variant",
     "q_funnel",
     "q_graph_pagerank",
     "q_merge_upsert",

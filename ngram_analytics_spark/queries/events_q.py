@@ -3200,3 +3200,202 @@ def q_ts_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------- Hurst exponent
+
+#: dyadic-ish block sizes for the R/S ladder — 3 points is the
+#: minimum for a slope; the fixture's 30-day window holds 4/2/1 full
+#: blocks.
+_HURST_WS = (7, 14, 28)
+
+
+@REG.register(
+    "q_ts_hurst",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), ws(w) AS (
+            VALUES {", ".join(f"({w})" for w in _HURST_WS)}
+        ), dw AS (
+            SELECT dd.event_type, ws.w, dd.d, dd.y,
+                   dd.d // ws.w AS b,
+                   CAST(sum(dd.y) OVER (
+                       PARTITION BY dd.event_type, ws.w, dd.d // ws.w
+                       ORDER BY dd.d) AS BIGINT) AS cum,
+                   CAST(row_number() OVER (
+                       PARTITION BY dd.event_type, ws.w, dd.d // ws.w
+                       ORDER BY dd.d) AS BIGINT) AS j,
+                   CAST(sum(dd.y) OVER (
+                       PARTITION BY dd.event_type, ws.w, dd.d // ws.w
+                       ) AS BIGINT) AS s
+            FROM daily dd CROSS JOIN ws
+        ), zr AS (
+            SELECT event_type, w, b,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(max(s) AS BIGINT) AS s,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2,
+                   CAST(max(w * cum - j * s) AS BIGINT) AS zmax,
+                   CAST(min(w * cum - j * s) AS BIGINT) AS zmin
+            FROM dw GROUP BY 1, 2, 3
+        ), rs AS (
+            SELECT event_type, w,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CAST(floor(
+                       CAST(zmax - zmin AS DOUBLE) * 1000000.0
+                       / sqrt(CAST(w * s2 - CAST(s AS HUGEINT) * s
+                                   AS DOUBLE)))
+                       AS BIGINT)) AS BIGINT) AS rs_sum
+            FROM zr
+            WHERE cnt = w AND w * s2 - CAST(s AS HUGEINT) * s > 0
+            GROUP BY 1, 2
+        ), pts AS (
+            SELECT event_type, w, n_blocks,
+                   CAST(rs_sum // n_blocks AS BIGINT) AS rs_mean_ppm,
+                   CAST(floor(log2(CAST(w AS DOUBLE)) * 1000000.0
+                              + 0.5) AS BIGINT) AS x,
+                   CAST(floor(log2(CAST(rs_sum // n_blocks AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS yv
+            FROM rs
+        ), slope AS (
+            SELECT event_type,
+                   CAST((count(*) * sum(CAST(x AS HUGEINT) * yv)
+                         - CAST(sum(x) AS HUGEINT) * sum(yv)) * 1000000
+                        // NULLIF(count(*) * sum(CAST(x AS HUGEINT) * x)
+                                  - CAST(sum(x) AS HUGEINT) * sum(x), 0)
+                        AS BIGINT) AS hurst_ppm
+            FROM pts GROUP BY 1
+        )
+        SELECT p.event_type, p.w, p.n_blocks, p.rs_mean_ppm,
+               s.hurst_ppm
+        FROM pts p JOIN slope s ON p.event_type = s.event_type
+        ORDER BY p.event_type, p.w
+    """,
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the per-type daily series via rescaled-range
+    (R/S) analysis over block sizes {ws}: per (type, block size) the
+    mean R/S ratio, plus the log-log slope (the Hurst exponent: ~0.5
+    = memoryless, > 0.5 = trending/persistent, < 0.5 = mean-
+    reverting) — the long-memory diagnostic that says whether
+    q_ewma-style forecasting has anything to exploit, beside
+    q_ts_autocorr's fixed-lag view.
+
+    Determinism: the range statistic is EXACT integers end-to-end —
+    the within-block deviation ladder rides the q_ts_autocorr scaling
+    trick (w*cum_j - j*S is an exact int64, so R*w = max - min is
+    exact), the variance scale sqrt(w*S2 - S^2) is ONE sqrt of an
+    exact 128-bit integer, and each block contributes ONE floored ppm
+    ratio (term-wise floor, the q_ml_auc_pr discipline; R/S = scaled
+    ratio because the w factors cancel). The slope reuses the
+    q_text_zipf integer-OLS: log2 ticks per (w, mean) POINT (3 per
+    type), 128-bit moments, one trunc-div. Headroom: w*S2 wraps int64
+    past ~1e8 events/day — widened to HUGEINT/DECIMAL already.
+
+    Plan: ONE daily rollup (the only fact pass) x broadcast 3-row
+    block-size dim; block windows partition on (type, w, block) —
+    bounded by the block size; everything downstream lives on the
+    (type, w) and (type) domains. Partial blocks and zero-variance
+    blocks are excluded on BOTH engines."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WS], "w long")
+    dw = daily.crossJoin(F.broadcast(ws)).withColumn(
+        "b", F.expr("d div w")
+    )
+    wcum = W.partitionBy("event_type", "w", "b").orderBy("d")
+    dec = "decimal(38,0)"
+    rows = dw.select(
+        "event_type",
+        "w",
+        "b",
+        "y",
+        F.sum("y").over(wcum).cast("long").alias("cum"),
+        F.row_number().over(wcum).cast("long").alias("j"),
+        F.sum("y")
+        .over(W.partitionBy("event_type", "w", "b"))
+        .cast("long")
+        .alias("s"),
+    )
+    blk = (
+        rows.select(
+            "event_type",
+            "w",
+            "b",
+            "y",
+            "s",
+            (F.col("w") * F.col("cum") - F.col("j") * F.col("s")).alias(
+                "z"
+            ),
+        )
+        .groupBy("event_type", "w", "b")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.max("s").cast("long").alias("s"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("s2"),
+            F.max("z").cast("long").alias("zmax"),
+            F.min("z").cast("long").alias("zmin"),
+        )
+    )
+    var = F.expr(f"w * s2 - cast(s as {dec}) * s")
+    rs = (
+        blk.filter((F.col("cnt") == F.col("w")) & (var > 0))
+        .select(
+            "event_type",
+            "w",
+            F.floor(
+                (F.col("zmax") - F.col("zmin")).cast("double")
+                * F.lit(1000000.0)
+                / F.sqrt(var.cast("double"))
+            )
+            .cast("long")
+            .alias("rs_ppm"),
+        )
+        .groupBy("event_type", "w")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("rs_ppm").cast("long").alias("rs_sum"),
+        )
+    )
+    pts = rs.select(
+        "event_type",
+        "w",
+        "n_blocks",
+        F.expr("rs_sum div n_blocks").cast("long").alias("rs_mean_ppm"),
+        F.floor(F.log2(F.col("w").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.log2(F.expr("rs_sum div n_blocks").cast("double")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("yv"),
+    )
+    slope = pts.groupBy("event_type").agg(
+        F.expr(
+            f"(count(*) * sum(cast(x as {dec}) * yv)"
+            f" - cast(sum(x) as {dec}) * sum(yv)) * 1000000"
+            f" div nullif(count(*) * sum(cast(x as {dec}) * x)"
+            f" - cast(sum(x) as {dec}) * sum(x), 0)"
+        )
+        .cast("long")
+        .alias("hurst_ppm")
+    )
+    return (
+        pts.join(slope, "event_type")
+        .select(
+            "event_type", "w", "n_blocks", "rs_mean_ppm", "hurst_ppm"
+        )
+        .orderBy("event_type", "w")
+    )

@@ -5497,3 +5497,92 @@ def q_ml_iv_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_iv_woe.__doc__ = q_ml_iv_woe.__doc__.format(nb=_PSI_NB)
+
+
+# -------------------------------------------- expected calibration error
+
+@REG.register(
+    "q_ml_ece",
+    oracle=f"""
+        WITH r AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000) AS s,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), b AS (
+            SELECT least(s // 100000, {_CAL_BINS - 1}) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(abs(sum(s) // count(*)
+                            - (sum(pos) * 1000000) // count(*))
+                        AS BIGINT) AS gap_ppm
+            FROM r GROUP BY 1
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_bins_occupied,
+               CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n)
+                    AS BIGINT) AS ece_ppm,
+               CAST(max(gap_ppm) AS BIGINT) AS mce_ppm
+        FROM b
+    """,
+)
+def q_ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error scalars over the EXACT
+    q_ml_calibration bin geometry: ECE = the mass-weighted mean of the
+    per-bin |mean confidence - positive rate| gaps, MCE = the worst
+    bin — the headline pair a model card quotes where
+    q_ml_calibration shows the full reliability diagram (same bins,
+    same tick discipline, one definition — the _CONF_CELLS_SQL
+    desync-proofing idea applied to the eval family).
+
+    Determinism: per-bin gaps are integer ppm (the calibration
+    invariant); the weighted sum rides HUGEINT/DECIMAL(38,0)
+    (n * gap <= n * 1e6 wraps int64 past ~9.2e12 rows) and ONE
+    trunc-div descales. Note the documented two-floor semantics: the
+    per-bin conf/pos-rate divs floor first (inherited from the bin
+    geometry), then the weighted mean floors once.
+
+    Plan: ONE scan -> {b}-bin map-side aggregate -> 1-row rollup.
+    Constant state at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    s = F.least(
+        F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(1_000_000),
+    )
+    b = (
+        e.select(
+            s.alias("s"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy(
+            F.least(
+                F.expr("s div 100000"), F.lit(_CAL_BINS - 1)
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "abs(sum(s) div count(*)"
+                " - (sum(pos) * 1000000) div count(*))"
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+        )
+    )
+    return b.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins_occupied"),
+        F.expr(
+            "sum(cast(n as decimal(38,0)) * gap_ppm) div sum(n)"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+        F.max("gap_ppm").cast("long").alias("mce_ppm"),
+    )
+
+
+q_ml_ece.__doc__ = q_ml_ece.__doc__.format(b=_CAL_BINS)

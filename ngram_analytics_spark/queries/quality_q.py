@@ -1669,3 +1669,138 @@ def q_privacy_dp_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------- DP mean release
+
+#: per-order contribution bound for the DP sum (1e-4 price ticks):
+#: the clamp is the mechanism's sensitivity knob and is part of the
+#: release contract.
+_DPM_BOUND_TICK = 3_000_000_000  # 300000.0000
+
+@REG.register(
+    "q_privacy_dp_mean",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS true_n,
+                   CAST(sum(least(CAST(floor(o_totalprice * 10000.0
+                                             + 0.5) AS BIGINT),
+                                  {_DPM_BOUND_TICK})) AS BIGINT)
+                       AS true_sum_tick
+            FROM orders GROUP BY o_orderpriority
+        ), t AS (
+            SELECT *,
+                   CAST('0x' || substring(md5('dpm:' || o_orderpriority),
+                        1, 8) AS BIGINT) % 1000000 AS un,
+                   CASE WHEN CAST('0x' || substring(
+                        md5('dpm:' || o_orderpriority), 9, 1)
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sn,
+                   CAST('0x' || substring(md5('dps:' || o_orderpriority),
+                        1, 8) AS BIGINT) % 1000000 AS us,
+                   CASE WHEN CAST('0x' || substring(
+                        md5('dps:' || o_orderpriority), 9, 1)
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS ss
+            FROM h
+        ), z AS (
+            SELECT o_orderpriority, true_n, true_sum_tick,
+                   sn * (CASE WHEN un < 500000 THEN 0
+                              WHEN un < 750000 THEN 1
+                              WHEN un < 875000 THEN 2
+                              WHEN un < 937500 THEN 3
+                              WHEN un < 968750 THEN 4
+                              ELSE 5 END) AS noise_n,
+                   ss * (CASE WHEN us < 500000 THEN 0
+                              WHEN us < 750000 THEN 1
+                              WHEN us < 875000 THEN 2
+                              WHEN us < 937500 THEN 3
+                              WHEN us < 968750 THEN 4
+                              ELSE 5 END)
+                      * ({_DPM_BOUND_TICK} // 1000) AS noise_sum_tick
+            FROM t
+        )
+        SELECT o_orderpriority, true_n, noise_n, noise_sum_tick,
+               greatest(1, true_n + noise_n) AS released_n,
+               CAST(greatest(0, true_sum_tick + noise_sum_tick)
+                    // greatest(1, true_n + noise_n) AS BIGINT)
+                   AS released_mean_tick
+        FROM z
+        ORDER BY o_orderpriority
+    """,
+)
+def q_privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-MEAN release plumbing per order priority: the standard
+    DP mean decomposition — CLAMP each contribution to a fixed bound
+    (the sensitivity knob, part of the release contract), perturb the
+    clamped sum and the count with independent symmetric
+    folded-geometric noise, release clamped-sum/clamped-count — the
+    aggregate-release companion to q_privacy_dp_hist's counts (a mean
+    leaks through BOTH numerator and denominator; this query releases
+    neither raw).
+
+    HONEST SCOPE (the q_privacy_dp_hist contract): noise tickets are
+    SEEDED (md5 of the cell key) so both engines derive bit-identical
+    releases and the mechanism is differentially CERTIFIABLE;
+    production swaps the tickets for true per-release randomness.
+    true_n / true_sum ride along for certification only.
+
+    Determinism: contribution clamp and sums are exact int64 price
+    ticks; noise magnitudes are the shared hand-literal pmf; the
+    released mean is ONE integer div with a floor-at-zero/one
+    post-processing clamp.
+
+    Plan: ONE map-side-combined groupBy to the 5-cell priority
+    domain; everything after is cell-local arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    clamp = F.least(
+        F.floor(F.col("o_totalprice") * 10000.0 + F.lit(0.5)).cast(
+            "long"
+        ),
+        F.lit(_DPM_BOUND_TICK),
+    )
+    h = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("true_n"),
+        F.sum(clamp).cast("long").alias("true_sum_tick"),
+    )
+
+    def ticket(prefix: str):
+        m = F.md5(F.concat(F.lit(prefix), F.col("o_orderpriority")))
+        u = F.conv(F.substring(m, 1, 8), 16, 10).cast("long") % 1_000_000
+        sgn = F.when(
+            F.conv(F.substring(m, 9, 1), 16, 10).cast("long") % 2 == 0,
+            1,
+        ).otherwise(-1)
+        mag = (
+            F.when(u < 500_000, 0)
+            .when(u < 750_000, 1)
+            .when(u < 875_000, 2)
+            .when(u < 937_500, 3)
+            .when(u < 968_750, 4)
+            .otherwise(5)
+        )
+        return sgn * mag
+
+    z = h.select(
+        "o_orderpriority",
+        "true_n",
+        "true_sum_tick",
+        ticket("dpm:").cast("long").alias("noise_n"),
+        (ticket("dps:") * (_DPM_BOUND_TICK // 1000))
+        .cast("long")
+        .alias("noise_sum_tick"),
+    )
+    return z.select(
+        "o_orderpriority",
+        "true_n",
+        "noise_n",
+        "noise_sum_tick",
+        F.greatest(F.lit(1), F.col("true_n") + F.col("noise_n"))
+        .cast("long")
+        .alias("released_n"),
+        F.expr(
+            "greatest(0, true_sum_tick + noise_sum_tick)"
+            " div greatest(1, true_n + noise_n)"
+        )
+        .cast("long")
+        .alias("released_mean_tick"),
+    ).orderBy("o_orderpriority")

@@ -2131,3 +2131,67 @@ def q_stream_live_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_type", "digit", "n").orderBy(
         "event_type", "digit"
     )
+
+
+# ------------------------------------------- streaming n-gram top-k
+
+@REG.register(
+    "q_stream_live_ngram_topk",
+    oracle="""
+        SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(
+                  list_transform(
+                      range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i + 1])) AS ngram
+              FROM documents)
+        GROUP BY ngram
+        ORDER BY cnt DESC, ngram ASC
+        LIMIT 20
+    """,
+)
+def q_stream_live_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FLAGSHIP twin: the corpus bigram top-20 maintained
+    under real Structured Streaming — documents stream in, the bigram
+    lattice is a stateless per-row explode (the reference operator's
+    transform, NGramTransform.java:95-134, as a streaming projection),
+    and ONE complete-mode count aggregation keeps the live (ngram,
+    cnt) table a trending-phrases dashboard polls; top-20 with the
+    batch tiebreak is read from the in-memory sink. Closes the
+    flagship loop: q_ngram_bigram (batch transform), q_ngram_topk
+    (batch analytics), this key (live analytics).
+
+    Arrival-order independence: counts are order-free, so the live
+    table is differentially certifiable against the batch top-k (the
+    q_stream_live_benford discipline).
+
+    Scale: streaming state is VOCABULARY-sized (one row per distinct
+    bigram), never corpus-sized; the only shuffle is the bigram-key
+    groupBy, map-side combined per micro-batch."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+    from ngram_analytics_spark.operators.ngram import ngram_col
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    # stateless repartition spreads the per-row lattice across cores
+    # (the q_stream_live_minhash adjudication; spread() can't probe a
+    # streaming frame's rdd)
+    g = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.split("text", " ").alias("toks"))
+        .select(F.explode_outer(ngram_col("toks", 2)).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    name = (
+        "t_live_ngram_topk_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    )
+    S.run_to_memory(g, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+    )

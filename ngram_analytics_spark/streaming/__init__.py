@@ -61,11 +61,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha1(src.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"nas-stream-{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if os.path.lexists(link) and os.path.realpath(link) != src:
-        os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    # single-FILE driver layout vs Spark-written DIRECTORY of part
+    # files (fixture corpora) — stage data files individually for the
+    # latter, the read_documents_stream discipline (r11)
+    if os.path.isdir(src):
+        parts = [
+            os.path.join(src, fn)
+            for fn in sorted(os.listdir(src))
+            if fn.endswith(".parquet")
+        ]
+    else:
+        parts = [src]
+    for p in parts:
+        link = os.path.join(stage, os.path.basename(p))
+        if os.path.lexists(link) and os.path.realpath(link) != p:
+            os.remove(link)
+        if not os.path.lexists(link):
+            os.symlink(p, link)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_is_long = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
@@ -92,11 +104,25 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha1(src.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"nas-docstream-{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if os.path.lexists(link) and os.path.realpath(link) != src:
-        os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    # the driver corpus ships documents.parquet as a single FILE; a
+    # Spark-written table is a DIRECTORY of part files the file
+    # source won't recurse into through one symlink — stage each
+    # data file individually in that case (r11: unblocks streaming
+    # queries over fixture corpora)
+    if os.path.isdir(src):
+        parts = [
+            os.path.join(src, fn)
+            for fn in sorted(os.listdir(src))
+            if fn.endswith(".parquet")
+        ]
+    else:
+        parts = [src]
+    for p in parts:
+        link = os.path.join(stage, os.path.basename(p))
+        if os.path.lexists(link) and os.path.realpath(link) != p:
+            os.remove(link)
+        if not os.path.lexists(link):
+            os.symlink(p, link)
     schema = (
         "doc_id long, text string, lang string, source string,"
         " n_chars long"

@@ -1872,3 +1872,136 @@ def test_bigram_entropy_closed_form(spark, tmp_path):
     ln2 = math.floor(math.log(2.0) * 1e6 + 0.5)
     assert r["fr"].n_bigrams == 3
     assert r["fr"].cond_entropy_micronat == 2 * ln2 // 3 == 462_098
+
+
+def test_hurst_python_mirror(spark, tmp_path):
+    """R/S over a 28-day sawtooth, re-derived by an independent pure-
+    Python mirror of the definitions (blocks of w epoch days, exact
+    scaled deviation ladder w*cum_j - j*S, one sqrt, per-block ppm
+    floor, per-(type, w) mean, zipf-style log2 slope)."""
+    ys = [((3 * d) % 11) + 1 for d in range(28)]
+    rows, eid = [], 0
+    for d, y in enumerate(ys):
+        for _ in range(y):
+            rows.append(
+                (eid, datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(days=d, hours=3),
+                 1, "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r.w: r for r in _q("q_ts_hurst")(spark, sf).collect()}
+    pts = []
+    for w in (7, 14, 28):
+        rss = []
+        for b0 in range(0, 28, w):
+            blk = ys[b0:b0 + w]
+            if len(blk) != w:
+                continue
+            s = sum(blk)
+            s2 = sum(v * v for v in blk)
+            var = w * s2 - s * s
+            if var <= 0:
+                continue
+            cum = 0
+            zs = []
+            for j, v in enumerate(blk, start=1):
+                cum += v
+                zs.append(w * cum - j * s)
+            rss.append(
+                math.floor((max(zs) - min(zs)) * 1e6 / math.sqrt(var)))
+        n_blocks, rs_mean = len(rss), sum(rss) // len(rss)
+        assert (out[w].n_blocks, out[w].rs_mean_ppm) == (
+            n_blocks, rs_mean), w
+        pts.append((math.floor(math.log2(w) * 1e6 + 0.5),
+                    math.floor(math.log2(rs_mean) * 1e6 + 0.5)))
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    num, den = (n * sxy - sx * sy) * 10**6, n * sxx - sx * sx
+    expected = -((-num) // den) if num < 0 else num // den
+    assert all(r.hurst_ppm == expected for r in out.values())
+    assert 0 < expected < 1_200_000  # a real exponent, roughly [0, 1]
+
+
+def test_ece_closed_form(spark, tmp_path):
+    """One confident negative (conf .1, bin 1) and one confident
+    positive (conf .9, bin 9): both bins gap by exactly 100000 ppm ->
+    ECE = MCE = 100000."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.1), 0), (1, mk(0.9), 9)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_ece")(spark, sf).collect()[0]
+    assert (r.n, r.n_bins_occupied) == (2, 2)
+    assert r.ece_ppm == 100_000
+    assert r.mce_ppm == 100_000
+
+
+def test_stream_ngram_topk_matches_batch(spark, tmp_path):
+    """The live complete-mode bigram census must equal the batch
+    flagship top-k on the same corpus (the q_stream_live_dedup
+    batch-equivalence discipline)."""
+    rows = [
+        (1, "the quick brown fox the quick", "en", "s", 30),
+        (2, "the quick red fox", "en", "s", 17),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    live = [(r.ngram, r.cnt) for r in
+            _q("q_stream_live_ngram_topk")(spark, sf).collect()]
+    batch = [(r.ngram, r.cnt) for r in
+             _q("q_ngram_topk")(spark, sf).collect()]
+    assert live == batch
+    assert live[0] == ("the quick", 3)
+
+
+def test_dp_mean_hashlib_mirror(spark, tmp_path):
+    """The seeded release replays from an independent hashlib mirror
+    of the ticket + pmf + clamp algebra; post-processing bounds hold
+    (released_n >= 1, released mean >= 0)."""
+    import hashlib as hl
+
+    rows = [
+        (1, 1, "1-URGENT", "o", 100.0),
+        (2, 2, "1-URGENT", "o", 200.0),
+        (3, 3, "2-HIGH", "o", 50.5),
+    ]
+    sf = _write(
+        spark, tmp_path, "orders",
+        [(i, c, p, s, v) for i, c, p, s, v in rows],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderstatus string, o_totalprice double",
+    )
+
+    def noise(prefix, key):
+        h = hl.md5((prefix + key).encode()).hexdigest()
+        u = int(h[:8], 16) % 1_000_000
+        sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+        mag = (0 if u < 500_000 else 1 if u < 750_000 else
+               2 if u < 875_000 else 3 if u < 937_500 else
+               4 if u < 968_750 else 5)
+        return sgn * mag
+
+    out = {r.o_orderpriority: r
+           for r in _q("q_privacy_dp_mean")(spark, sf).collect()}
+    truth = {"1-URGENT": (2, 1_000_000 + 2_000_000),
+             "2-HIGH": (1, 505_000)}
+    for key, (tn, tsum) in truth.items():
+        r = out[key]
+        nn = noise("dpm:", key)
+        ns = noise("dps:", key) * (3_000_000_000 // 1000)
+        assert r.true_n == tn
+        assert r.noise_n == nn and r.noise_sum_tick == ns
+        assert r.released_n == max(1, tn + nn) >= 1
+        assert r.released_mean_tick == (
+            max(0, tsum + ns) // max(1, tn + nn)) >= 0
