@@ -1245,9 +1245,12 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept are ONE floor-div each — no float regression anywhere.
 
     Plan: vocab rollup (map-side-combined, vocab-domain state) ->
-    TakeOrdered {k} -> a single-partition window over {k} rows for the
-    rank (bounded BY CONSTRUCTION — the window runs on the top-k
-    result, never the vocab) -> 1-row moment aggregate."""
+    TakeOrdered {k} -> the rank comes from a TRIANGULAR count join
+    over the {k}-row RESULT (rank = 1 + number of strictly-better
+    rows; bounded {k}x{k} BY CONSTRUCTION — the q_sort_nulls /
+    q_mix_budget bounded-domain idiom, which keeps the repo's
+    no-unpartitioned-windows invariant intact) -> 1-row moment
+    aggregate."""
     t = (
         spread(load(spark, sf_dir, "documents"))
         .select(F.explode_outer(F.split("text", " ")).alias("tok"))
@@ -1257,11 +1260,19 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("f").desc(), F.col("tok").asc())
         .limit(_ZIPF_TOPK)
     )
-    rank = F.row_number().over(
-        W.orderBy(F.col("f").desc(), F.col("tok").asc())
+    o = t.select(F.col("tok").alias("tok2"), F.col("f").alias("f2"))
+    ranked = (
+        t.join(
+            o,
+            (F.col("f2") > F.col("f"))
+            | ((F.col("f2") == F.col("f")) & (F.col("tok2") < F.col("tok"))),
+            "left",
+        )
+        .groupBy("tok", "f")
+        .agg((F.count("tok2") + 1).cast("long").alias("rank"))
     )
-    pts = t.select(
-        F.floor(F.log2(rank.cast("double")) * 1e6 + F.lit(0.5))
+    pts = ranked.select(
+        F.floor(F.log2(F.col("rank").cast("double")) * 1e6 + F.lit(0.5))
         .cast("long")
         .alias("x"),
         F.floor(F.log2(F.col("f").cast("double")) * 1e6 + F.lit(0.5))

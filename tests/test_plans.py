@@ -429,6 +429,36 @@ NESTED_LOOP_OK = {
                              # term-domain table (tcloseness class)
     "q_ab_cuped",            # 1-row moment broadcast onto the
                              # user-domain table (tcloseness class)
+    "q_ab_power",            # 1-row moment aggregate x broadcast
+                             # 4-row MDE grid (bounded, never
+                             # data-sized)
+    "q_ml_iv_woe",           # 1-row totals broadcast onto the 10-row
+                             # bucket table (q_ab_cuped class)
+    "q_ml_cramers_v",        # 1-row (n, nr, nc) broadcast onto the
+                             # langs x sources cell grid (domain-
+                             # bounded)
+    "q_ml_mutual_info",      # 1-row total broadcast onto the same
+                             # cell grid
+    "q_ts_hurst",            # broadcast 3-row block-size dim into
+                             # the day-domain rollup (the
+                             # q_ts_gapfill bounded-spine class)
+    "q_text_zipf",           # triangular rank join over the top-100
+                             # RESULT rows (bounded by construction —
+                             # the q_sort_nulls class; replaces an
+                             # unpartitioned window)
+    "q_ml_auc_pr",           # triangular offset join over the score-
+                             # BUCKET summary (q_ml_auc class)
+    "q_ml_kendall_tau",      # same grouped_value_cumsum bucket
+                             # machinery (q_ml_auc class)
+    "q_ml_psi",              # 1-row totals broadcast onto the 10-row
+                             # bucket table (q_ab_cuped class)
+    "q_ml_map",              # brute_force_knn: broadcast 10-row
+                             # query side (q_ml_mrr class)
+    "q_graph_reciprocity",   # 1-row edge-count x 1-row mutual-count
+                             # audit join (q_gdpr_cascade class)
+    "q_ts_periodogram",      # broadcast 32-row literal trig dim
+                             # joined on the day phase (bounded,
+                             # never data-sized)
 }
 
 
