@@ -59,6 +59,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ml_ece",
     "q_stream_live_ngram_topk",
     "q_privacy_dp_mean",
+    "q_filter_reasons",
+    "q_ml_pr_at_recall",
+    "q_ml_drift_jsd",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -83,9 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_interval",
     "q_fn_map",
     "q_fn_map_json",
-    "q_fn_regexp2",
-    "q_fn_string2",
-    "q_fn_struct",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -100,6 +100,9 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_fn_regexp2",
+    "q_fn_string2",
+    "q_fn_struct",
     "q_fn_trig",
     "q_fn_try",
     "q_fn_url",

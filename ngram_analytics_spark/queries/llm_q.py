@@ -5586,3 +5586,247 @@ def q_ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_ece.__doc__ = q_ml_ece.__doc__.format(b=_CAL_BINS)
+
+
+# ------------------------------------------ precision at target recall
+
+#: operating-point targets in ppm of recall.
+_PAR_TARGETS = (500_000, 800_000, 950_000)
+
+
+@REG.register(
+    "q_ml_pr_at_recall",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t, cnt, npos,
+                   CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_cnt,
+                   CAST(sum(npos) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_npos,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS tot_cnt,
+                   CAST(sum(npos) OVER () AS BIGINT) AS tot_npos
+            FROM pt
+        ), op AS (
+            SELECT t,
+                   tot_npos - cum_npos + npos AS tp,
+                   tot_cnt - cum_cnt + cnt AS sel,
+                   (tot_npos - cum_npos + npos) * 1000000
+                       // tot_npos AS recall_ppm,
+                   (tot_npos - cum_npos + npos) * 1000000
+                       // (tot_cnt - cum_cnt + cnt) AS precision_ppm
+            FROM c
+        ), grid(target_ppm) AS (
+            VALUES {", ".join(f"({t})" for t in _PAR_TARGETS)}
+        )
+        SELECT g.target_ppm,
+               CAST(max_by(op.t, op.precision_ppm * 3000000
+                           + (1500000 - op.t)) AS BIGINT)
+                   AS threshold_tick,
+               CAST(max(op.precision_ppm) AS BIGINT) AS precision_ppm,
+               CAST(max_by(op.recall_ppm, op.precision_ppm * 3000000
+                           + (1500000 - op.t)) AS BIGINT) AS recall_ppm
+        FROM grid g JOIN op ON op.recall_ppm >= g.target_ppm
+        GROUP BY g.target_ppm
+        ORDER BY g.target_ppm
+    """,
+)
+def q_ml_pr_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: for each target recall in
+    {targets} ppm, the score threshold that maximizes PRECISION among
+    all thresholds meeting the recall floor — the query that turns
+    q_ml_roc_points' full table into a deployable cutoff (a quality
+    gate is always "keep recall >= X, make precision as good as it
+    gets"), completing the threshold family with q_ml_ks_separation
+    (best single split) and q_ml_stump (Gini-optimal).
+
+    Determinism: the operating table lives on the score-tick domain
+    (q_ml_auc cumsum shape), precision/recall are integer ppm
+    trunc-divs, and the argmax tie-breaks to the smallest tick via
+    the q_ml_ks_separation lexicographic key (tick domain clamped by
+    quantization to +-1e6, so the key never crosses a precision
+    step; int64-safe to precision * 3e6 ~ 3e12).
+
+    Plan: tick compress -> grouped_value_cumsum -> |ticks|-row
+    operating table x broadcast 3-row target grid -> 3-row aggregate.
+    """
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    pt = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .select(F.lit(0).alias("g"), "t", "cnt", "npos")
+    )
+    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
+    op = c.select(
+        "t",
+        F.expr(
+            "(tot_npos - cum_npos + npos) * 1000000 div tot_npos"
+        ).alias("recall_ppm"),
+        F.expr(
+            "(tot_npos - cum_npos + npos) * 1000000"
+            " div (tot_cnt - cum_cnt + cnt)"
+        ).alias("precision_ppm"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _PAR_TARGETS], "target_ppm long"
+    )
+    return (
+        op.join(
+            F.broadcast(grid),
+            F.col("recall_ppm") >= F.col("target_ppm"),
+        )
+        .groupBy("target_ppm")
+        .agg(
+            F.expr(
+                "max_by(t, precision_ppm * 3000000 + (1500000 - t))"
+            )
+            .cast("long")
+            .alias("threshold_tick"),
+            F.max("precision_ppm").cast("long").alias("precision_ppm"),
+            F.expr(
+                "max_by(recall_ppm,"
+                " precision_ppm * 3000000 + (1500000 - t))"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("target_ppm")
+    )
+
+
+q_ml_pr_at_recall.__doc__ = q_ml_pr_at_recall.__doc__.format(
+    targets=_PAR_TARGETS
+)
+
+
+# ------------------------------------------- Jensen-Shannon drift
+
+@REG.register(
+    "q_ml_drift_jsd",
+    oracle=f"""
+        WITH tick AS (
+            SELECT least(CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         1000000)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+            FROM embeddings
+        ), b AS (
+            SELECT least((t + 1000000) * {_PSI_NB} // 2000000,
+                         {_PSI_NB - 1}) AS bucket,
+                   CAST(sum(in_a) AS BIGINT) AS n_a,
+                   CAST(sum(1 - in_a) AS BIGINT) AS n_b
+            FROM tick GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb
+            FROM b
+        ), w AS (
+            SELECT bucket, n_a, n_b,
+                   CAST(n_a + 1 AS DOUBLE) / (ta + {_PSI_NB}) AS p,
+                   CAST(n_b + 1 AS DOUBLE) / (tb + {_PSI_NB}) AS q
+            FROM b CROSS JOIN tot
+        )
+        SELECT bucket, n_a, n_b,
+               CAST(floor((0.5 * p * ln(2.0 * p / (p + q))
+                           + 0.5 * q * ln(2.0 * q / (p + q)))
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS jsd_term_ppm
+        FROM w
+        ORDER BY bucket
+    """,
+)
+def q_ml_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift terms between the same two deterministic
+    corpus halves as q_ml_psi (one bucket geometry, one smoothing —
+    the desync-proofing discipline): per bucket,
+    (p/2)ln(p/m) + (q/2)ln(q/m) with m = (p+q)/2 — the BOUNDED,
+    symmetric alternative read (total JSD <= ln 2, so thresholds
+    transfer across metrics; PSI explodes on empty-ish buckets, JSD
+    saturates) a drift monitor wants beside PSI's sensitivity.
+
+    Determinism: the q_ml_psi discipline — exact-rational smoothed
+    proportions, TWO lns per bucket quantized half-up as one summed
+    term (each term >= 0 by convexity of the KL halves, so no sign
+    split); the spelling 2p/(p+q) avoids materializing m.
+
+    Plan: identical to q_ml_psi — one scan, 10-row bucket table,
+    broadcast totals."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (
+        F.least(F.floor(F.abs(x) * 1e6 + F.lit(0.5)), F.lit(1e6))
+        * F.signum(x)
+    ).cast("long")
+    b = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias(
+                "in_a"
+            ),
+        )
+        .select(
+            F.expr(
+                f"least(((t + 1000000) * {_PSI_NB}) div 2000000,"
+                f" {_PSI_NB - 1})"
+            )
+            .cast("long")
+            .alias("bucket"),
+            "in_a",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_NB)
+    q = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_NB)
+    term = F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q)) + F.lit(
+        0.5
+    ) * q * F.log(F.lit(2.0) * q / (p + q))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.floor(term * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("jsd_term_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -2005,3 +2005,89 @@ def test_dp_mean_hashlib_mirror(spark, tmp_path):
         assert r.released_n == max(1, tn + nn) >= 1
         assert r.released_mean_tick == (
             max(0, tsum + ns) // max(1, tn + nn)) >= 0
+
+
+def test_filter_reasons_trips_each_gate(spark, tmp_path):
+    """Four hand docs: one passes all gates (mask 0), one is too
+    short + stopword-free (mask 1+4=5), one is length-OK but
+    repetitive + stopword-free (mask 2+4=6), proving each bit fires
+    independently and kept mass lands in mask 0."""
+    good = " ".join(
+        ["the", "a", "of"] + [f"w{i}" for i in range(27)])  # 30 toks
+    short = "x1 x2 x3 x4 x5"                                # 5 toks
+    repet = " ".join(["x"] * 25)                            # 25 toks
+    rows = [
+        (1, good, "en", "sA", len(good)),
+        (2, short, "en", "sA", len(short)),
+        (3, repet, "en", "sB", len(repet)),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {(r.source, r.reason_mask): (r.n_docs, r.n_tokens)
+           for r in _q("q_filter_reasons")(spark, sf).collect()}
+    assert out == {
+        ("sA", 0): (1, 30),
+        ("sA", 5): (1, 5),
+        ("sB", 6): (1, 25),
+    }
+
+
+def test_pr_at_recall_closed_form(spark, tmp_path):
+    """The q_ml_auc_pr fixture (scores .1-/.2+/.3-/.4+): recall-50%
+    admits the perfect-precision threshold .4; recall-80% and -95%
+    force threshold .2 (precision floor(2e6/3) = 666666, recall 1e6).
+    """
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [
+        (0, mk(0.1), 0),
+        (1, mk(0.2), 9),
+        (2, mk(0.3), 0),
+        (3, mk(0.4), 9),
+    ]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.target_ppm: r
+           for r in _q("q_ml_pr_at_recall")(spark, sf).collect()}
+    assert set(out) == {500_000, 800_000, 950_000}
+    assert (out[500_000].threshold_tick,
+            out[500_000].precision_ppm,
+            out[500_000].recall_ppm) == (400_000, 1_000_000, 500_000)
+    for tgt in (800_000, 950_000):
+        assert (out[tgt].threshold_tick,
+                out[tgt].precision_ppm,
+                out[tgt].recall_ppm) == (200_000, 666_666, 1_000_000)
+
+
+def test_jsd_identical_halves_zero_and_disjoint_mirror(spark, tmp_path):
+    """Identical halves -> every JSD term exactly 0; the disjoint
+    fixture's terms replay from an independent math mirror of the
+    smoothed-proportion algebra."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    same = [(0, mk(0.15), 0), (1, mk(0.15), 0),
+            (2, mk(0.35), 0), (3, mk(0.35), 0)]
+    sf = _write(
+        spark, tmp_path, "embeddings", same,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_drift_jsd")(spark, sf).collect()
+    assert all(row.jsd_term_ppm == 0 for row in r)
+
+    sf2 = str(tmp_path / "fix2")
+    spark.createDataFrame(
+        [(0, mk(0.1), 0), (2, mk(0.1), 0),
+         (1, mk(0.9), 0), (3, mk(0.9), 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf2}/embeddings.parquet")
+    out = {row.bucket: row.jsd_term_ppm
+           for row in _q("q_ml_drift_jsd")(spark, sf2).collect()}
+    p, q = 3 / 12, 1 / 12
+    expected = math.floor(
+        (0.5 * p * math.log(2 * p / (p + q))
+         + 0.5 * q * math.log(2 * q / (p + q))) * 1e6 + 0.5)
+    assert out == {5: expected, 9: expected}
+    assert expected == 21_802
