@@ -62,6 +62,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_filter_reasons",
     "q_ml_pr_at_recall",
     "q_ml_drift_jsd",
+    "q_export_manifest",
+    "q_stream_live_filter_yield",
+    "q_ml_class_weights",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -83,9 +86,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_explode_pos",
     "q_fn_hash",
     "q_fn_higher_order",
-    "q_fn_interval",
-    "q_fn_map",
-    "q_fn_map_json",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -100,6 +100,9 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_fn_interval",
+    "q_fn_map",
+    "q_fn_map_json",
     "q_fn_regexp2",
     "q_fn_string2",
     "q_fn_struct",

@@ -1409,3 +1409,81 @@ def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cond_entropy_micronat"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------- export manifest
+
+@REG.register(
+    "q_export_manifest",
+    oracle=f"""
+        WITH s AS (
+            SELECT (doc_id % {_SHARD_MOD}) * {_SHARD_MUL}
+                   % {_SHARD_SPACE} % {_N_SHARDS} AS shard,
+                   doc_id, n_chars,
+                   CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS tkt
+            FROM documents
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(sum(CAST(tkt AS HUGEINT)) % 1000000007 AS BIGINT)
+                   AS content_digest
+        FROM s GROUP BY shard
+        ORDER BY shard
+    """,
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-integrity manifest per output shard (the q_shard_assign
+    Knuth layout): row count, byte mass, id range, and an
+    ORDER-INSENSITIVE membership digest (sum of 60-bit md5 tickets mod
+    1e9+7) — what a 100 TB export writes beside its data files so a
+    re-export, a migration, or a consumer can verify "same documents,
+    nothing dropped or duplicated" WITHOUT re-reading payloads (the
+    id-set digest catches a lost/duplicated doc that row counts+ranges
+    miss; commutative sum = partition-order-free by construction).
+
+    Determinism: the shard map is the shared plain-int64 Knuth
+    expression (one definition with q_shard_assign); tickets are md5
+    hex (bit-identical engines), 15 hex digits < 2^60 so each fits
+    int64; the digest sums in HUGEINT/DECIMAL(38,0) then takes one
+    mod.
+
+    Plan: ONE scan, per-row shard + ticket expressions, ONE map-side
+    combined groupBy to {ns} shard rows."""
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") % _SHARD_MOD) * F.lit(_SHARD_MUL)
+    ) % _SHARD_SPACE % _N_SHARDS
+    tkt = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+            tkt.alias("tkt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            (F.sum(F.col("tkt").cast("decimal(38,0)")) % 1_000_000_007)
+            .cast("long")
+            .alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+q_export_manifest.__doc__ = q_export_manifest.__doc__.format(
+    ns=_N_SHARDS
+)

@@ -5830,3 +5830,112 @@ def q_ml_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------- class weights
+
+#: effective-number-of-samples beta (Cui et al., class-balanced
+#: loss); the 1e6-tick literal of beta avoids engine pow() drift in
+#: the per-class beta^n term ONLY when n is small — beta^n is
+#: computed as exp(n * ln(beta)) on both engines with the same
+#: spelling, one ln (of a LITERAL) and one exp per CLASS (10 calls,
+#: the q_text_entropy per-domain-value budget).
+_CW_BETA = 0.999
+
+
+@REG.register(
+    "q_ml_class_weights",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                   CAST(count(*) AS BIGINT) AS n_classes
+            FROM c
+        ), raw AS (
+            SELECT c.label, c.n, t.n_classes,
+                   CAST(t.tot_n AS HUGEINT) * 1000000000000 // c.n
+                       AS inv_scaled
+            FROM c CROSS JOIN tot t
+        ), s AS (
+            SELECT CAST(sum(inv_scaled) AS HUGEINT) AS sum_inv FROM raw
+        )
+        SELECT r.label, r.n,
+               CAST((r.n_classes * r.inv_scaled * 1000000)
+                    // s.sum_inv AS BIGINT) AS inv_freq_ppm,
+               CAST(floor((1.0 - {_CW_BETA})
+                          / (1.0 - exp(CAST(r.n AS DOUBLE)
+                                       * ln({_CW_BETA})))
+                          * 1000000000.0 + 0.5) AS BIGINT)
+                   AS eff_num_ppb
+        FROM raw r CROSS JOIN s
+        ORDER BY r.label
+    """,
+)
+def q_ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training class-weight table for the imbalanced label: per
+    class, the inverse-frequency weight (normalized so the mean
+    weight is 1.0 = 1e6 ppm) and the effective-number-of-samples
+    weight (1-beta)/(1-beta^n), beta={beta} (the class-balanced-loss
+    reweighting that saturates for big classes instead of exploding
+    for tiny ones) — the training-prep step between q_ml_confusion's
+    diagnosis and the sampler family's physical rebalancing
+    (q_sample_balanced DROPS rows; this WEIGHTS them, keeping all
+    the data).
+
+    Determinism: class masses are exact int64; the inverse-frequency
+    normalization is ALL-INTEGER — per-class 1e12-scaled inverse
+    (tot/n with one term-wise trunc-div), an exact 128-bit sum (no
+    float summation-order surface), and one final ppm trunc-div.
+    beta^n is spelled exp(n * ln(beta)) on both engines — one ln of
+    a LITERAL and one exp per CLASS (10 libm calls on identical
+    doubles, the q_text_entropy per-domain-value budget), emitted at
+    1e-9 resolution because the weights are O(1e-3).
+
+    Plan: ONE scan -> 10-row label rollup; weight algebra via two
+    1-row broadcast scalars on the label domain (no windows)."""
+    e = load(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    c = e.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    raw = c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        "n_classes",
+        F.expr(f"cast(tot_n as {dec}) * 1000000000000 div n")
+        .cast(dec)
+        .alias("inv_scaled"),
+    )
+    s = raw.agg(F.sum("inv_scaled").cast(dec).alias("sum_inv"))
+    import math as _math
+
+    eff = (1.0 - _CW_BETA) / (
+        1.0
+        - F.exp(F.col("n").cast("double") * F.lit(_math.log(_CW_BETA)))
+    )
+    return (
+        raw.crossJoin(F.broadcast(s))
+        .select(
+            "label",
+            "n",
+            F.expr("(n_classes * inv_scaled * 1000000) div sum_inv")
+            .cast("long")
+            .alias("inv_freq_ppm"),
+            F.floor(eff * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("eff_num_ppb"),
+        )
+        .orderBy("label")
+    )
+
+
+q_ml_class_weights.__doc__ = q_ml_class_weights.__doc__.format(
+    beta=_CW_BETA
+)

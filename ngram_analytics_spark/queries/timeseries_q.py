@@ -2195,3 +2195,91 @@ def q_stream_live_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------- streaming filter yield
+
+@REG.register(
+    "q_stream_live_filter_yield",
+    oracle="""
+        WITH g AS (
+            SELECT source,
+                   CASE WHEN len(string_split(text, ' '))
+                             BETWEEN 20 AND 90
+                         AND CAST(len(list_distinct(
+                                 string_split(text, ' '))) AS DOUBLE)
+                             / len(string_split(text, ' ')) >= 0.2
+                         AND CAST(len(list_filter(
+                                 string_split(text, ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and',
+                                            'to', 'in', 'is', 'on',
+                                            'for', 'with')))
+                                  AS DOUBLE)
+                             / len(string_split(text, ' ')) >= 0.05
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        SELECT source, keep, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def q_stream_live_filter_yield(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest-yield monitor: the q_text_filter_pipeline
+    gates evaluated statelessly per arriving document, with ONE
+    complete-mode (source, keep) count grid — the live dashboard that
+    catches "source X's keep rate fell off a cliff an hour ago"
+    before a batch retro would; the batch twins are
+    q_text_filter_pipeline (yield) and q_filter_reasons (why).
+
+    Arrival-order independence: counts are order-free (the
+    q_stream_live_benford discipline), so the monitor is
+    differentially certifiable against the batch gates — shared
+    constants, one definition.
+
+    Scale: state is |sources| x 2 counter rows at ANY volume; the
+    per-row gates are scan-stage array expressions."""
+    import hashlib
+
+    from ngram_analytics_spark import streaming as S
+    from ngram_analytics_spark.queries.text_q import _STOPWORDS
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    toks = F.split("text", " ")
+    d = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("source", toks.alias("tokens"))
+    n_tok = F.size("tokens")
+    uniq_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    )
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sw_ratio = (
+        F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / n_tok
+    )
+    keep = F.when(
+        n_tok.between(20, 90)
+        & (uniq_ratio >= 0.2)
+        & (sw_ratio >= 0.05),
+        1,
+    ).otherwise(0)
+    agg = (
+        d.select("source", keep.alias("keep"))
+        .groupBy("source", "keep")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    name = (
+        "t_live_filter_yield_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    )
+    S.run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select("source", "keep", "n")
+        .orderBy("source", "keep")
+    )

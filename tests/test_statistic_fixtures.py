@@ -2091,3 +2091,97 @@ def test_jsd_identical_halves_zero_and_disjoint_mirror(spark, tmp_path):
          + 0.5 * q * math.log(2 * q / (p + q))) * 1e6 + 0.5)
     assert out == {5: expected, 9: expected}
     assert expected == 21_802
+
+
+def test_export_manifest_hashlib_mirror(spark, tmp_path):
+    """Shard ids and the order-insensitive membership digest replay
+    from an independent hashlib/python mirror of the Knuth map and
+    ticket algebra."""
+    import hashlib as hl
+
+    rows = [(i, "t", "en", "s", 100 + i) for i in range(6)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r.shard: r for r in
+           _q("q_export_manifest")(spark, sf).collect()}
+    mirror = {}
+    for i in range(6):
+        shard = (i % 999983) * 2654435761 % 4294967296 % 64
+        tkt = int(hl.md5(str(i).encode()).hexdigest()[:15], 16)
+        m = mirror.setdefault(shard, [0, 0, [], 0])
+        m[0] += 1
+        m[1] += 100 + i
+        m[2].append(i)
+        m[3] += tkt
+    assert set(out) == set(mirror)
+    for shard, (n, chars, ids, digest) in mirror.items():
+        r = out[shard]
+        assert (r.n_docs, r.total_chars) == (n, chars)
+        assert (r.min_doc_id, r.max_doc_id) == (min(ids), max(ids))
+        assert r.content_digest == digest % 1_000_000_007
+
+
+def test_stream_filter_yield_matches_batch_gates(spark, tmp_path):
+    """The live (source, keep) grid must agree with the batch filter
+    pipeline's per-source keep counts on the same corpus."""
+    good = " ".join(["the", "a", "of"] + [f"w{i}" for i in range(27)])
+    short = "x1 x2 x3 x4 x5"
+    repet = " ".join(["x"] * 25)
+    rows = [
+        (1, good, "en", "sA", len(good)),
+        (2, short, "en", "sA", len(short)),
+        (3, repet, "en", "sB", len(repet)),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    live = {(r.source, r.keep): r.n for r in
+            _q("q_stream_live_filter_yield")(spark, sf).collect()}
+    assert live == {("sA", 0): 1, ("sA", 1): 1, ("sB", 0): 1}
+    batch = {r.source: (r.n_docs, r.n_kept) for r in
+             _q("q_text_filter_pipeline")(spark, sf).collect()}
+    for src, (nd, nk) in batch.items():
+        assert live.get((src, 1), 0) == nk
+        assert live.get((src, 0), 0) == nd - nk
+
+
+def test_class_weights_closed_form(spark, tmp_path):
+    """Balanced 2-class fixture -> inverse-frequency weights exactly
+    1e6 each; an imbalanced 3:1 fixture -> weights 500000 / 1500000
+    (mean pinned at 1.0); effective-number weights replay from the
+    math mirror (1-b)/(1-b^n)."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    bal = [(i, mk(0.1), i % 2) for i in range(4)]
+    sf = _write(
+        spark, tmp_path, "embeddings", bal,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = _q("q_ml_class_weights")(spark, sf).collect()
+    assert [r.inv_freq_ppm for r in out] == [1_000_000, 1_000_000]
+    b = 0.999
+    for r in out:
+        assert r.eff_num_ppb == math.floor(
+            (1 - b) / (1 - b ** r.n) * 1e9 + 0.5)
+
+    sf2 = str(tmp_path / "imb")
+    spark.createDataFrame(
+        [(0, mk(0.1), 0), (1, mk(0.1), 0), (2, mk(0.1), 0),
+         (3, mk(0.1), 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf2}/embeddings.parquet")
+    out2 = {r.label: r.inv_freq_ppm
+            for r in _q("q_ml_class_weights")(spark, sf2).collect()}
+    # integer mirror of the documented term-wise trunc semantics:
+    # inv_scaled floors per class BEFORE the sum, so class 0 reads
+    # 499999 (not the ideal 500000) — exactly reproducible
+    inv0, inv1 = 4 * 10**12 // 3, 4 * 10**12 // 1
+    s = inv0 + inv1
+    assert out2 == {
+        0: 2 * inv0 * 10**6 // s,
+        1: 2 * inv1 * 10**6 // s,
+    } == {0: 499_999, 1: 1_500_000}
