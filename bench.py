@@ -253,6 +253,35 @@ EXTENDED = [
     "q_text_burstiness",      # Fano-factor term census
     "q_ab_srm",               # sample-ratio-mismatch gate
     "q_ab_cuped",             # CUPED variance reduction
+    # --- round 11 additions ---
+    "q_ml_auc_pr",            # exact average precision
+    "q_ml_kendall_tau",       # tau-b pivot-lattice pair counts
+    "q_ml_psi",               # population stability index
+    "q_ml_map",               # MAP@k retrieval
+    "q_graph_reciprocity",    # kNN-graph mutuality
+    "q_graph_adamic_adar",    # hub-discounted link prediction
+    "q_ts_periodogram",       # literal-trig Goertzel spectrum
+    "q_ts_lag_features",      # forecasting feature matrix
+    "q_text_zipf",            # rank-frequency slope
+    "q_ab_power",             # MDE sample-size planning
+    "q_ml_iv_woe",            # WOE / information value
+    "q_ml_cramers_v",         # (lang, source) association
+    "q_ml_mutual_info",       # per-cell MI terms
+    "q_ts_mann_kendall",      # monotone-trend significance
+    "q_ts_anova_dow",         # weekly-seasonality eta^2
+    "q_sample_horvitz",       # HT unbiasedness audit
+    "q_text_bigram_entropy",  # conditional word-order entropy
+    "q_ts_hurst",             # rescaled-range exponent
+    "q_ml_ece",               # calibration-error scalars
+    "q_stream_live_ngram_topk",  # live flagship bigram census
+    "q_privacy_dp_mean",      # clamped noisy-mean release
+    "q_filter_reasons",       # rejection bitmask census
+    "q_ml_pr_at_recall",      # operating-point selection
+    "q_ml_drift_jsd",         # bounded symmetric drift
+    "q_export_manifest",      # shard membership digests
+    "q_stream_live_filter_yield",  # live ingest-yield grid
+    "q_ml_class_weights",     # training class weights
+    "q_mix_epochs",           # capped epoch water-filling
 ]
 
 

@@ -19,9 +19,13 @@ from ngram_analytics_spark.registry import QueryRegistry
 # rotation (VERDICT r10 "Next round" item 1): the 4 r10 keys that
 # landed after the r10 snapshot lead — they are the only SURVEY §2
 # keys without a driver CORRECTNESS row (all four are green in the
-# full local sf0.01 differential meanwhile) — then the 10 keys NEW in
-# r11 (PR-AUC, Kendall tau-b, PSI, MAP@k, reciprocity, Adamic-Adar,
-# periodogram, lag features, Zipf slope, A/B power), then the keys
+# full local sf0.01 differential meanwhile) — then the 32 keys NEW in
+# r11 (the statistics/retrieval/graph/experiment widening: PR-AUC,
+# tau-b, PSI/IV-WOE/JSD, MAP@k, ECE, Cramér's V + MI, reciprocity,
+# Adamic-Adar, periodogram, lag features, Mann-Kendall, dow-ANOVA,
+# Hurst, Zipf, bigram entropy, A/B power, Horvitz-Thompson, DP mean,
+# live ngram top-k, filter reasons + live yield, PR@recall, export
+# manifest, class weights, epoch planning), then the keys
 # whose code changed in r11 (q_ml_spearman / q_ml_brier /
 # q_embed_stats / q_embed_cov DECIMAL(38,0)-HUGEINT moment widening
 # past the int64 wrap cliffs, VERDICT items 2-3 + the r11 tick-sum
@@ -65,6 +69,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_export_manifest",
     "q_stream_live_filter_yield",
     "q_ml_class_weights",
+    "q_mix_epochs",
     # --- code changed in r11 ---
     "q_ml_spearman",
     "q_ml_brier",
@@ -85,7 +90,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_date2",
     "q_fn_explode_pos",
     "q_fn_hash",
-    "q_fn_higher_order",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -100,6 +104,7 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_fn_higher_order",
     "q_fn_interval",
     "q_fn_map",
     "q_fn_map_json",

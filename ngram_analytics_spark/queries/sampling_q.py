@@ -1453,3 +1453,148 @@ def q_sample_horvitz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------- epoch planning
+
+#: max repeats per source (the "4 epochs of a small high-quality
+#: source is fine, 40 is not" rule) and the budget multiple of the
+#: corpus that FORCES repeats.
+_EP_CAP = 4
+_EP_BUDGET_X = 2
+
+
+@REG.register(
+    "q_mix_epochs",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail,
+                   CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                        AS BIGINT) AS w
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(avail) * {_EP_BUDGET_X} AS BIGINT) AS b,
+                   CAST(sum(w) AS BIGINT) AS wsum
+            FROM t
+        ), r1 AS (
+            SELECT t.source, t.avail, t.w,
+                   {_EP_CAP} * t.avail AS cap,
+                   least({_EP_CAP} * t.avail,
+                         tot.b * t.w // tot.wsum) AS a1,
+                   tot.b AS b
+            FROM t CROSS JOIN tot
+        ), s1 AS (
+            SELECT CAST(min(b) - sum(a1) AS BIGINT) AS l1,
+                   CAST(sum(CASE WHEN a1 < cap THEN w ELSE 0 END)
+                        AS BIGINT) AS w1
+            FROM r1
+        ), r2 AS (
+            SELECT r1.*,
+                   CASE WHEN r1.a1 < r1.cap AND s1.w1 > 0
+                        THEN least(r1.cap,
+                                   r1.a1 + s1.l1 * r1.w // s1.w1)
+                        ELSE r1.a1 END AS a2
+            FROM r1 CROSS JOIN s1
+        ), s2 AS (
+            SELECT CAST(min(b) - sum(a2) AS BIGINT) AS l2,
+                   CAST(sum(CASE WHEN a2 < cap THEN w ELSE 0 END)
+                        AS BIGINT) AS w2
+            FROM r2
+        ), r3 AS (
+            SELECT r2.source, r2.avail, r2.cap,
+                   CASE WHEN r2.a2 < r2.cap AND s2.w2 > 0
+                        THEN least(r2.cap,
+                                   r2.a2 + s2.l2 * r2.w // s2.w2)
+                        ELSE r2.a2 END AS alloc
+            FROM r2 CROSS JOIN s2
+        )
+        SELECT source, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+               CAST(alloc * 1000000 // avail AS BIGINT) AS epochs_ppm
+        FROM r3
+        ORDER BY source
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat/epoch planning under a token budget (the datablations /
+    data-constrained-scaling mixing step): a {bx}x-corpus budget is
+    water-filled across sources by temperature weights sqrt(avail)
+    (upweighting small high-quality sources, the q_sample_temperature
+    alpha), with every source CAPPED at {cap} epochs — the "repeat
+    small sources a little, never a lot" rule — and capped sources'
+    overflow re-filled to the uncapped ones over THREE unrolled
+    rounds (the q_graph_kcore bounded-unroll discipline; the residual
+    after round 3 is at most a few integer units and stays
+    unallocated BY CONTRACT, identically on both engines). Reports
+    per source the allocation and the implied epochs in ppm
+    (epochs_ppm > 1e6 = the source repeats).
+
+    Determinism: ONE correctly-rounded sqrt per source (the
+    q_sample_temperature precedent), everything else exact int64
+    trunc-div water-filling; headroom: b * w <= 2 * corpus_chars *
+    sqrt(chars) wraps int64 past ~5e12 corpus chars — widen to
+    DECIMAL(38,0) beyond (~5 TB of text; the 100 TB deploy widens).
+
+    Plan: ONE corpus pass to the source rollup; three rounds of
+    1-row broadcast scalars over the |sources|-row table."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail"),
+        F.floor(F.sqrt(F.sum("n_chars").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    tot = t.agg(
+        (F.sum("avail") * _EP_BUDGET_X).cast("long").alias("b"),
+        F.sum("w").cast("long").alias("wsum"),
+    )
+    r1 = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "w",
+        (F.lit(_EP_CAP) * F.col("avail")).alias("cap"),
+        F.least(
+            F.lit(_EP_CAP) * F.col("avail"),
+            F.expr("b * w div wsum"),
+        ).alias("a1"),
+        "b",
+    )
+    s1 = r1.agg(
+        (F.min("b") - F.sum("a1")).cast("long").alias("l1"),
+        F.sum(F.when(F.col("a1") < F.col("cap"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("w1"),
+    )
+    r2 = r1.crossJoin(F.broadcast(s1)).withColumn(
+        "a2",
+        F.when(
+            (F.col("a1") < F.col("cap")) & (F.col("w1") > 0),
+            F.least(F.col("cap"), F.col("a1") + F.expr("l1 * w div w1")),
+        ).otherwise(F.col("a1")),
+    )
+    s2 = r2.agg(
+        (F.min("b") - F.sum("a2")).cast("long").alias("l2"),
+        F.sum(F.when(F.col("a2") < F.col("cap"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("w2"),
+    )
+    r3 = r2.crossJoin(F.broadcast(s2)).withColumn(
+        "alloc",
+        F.when(
+            (F.col("a2") < F.col("cap")) & (F.col("w2") > 0),
+            F.least(F.col("cap"), F.col("a2") + F.expr("l2 * w div w2")),
+        ).otherwise(F.col("a2")),
+    )
+    return r3.select(
+        "source",
+        "avail",
+        "cap",
+        F.col("alloc").cast("long").alias("alloc"),
+        F.expr("alloc * 1000000 div avail")
+        .cast("long")
+        .alias("epochs_ppm"),
+    ).orderBy("source")
+
+
+q_mix_epochs.__doc__ = q_mix_epochs.__doc__.format(
+    bx=_EP_BUDGET_X, cap=_EP_CAP
+)

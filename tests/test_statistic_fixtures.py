@@ -2185,3 +2185,25 @@ def test_class_weights_closed_form(spark, tmp_path):
         0: 2 * inv0 * 10**6 // s,
         1: 2 * inv1 * 10**6 // s,
     } == {0: 499_999, 1: 1_500_000}
+
+
+def test_mix_epochs_water_filling_closed_form(spark, tmp_path):
+    """Two sources, big (3600 chars) and small (100): weights
+    sqrt = 60/10, budget 2x = 7400.  Round 1 gives small
+    7400*10//70 = 1057 > cap 400 -> capped; big gets
+    7400*60//70 = 6342 < cap 14400.  Round 2 refills big with the
+    leftover 7400-6342-400 = 658 -> 7000; round 3 idles (leftover 0).
+    Epochs: small exactly 4e6 ppm (at cap), big 7000/3600."""
+    rows = [(1, "t", "en", "big", 3600), (2, "t", "en", "small", 100)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r.source: r for r in _q("q_mix_epochs")(spark, sf).collect()}
+    assert out["small"].alloc == out["small"].cap == 400
+    assert out["small"].epochs_ppm == 4_000_000
+    assert out["big"].alloc == 7_000
+    assert out["big"].epochs_ppm == 7_000 * 10**6 // 3_600
+    # budget fully allocated in this fixture
+    assert out["big"].alloc + out["small"].alloc == 2 * 3_700
