@@ -459,6 +459,17 @@ NESTED_LOOP_OK = {
     "q_ts_periodogram",      # broadcast 32-row literal trig dim
                              # joined on the day phase (bounded,
                              # never data-sized)
+    "q_ml_drift_jsd",        # 1-row totals broadcast onto the 10-row
+                             # bucket table (q_ml_psi class)
+    "q_ml_pr_at_recall",     # grouped_value_cumsum offset join +
+                             # 3-row recall-target grid joined on a
+                             # range predicate over the tick-DOMAIN
+                             # operating table (value-domain bounded)
+    "q_ml_class_weights",    # two 1-row scalar broadcasts onto the
+                             # 10-row label table (q_ab_cuped class)
+    "q_mix_epochs",          # three 1-row water-filling scalars onto
+                             # the |sources|-row allocation table
+                             # (q_mix_budget class)
 }
 
 
