@@ -1138,7 +1138,7 @@ q_graph_hits.__doc__ = q_graph_hits.__doc__.format(k=_HITS_TOPK)
         SELECT n_edges,
                n_recip,
                CAST(n_recip / 2 AS BIGINT) AS n_mutual_pairs,
-               CAST(n_recip * 1000000 // n_edges AS BIGINT)
+               CAST(n_recip * 1000000 // NULLIF(n_edges, 0) AS BIGINT)
                    AS reciprocity_ppm
         FROM tot CROSS JOIN m
     """,
@@ -1172,7 +1172,9 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_recip",
         F.expr("n_recip div 2").cast("long").alias("n_mutual_pairs"),
-        F.expr("n_recip * 1000000 div n_edges")
+        # nullif: a 0-edge slice (empty corpus, empty-probe r11)
+        # reads NULL instead of raising under ANSI division
+        F.expr("n_recip * 1000000 div nullif(n_edges, 0)")
         .cast("long")
         .alias("reciprocity_ppm"),
     )

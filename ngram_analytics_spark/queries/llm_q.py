@@ -689,6 +689,18 @@ def q_ml_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled = VectorAssembler(
         inputCols=["e1", "e2", "e3"], outputCol="_v"
     ).transform(emb)
+    # MLlib's fit() raises on a 0-row input; the contract answer for
+    # an empty slice is an empty frame with the output schema
+    # (empty-probe r11). isEmpty() is one cheap limit-1 job — the
+    # price of a well-defined degenerate result for a FITTING
+    # operator (pure queries never need this guard).
+    if assembled.isEmpty():
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("z1"),
+            F.lit(None).cast("double").alias("z2"),
+            F.lit(None).cast("double").alias("z3"),
+        )
     model = StandardScaler(
         inputCol="_v", outputCol="_z", withMean=True, withStd=True
     ).fit(assembled)

@@ -611,7 +611,10 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY source writes no data files and
+    # inference would fail where the contract answer is an empty
+    # frame (empty-probe r11)
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         dsum_fixed("o_totalprice", "price", digits=2),
@@ -1764,6 +1767,9 @@ def _bpe_round_sql(r: int) -> str:
                    cnt
             FROM {prev} CROSS JOIN t{r} t
         ), s{r} AS (
+            -- GROUP BY the round literal: an EMPTY corpus yields 0
+            -- rows per round exactly like the Spark loop
+            -- (empty-probe r11; non-empty output unchanged)
             SELECT CAST({r} AS BIGINT) AS rnd,
                    (SELECT replace(pair, ',', '|') FROM t{r})
                        AS merged_pair,
@@ -1772,6 +1778,7 @@ def _bpe_round_sql(r: int) -> str:
                        string_split(enc, ','), x -> x != '')))
                        AS BIGINT) AS stream_syms
             FROM v{r}
+            GROUP BY 1
         )
     """
 

@@ -487,7 +487,15 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grand total + per-flag + per-pair)."""
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair).
+
+    Degenerate-input note (tools/empty_probe.py, r11): on a 0-ROW
+    input Spark's grouping-sets machinery emits NO rows while
+    DuckDB/PostgreSQL emit the global grouping set's single row —
+    an engine-level semantic difference, not a plan bug; synthesizing
+    the row would need a data-dependent union. Documented as outside
+    the empty-slice contract (adjudicated in BASELINE.md r11).
+    """
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
@@ -504,7 +512,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
+    """CUBE: all grouping-set combinations. Empty-input semantics:
+    the q_agg_rollup documented engine difference applies."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
@@ -522,7 +531,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via Spark SQL (same Expand-based plan as
-    rollup/cube)."""
+    rollup/cube). Empty-input semantics: the q_agg_rollup documented
+    engine difference applies."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """

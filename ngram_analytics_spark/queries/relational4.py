@@ -354,7 +354,12 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ngram_analytics_spark.functions.deterministic import dsum
 
     path = _partitioned_orders_path(spark, sf_dir)
-    po = spark.read.parquet(path)
+    # explicit schema: an EMPTY source writes a partition dir with no
+    # data files, and schema inference would fail where the contract
+    # answer is an empty frame (empty-probe r11)
+    po = spark.read.schema(load(spark, sf_dir, "orders").schema).parquet(
+        path
+    )
     return (
         po.filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("o_orderstatus")
@@ -385,7 +390,11 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ngram_analytics_spark.functions.deterministic import dsum
 
     path = _partitioned_orders_path(spark, sf_dir)
-    fact = spark.read.parquet(path)
+    # explicit schema — empty-slice contract (empty-probe r11), the
+    # q_scan_partitioned discipline
+    fact = spark.read.schema(
+        load(spark, sf_dir, "orders").schema
+    ).parquet(path)
     dim = spark.createDataFrame(
         [
             ("1-URGENT", 1),

@@ -245,10 +245,13 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT count(*) FROM del_orders) AS n_deleted
             FROM orders
         ), l AS (
+            -- coalesce: on an EMPTY lineitem slice sum() is NULL but
+            -- the Spark side's count() reads 0 (empty-probe r11)
             SELECT count(*) AS n_total,
-                   CAST(sum(CASE WHEN l_orderkey IN
+                   CAST(coalesce(sum(CASE WHEN l_orderkey IN
                                  (SELECT o_orderkey FROM del_orders)
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_deleted
             FROM lineitem
         )
         SELECT 'customer' AS entity, n_total, n_deleted,

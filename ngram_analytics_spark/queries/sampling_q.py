@@ -1006,12 +1006,16 @@ _SRM_CRIT_MILLI = 3841
                         AS BIGINT) AS n_b
             FROM a GROUP BY event_type
             UNION ALL
+            -- GROUP BY the constant so an EMPTY corpus yields zero
+            -- rows here exactly like the Spark side's groupBy(lit)
+            -- (empty-probe r11; non-empty output is unchanged)
             SELECT 'ALL',
                    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
                         AS BIGINT),
                    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)
             FROM (SELECT DISTINCT user_id, variant FROM a)
+            GROUP BY 1
         )
         SELECT segment, n_a, n_b, n_a - n_b AS delta,
                CAST((n_a - n_b) * (n_a - n_b) * 1000

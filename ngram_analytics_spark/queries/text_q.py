@@ -281,6 +281,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="tokens", outputCol="_tf", numFeatures=1 << 16)
     tfd = tf.transform(docs)
+    # empty-slice contract (empty-probe r11): IDF.fit raises on a
+    # 0-row input; the well-defined degenerate answer is an empty
+    # frame with the output schema (the q_ml_scaler discipline).
+    if tfd.isEmpty():
+        return docs.select(
+            "doc_id",
+            F.lit(None).cast("int").alias("n_terms"),
+            F.lit(None).cast("double").alias("tfidf_norm"),
+        )
     idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(tfd)
     out = idf.transform(tfd)
     arr = vector_to_array(F.col("_tfidf"))
