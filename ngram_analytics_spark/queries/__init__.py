@@ -78,18 +78,19 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_zone_map_prune",
     "q_dq_benford",
     "q_stream_live_benford",
+    # --- empty-probe contract fixes (r11, oracle/guard changes) ---
+    "q_gdpr_cascade",
+    "q_bpe_train_loop",
+    "q_scan_partitioned",
+    "q_join_dpp",
+    "q_sink_dynamic_overwrite",
+    "q_ml_scaler",
     # --- oldest-first re-certification: DEFERRED_R11 (r3 cohort) ---
     "q_agg_bool",
     "q_cte_recursive",
     "q_doc_lm_score",
     "q_ewma",
     "q_fn_array",
-    "q_fn_bitwise",
-    "q_fn_cast",
-    "q_fn_cond",
-    "q_fn_date2",
-    "q_fn_explode_pos",
-    "q_fn_hash",
 )
 
 #: earlier deferred queues, fully promoted (archived in
@@ -104,6 +105,12 @@ DEFERRED_R11: tuple[str, ...] = ()
 #: ~50-slot r11 window had no room for (the r11 changed/new block
 #: displaced them).
 DEFERRED_R12: tuple[str, ...] = (
+    "q_fn_bitwise",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date2",
+    "q_fn_explode_pos",
+    "q_fn_hash",
     "q_fn_higher_order",
     "q_fn_interval",
     "q_fn_map",
