@@ -33,9 +33,12 @@ def exact_auc(
 
     Tie groups contribute their exact average rank through the
     HALF-RANK identity ``2*avg_rank = 2*cum_before + cnt + 1``, so
-    every term stays int64-exact; the single double division happens
-    at the end. Returns one row: (n_pos, n_neg, n_scores, auc_raw)
-    with ``auc_raw`` the unrounded double (callers round/alias).
+    every term is an exact integer; the rank-sum grows as n^2 (int64
+    headroom runs out at n ~ 3e9 rows), so the accumulator rides
+    DECIMAL(38,0)/HUGEINT from the start (r12 lint-widening audit).
+    The single double division happens at the end. Returns one row:
+    (n_pos, n_neg, n_scores, auc_raw) with ``auc_raw`` the unrounded
+    double (callers round/alias).
     """
     from ngram_analytics_spark.operators.valuedomain import (
         grouped_value_cumsum,
@@ -50,7 +53,7 @@ def exact_auc(
     c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], bucket_width)
     s = c.agg(
         F.sum(
-            F.col("npos")
+            F.col("npos").cast("decimal(38,0)")
             * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
         ).alias("two_rpos"),
         F.min("tot_npos").alias("n_pos"),
@@ -63,10 +66,14 @@ def exact_auc(
         "n_scores",
         (
             (
-                F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)
+                F.col("two_rpos")
+                - F.col("n_pos").cast("decimal(38,0)")
+                * (F.col("n_pos") + 1)
             ).cast("double")
             / (
-                2 * F.col("n_pos") * (F.col("n_all") - F.col("n_pos"))
+                2
+                * F.col("n_pos").cast("decimal(38,0)")
+                * (F.col("n_all") - F.col("n_pos"))
             ).cast("double")
         ).alias("auc_raw"),
     )

@@ -899,9 +899,9 @@ q_ngram_kneser_ney.__doc__ = q_ngram_kneser_ney.__doc__.format(k=_KN_TOPK)
                CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_hapax,
                CAST(count(*) * 1000000 // sum(f) AS BIGINT) AS ttr_ppm,
-               CAST(sum(f * (f - 1)) * 1000000
-                    // (sum(f) * (sum(f) - 1)) AS BIGINT)
-                   AS simpson_ppm
+               CAST(sum(CAST(f AS HUGEINT) * (f - 1)) * 1000000
+                    // (CAST(sum(f) AS HUGEINT) * (sum(f) - 1))
+                    AS BIGINT) AS simpson_ppm
         FROM t
         GROUP BY lang
         ORDER BY lang
@@ -916,9 +916,12 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity dial next to q_corpus_gini's concentration index).
 
     Determinism: D and TTR are exact integer rationals floored at ppm
-    (f, n are counts; no doubles anywhere). Closed-form fixture pin in
-    tests/test_statistic_fixtures.py (the r10 statistic-key
-    convention).
+    (f, n are counts; no doubles anywhere). Simpson's sum f(f-1) and
+    n(n-1) grow as the SQUARE of slice token mass — int64 wraps at
+    n ~ 3e9 tokens per language, well inside a 100 TB corpus — so
+    both ride DECIMAL(38,0)/HUGEINT (r12 lint-widening audit).
+    Closed-form fixture pin in tests/test_statistic_fixtures.py (the
+    r10 statistic-key convention).
 
     Plan: ONE token explode -> ONE map-side-combined (lang, tok)
     groupBy (vocab-sized state), then a lang-domain rollup — the
@@ -945,8 +948,8 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ttr_ppm"),
             F.expr(
-                "sum(f * (f - 1)) * 1000000"
-                " div (sum(f) * (sum(f) - 1))"
+                "sum(cast(f as decimal(38,0)) * (f - 1)) * 1000000"
+                " div (cast(sum(f) as decimal(38,0)) * (sum(f) - 1))"
             )
             .cast("long")
             .alias("simpson_ppm"),

@@ -2999,8 +2999,9 @@ q_ts_lag_features.__doc__ = q_ts_lag_features.__doc__.format(w=_LF_W)
                    (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
                          WHEN s.s_stat < 0 THEN s.s_stat + 1
                          ELSE 0 END) * 1000000.0
-                   / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
-                               - ties.tie_adj AS DOUBLE) / 18.0))
+                   / sqrt(NULLIF(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                      - ties.tie_adj AS DOUBLE), 0)
+                          / 18.0))
                    AS BIGINT) AS z_ppm
         FROM s
         JOIN nn ON s.event_type = nn.event_type
@@ -3016,9 +3017,14 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     half is q_ts_theil_sen (same pairwise lattice, same robustness),
     and the formal test behind q_ts_pop's eyeballed deltas.
 
-    Determinism: S and the tie adjustment are exact int64 on the
+    Determinism: S and the tie adjustment are exact integers on the
     DAY domain; z takes one sqrt of the identical integer-valued
-    double and one floor — no other float surface.
+    double and one floor — no other float surface. Headroom: the
+    cubic terms n(n-1)(2n+5) and sum t(t-1)(2t+5) are CALENDAR
+    bounded (n = distinct days per type), int64-safe to n ~ 1.6e6
+    days (~4,400 years) — no 128-bit widening needed. A fully-tied
+    slice (var18 = 0, >= 2 equal daily counts and nothing else)
+    reads z_ppm NULL on both engines via nullif, never 0/0.
 
     Plan: ONE map-side-combined daily rollup, then the triangular
     (type, day) self-join on the CALENDAR-bounded rollup (the
@@ -3086,7 +3092,10 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             var18.cast("long").alias("var_s_x18"),
             F.floor(
                 corrected * F.lit(1000000.0)
-                / F.sqrt(var18.cast("double") / F.lit(18.0))
+                / F.sqrt(
+                    F.nullif(var18.cast("double"), F.lit(0.0))
+                    / F.lit(18.0)
+                )
             )
             .cast("long")
             .alias("z_ppm"),

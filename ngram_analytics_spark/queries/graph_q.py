@@ -744,9 +744,11 @@ q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(r=_BFS_R, m=_BFS_SEED_MOD)
         )
         SELECT CAST(count(*) AS BIGINT) AS n_nodes,
                CAST(count(cc_ppm) AS BIGINT) AS n_deg2,
-               CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
+               CAST(sum(CAST(d AS HUGEINT) * (d - 1)) // 2 AS BIGINT)
+                   AS n_wedges,
                CAST(sum(t) // 3 AS BIGINT) AS n_triangles,
-               CAST(sum(t) * 2000000 // sum(d * (d - 1)) AS BIGINT)
+               CAST(sum(t) * 2000000
+                    // sum(CAST(d AS HUGEINT) * (d - 1)) AS BIGINT)
                    AS transitivity_ppm,
                CAST(sum(cc_ppm) // count(cc_ppm) AS BIGINT)
                    AS avg_local_cc_ppm
@@ -769,6 +771,11 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge count, so the 2e6 scale makes K3 read exactly 1e6 ppm),
     local cc in ppm = 2t*1e6 div d(d-1). sum(t) is divisible by 3 and
     sum(d*(d-1)) by 2 by construction, so the // casts are exact.
+    Headroom: the wedge mass sum d(d-1) is QUADRATIC in hub degree
+    (int64 wraps once any node tops ~3e9 neighbors, and the corpus
+    sum wraps far earlier under skew), so the d*(d-1) and triangle
+    accumulators ride DECIMAL(38,0)/HUGEINT (r12 lint-widening
+    audit); the per-node t*2e6 term is int64-safe to d ~ 3e6.
 
     Plan: the id-ordered edge table materializes once (eager
     localCheckpoint — five consumers would each re-run the 3-NN GEMM
@@ -807,9 +814,16 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loc.agg(
         F.count("*").alias("n_nodes"),
         F.count("cc_ppm").alias("n_deg2"),
-        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
-        F.expr("sum(t) div 3").cast("long").alias("n_triangles"),
-        F.expr("sum(t) * 2000000 div sum(d * (d - 1))")
+        F.expr("sum(cast(d as decimal(38,0)) * (d - 1)) div 2")
+        .cast("long")
+        .alias("n_wedges"),
+        F.expr("sum(cast(t as decimal(38,0))) div 3")
+        .cast("long")
+        .alias("n_triangles"),
+        F.expr(
+            "sum(cast(t as decimal(38,0))) * 2000000"
+            " div sum(cast(d as decimal(38,0)) * (d - 1))"
+        )
         .cast("long")
         .alias("transitivity_ppm"),
         F.expr("sum(cc_ppm) div count(cc_ppm)")

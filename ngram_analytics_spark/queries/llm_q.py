@@ -2332,8 +2332,9 @@ _AUC_BUCKET = 100_000.0
                    CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS cum
             FROM pt
         ), s AS (
-            SELECT CAST(sum(npos * (2 * (cum - cnt) + cnt + 1))
-                        AS BIGINT) AS two_rpos,
+            SELECT CAST(sum(CAST(npos AS HUGEINT)
+                            * (2 * (cum - cnt) + cnt + 1))
+                        AS HUGEINT) AS two_rpos,
                    CAST(sum(npos) AS BIGINT) AS n_pos,
                    CAST(sum(cnt) AS BIGINT) AS n_all,
                    CAST(count(*) AS BIGINT) AS n_scores
@@ -2341,8 +2342,10 @@ _AUC_BUCKET = 100_000.0
         )
         SELECT n_pos, n_all - n_pos AS n_neg, n_scores,
                {oracle_round4det(
-                   "CAST(two_rpos - n_pos * (n_pos + 1) AS DOUBLE)"
-                   " / CAST(2 * n_pos * (n_all - n_pos) AS DOUBLE)"
+                   "CAST(two_rpos - CAST(n_pos AS HUGEINT)"
+                   " * (n_pos + 1) AS DOUBLE)"
+                   " / CAST(2 * CAST(n_pos AS HUGEINT)"
+                   " * (n_all - n_pos) AS DOUBLE)"
                )} AS auc
         FROM s
     """,
@@ -3784,7 +3787,8 @@ def _rpl_band_key_sql(alias: str = "bk") -> str:
                CAST(max(sz) AS BIGINT) AS max_bucket,
                CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_singleton,
-               CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(sz AS HUGEINT) * (sz - 1)) // 2 AS BIGINT)
+                   AS n_pairs,
                CAST(sum(CASE WHEN sz > {_RPL_CAP} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_over_cap
         FROM occ GROUP BY bj ORDER BY bj
@@ -3809,6 +3813,11 @@ def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: bucket ids are floors of bit-identical doubles (the
     q_sim_pairs_lsh discipline); everything after is integer counts.
+    Headroom: the candidate-pair mass sum sz*(sz-1) is QUADRATIC in
+    hot-bucket occupancy — exactly the degenerate-index regime this
+    monitor exists to catch, so it must not wrap there (int64 runs
+    out at sz ~ 3e9) — the accumulator rides DECIMAL(38,0)/HUGEINT
+    (r12 lint-widening audit).
 
     Plan: per-row projection HOF (zero shuffles beyond the spread),
     one explode to the 24 (table, band-key) rows per vector, ONE
@@ -3844,7 +3853,7 @@ def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_singleton"),
-            F.expr("sum(sz * (sz - 1)) div 2")
+            F.expr("sum(cast(sz as decimal(38,0)) * (sz - 1)) div 2")
             .cast("long")
             .alias("n_pairs"),
             F.sum(F.when(F.col("sz") > _RPL_CAP, 1).otherwise(0))
@@ -4886,8 +4895,8 @@ def q_ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_TERM_SPARK = (
     "cast(npos as decimal(38,0)) * (tot_npos - cum_npos + npos)"
     " * 1000000"
-    " div (cast(tot_npos as decimal(38,0))"
-    " * (tot_cnt - cum_cnt + cnt))"
+    " div nullif(cast(tot_npos as decimal(38,0))"
+    " * (tot_cnt - cum_cnt + cnt), 0)"
 )
 
 
@@ -4925,8 +4934,8 @@ _PR_TERM_SPARK = (
                CAST(coalesce(sum(
                    CAST(npos AS HUGEINT)
                    * (tot_npos - cum_npos + npos) * 1000000
-                   // (CAST(tot_npos AS HUGEINT)
-                      * (tot_cnt - cum_cnt + cnt))
+                   // NULLIF(CAST(tot_npos AS HUGEINT)
+                             * (tot_cnt - cum_cnt + cnt), 0)
                ), 0) AS BIGINT) AS ap_ppm
         FROM c
     """,
@@ -5061,8 +5070,9 @@ _TAU_TWO_TY = " + ".join(
                CAST(conc AS BIGINT) AS n_concordant,
                CAST(disc AS BIGINT) AS n_discordant,
                CAST(floor(CAST(2 * (conc - disc) AS DOUBLE) * 1000000.0
-                    / (sqrt(CAST(n * (n - 1) - two_tx AS DOUBLE))
-                       * sqrt(CAST(n * (n - 1) - two_ty AS DOUBLE))))
+                    / NULLIF(
+                        sqrt(CAST(n * (n - 1) - two_tx AS DOUBLE))
+                        * sqrt(CAST(n * (n - 1) - two_ty AS DOUBLE)), 0))
                     AS BIGINT) AS tau_b_ppm
         FROM s
     """,
@@ -5138,7 +5148,7 @@ def q_ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             (2 * (F.col("conc") - F.col("disc"))).cast("double")
             * F.lit(1000000.0)
-            / den
+            / F.nullif(den, F.lit(0.0))
         )
         .cast("long")
         .alias("tau_b_ppm"),
@@ -5636,7 +5646,7 @@ _PAR_TARGETS = (500_000, 800_000, 950_000)
                    tot_npos - cum_npos + npos AS tp,
                    tot_cnt - cum_cnt + cnt AS sel,
                    (tot_npos - cum_npos + npos) * 1000000
-                       // tot_npos AS recall_ppm,
+                       // NULLIF(tot_npos, 0) AS recall_ppm,
                    (tot_npos - cum_npos + npos) * 1000000
                        // (tot_cnt - cum_cnt + cnt) AS precision_ppm
             FROM c
@@ -5699,7 +5709,8 @@ def q_ml_pr_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = c.select(
         "t",
         F.expr(
-            "(tot_npos - cum_npos + npos) * 1000000 div tot_npos"
+            "(tot_npos - cum_npos + npos) * 1000000"
+            " div nullif(tot_npos, 0)"
         ).alias("recall_ppm"),
         F.expr(
             "(tot_npos - cum_npos + npos) * 1000000"

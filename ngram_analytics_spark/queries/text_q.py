@@ -1364,7 +1364,10 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fact joins.
 
     Determinism: exact integer counts; FRE terms are integer floor
-    divisions."""
+    divisions. Headroom: the syllable mass sum(f * syllables) is
+    LINEAR in corpus tokens (syllables per type is a per-word
+    constant ~O(10), not a count), int64-safe to ~9e17 tokens —
+    far past 100 TB, no 128-bit widening needed."""
     v = (
         spread(load(spark, sf_dir, "documents"))
         .select(

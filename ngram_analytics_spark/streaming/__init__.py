@@ -65,6 +65,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files (fixture corpora) — stage data files individually for the
     # latter, the read_documents_stream discipline (r11)
     if os.path.isdir(src):
+        # drop the pre-r11 single symlink named after the source
+        # DIRECTORY — inert today (the file source ignores directory
+        # links) but a recursion/listing change would double-read it
+        legacy = os.path.join(stage, os.path.basename(src))
+        if os.path.lexists(legacy):
+            os.remove(legacy)
         parts = [
             os.path.join(src, fn)
             for fn in sorted(os.listdir(src))
@@ -110,6 +116,10 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data file individually in that case (r11: unblocks streaming
     # queries over fixture corpora)
     if os.path.isdir(src):
+        # see read_events_stream: clear the pre-r11 directory symlink
+        legacy = os.path.join(stage, os.path.basename(src))
+        if os.path.lexists(legacy):
+            os.remove(legacy)
         parts = [
             os.path.join(src, fn)
             for fn in sorted(os.listdir(src))

@@ -158,7 +158,14 @@ def test_every_power_sum_documents_its_headroom():
         "relational4", "relational5", "relational6", "relational7",
         "sampling_q", "text_q", "timeseries_q", "udf_q", "layout_q",
     )
-    power_sum = re.compile(r"F\.sum\([^)]*\*|sum\(\s*\w+\s*\*\s*\w+")
+    # paren-tolerant (ADVICE r11): F.sum(F.col("a") * F.col("b")) has
+    # a ')' before the '*', and SQL spellings multiply function calls
+    # — allow one level of nested parens on the left operand in both
+    # branches so those call sites stay inside the audit.
+    power_sum = re.compile(
+        r"F\.sum\((?:[^()\n]|\([^()\n]*\))*\*"
+        r"|sum\(\s*(?:\w+\([^()\n]*\)|\w+)\s*\*"
+    )
     note = re.compile(
         r"headroom|wrap|int64-safe|DECIMAL|HUGEINT|128-bit", re.I
     )

@@ -2207,3 +2207,76 @@ def test_mix_epochs_water_filling_closed_form(spark, tmp_path):
     assert out["big"].epochs_ppm == 7_000 * 10**6 // 3_600
     # budget fully allocated in this fixture
     assert out["big"].alloc + out["small"].alloc == 2 * 3_700
+
+
+# ------------------------- r12 degenerate-regime guards (ADVICE r11)
+# The empty-slice probe exercises 0-ROW inputs; these pins cover the
+# non-empty degenerate slices the r12 nullif guards protect — the
+# exact rare-positive / fully-tied regimes the statistics exist for.
+
+
+def test_auc_pr_zero_positives_reads_zero(spark, tmp_path):
+    """A non-empty slice with NO positive labels (the rare-positive
+    regime PR-AUC is motivated by): every per-tick term divides by
+    tot_npos = 0, which must read NULL-then-0 via nullif on both
+    engines — not raise under ANSI div."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(i, mk(0.1 * (i + 1)), 0) for i in range(4)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_auc_pr")(spark, sf).collect()[0]
+    assert (r.n_pos, r.n_neg, r.n_ticks) == (0, 4, 4)
+    assert r.base_rate_ppm == 0
+    assert r.ap_ppm == 0
+
+
+def test_pr_at_recall_zero_positives_is_empty(spark, tmp_path):
+    """Zero positives -> recall is NULL at every threshold, so no
+    operating point meets any recall floor: the result is EMPTY (no
+    deployable cutoff exists), never a division error."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(i, mk(0.1 * (i + 1)), 0) for i in range(4)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert _q("q_ml_pr_at_recall")(spark, sf).count() == 0
+
+
+def test_kendall_tau_fully_tied_scores_read_null(spark, tmp_path):
+    """All scores identical -> n(n-1) - two_tx = 0, the tau-b
+    denominator is 0 and tau must read NULL (undefined), never raise
+    floor(Infinity)/0-div under ANSI."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(i, mk(0.5), i % 3) for i in range(4)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = _q("q_ml_kendall_tau")(spark, sf).collect()[0]
+    assert (r.n, r.n_concordant, r.n_discordant) == (4, 0, 0)
+    assert r.tau_b_ppm is None
+
+
+def test_mann_kendall_fully_tied_days_read_null(spark, tmp_path):
+    """Two days with EQUAL daily counts: S = 0 and the tie adjustment
+    consumes the whole variance (var18 = 0), so z is undefined and
+    must read NULL on both engines — the 0/0 -> floor(NaN) ANSI crash
+    the r12 nullif guard closes."""
+    rows, eid = [], 0
+    for day in (1, 2):
+        for _ in range(3):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, day, 8), 1,
+                 "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ts_mann_kendall")(spark, sf).collect()[0]
+    assert (r.n_days, r.s_stat, r.var_s_x18) == (2, 0, 0)
+    assert r.z_ppm is None
