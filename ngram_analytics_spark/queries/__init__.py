@@ -4,107 +4,39 @@ Each submodule contributes a QueryRegistry; keys are the SURVEY.md §2
 declared query names and must be globally unique (merge() enforces).
 
 Key ORDER matters: the differential driver grades the registry keys in
-iteration order, so GRADED_FIRST pins the north-star surface — the
-flagship n-gram query, the LLM-data-pipeline operators (dedup /
-similarity / multimodal), streaming & time-series, the vectorized UDF
-family, and the scale-technique joins/aggs — at the front. The
-long tail of scalar-function families follows in module order.
+iteration order, so GRADED_FIRST pins the keys with correctness RISK
+at the front and the rest follow OLDEST-DRIVER-GRADE-FIRST, keeping
+certification staleness bounded without any hand-maintained queue.
 """
 
 from __future__ import annotations
 
 from ngram_analytics_spark.registry import QueryRegistry
 
-# The ~50 keys the differential driver should grade first.  Round-11
-# rotation (VERDICT r10 "Next round" item 1): the 4 r10 keys that
-# landed after the r10 snapshot lead — they are the only SURVEY §2
-# keys without a driver CORRECTNESS row (all four are green in the
-# full local sf0.01 differential meanwhile) — then the 32 keys NEW in
-# r11 (the statistics/retrieval/graph/experiment widening: PR-AUC,
-# tau-b, PSI/IV-WOE/JSD, MAP@k, ECE, Cramér's V + MI, reciprocity,
-# Adamic-Adar, periodogram, lag features, Mann-Kendall, dow-ANOVA,
-# Hurst, Zipf, bigram entropy, A/B power, Horvitz-Thompson, DP mean,
-# live ngram top-k, filter reasons + live yield, PR@recall, export
-# manifest, class weights, epoch planning), then the keys
-# whose code changed in r11 (q_ml_spearman / q_ml_brier /
-# q_embed_stats / q_embed_cov DECIMAL(38,0)-HUGEINT moment widening
-# past the int64 wrap cliffs, VERDICT items 2-3 + the r11 tick-sum
-# audit; q_ml_ks_separation tick clamp, q_zone_map_prune
-# explicit-floor file ids, q_dq_benford + streaming twin tick-domain
-# guard — the ADVICE r10 lows), then the r3-cohort re-certification
-# tail. Changed/new keys outrank hygiene re-certification because
-# they are the only rows with correctness RISK; every deferred key is
-# judge-green in each round's full local differential.
+# The ~50 keys the differential driver should grade first — GENERATED
+# by ``python tools/graded_window.py`` (VERDICT r11 item 6; the
+# doc-lint test_graded_first_matches_generator pins this tuple to the
+# tool's output, so editing a query without regenerating fails the
+# suite).  Composition rule: (a) keys with no driver CORRECTNESS row
+# yet, (b) keys whose own function/oracle text changed since the
+# round base (real contract risk), (c) the stalest-graded tail — for
+# r12 that is the VERDICT r11 item-1 cohort: the r01 pair
+# (q_agg_approx_distinct / q_text_tfidf) and the r03
+# q_fn_*/q_subquery_*/q_set_ops/q_source_* block, eight-plus rounds
+# of engine churn since their last hard driver grade.
 GRADED_FIRST: tuple[str, ...] = (
-    # --- r10 keys with no driver CORRECTNESS row yet ---
-    "q_ml_ks_separation",
-    "q_text_burstiness",
-    "q_ab_srm",
-    "q_ab_cuped",
-    # --- new in r11 ---
     "q_ml_auc_pr",
     "q_ml_kendall_tau",
-    "q_ml_psi",
-    "q_ml_map",
-    "q_graph_reciprocity",
-    "q_graph_adamic_adar",
-    "q_ts_periodogram",
-    "q_ts_lag_features",
-    "q_text_zipf",
-    "q_ab_power",
-    "q_ml_iv_woe",
-    "q_ml_cramers_v",
-    "q_ml_mutual_info",
     "q_ts_mann_kendall",
-    "q_ts_anova_dow",
-    "q_sample_horvitz",
-    "q_text_bigram_entropy",
-    "q_ts_hurst",
-    "q_ml_ece",
-    "q_stream_live_ngram_topk",
-    "q_privacy_dp_mean",
-    "q_filter_reasons",
     "q_ml_pr_at_recall",
-    "q_ml_drift_jsd",
-    "q_export_manifest",
-    "q_stream_live_filter_yield",
-    "q_ml_class_weights",
-    "q_mix_epochs",
-    # --- code changed in r11 ---
-    "q_ml_spearman",
-    "q_ml_brier",
-    "q_embed_stats",
-    "q_embed_cov",
-    "q_zone_map_prune",
-    "q_dq_benford",
-    "q_stream_live_benford",
-    # --- empty-probe contract fixes (r11, oracle/guard changes) ---
-    "q_gdpr_cascade",
-    "q_bpe_train_loop",
-    "q_scan_partitioned",
-    "q_join_dpp",
-    "q_sink_dynamic_overwrite",
-    "q_ml_scaler",
-    # --- oldest-first re-certification: DEFERRED_R11 (r3 cohort) ---
-    "q_agg_bool",
-    "q_cte_recursive",
-    "q_doc_lm_score",
-    "q_ewma",
-    "q_fn_array",
-)
-
-#: earlier deferred queues, fully promoted (archived in
-#: CORRECTNESS_r08/r09/r10/r11.json respectively).
-DEFERRED_R7: tuple[str, ...] = ()
-DEFERRED_R8: tuple[str, ...] = ()
-DEFERRED_R9: tuple[str, ...] = ()
-DEFERRED_R10: tuple[str, ...] = ()
-DEFERRED_R11: tuple[str, ...] = ()
-
-#: Queued to LEAD the round-12 graded window: the r3-cohort keys the
-#: ~50-slot r11 window had no room for (the r11 changed/new block
-#: displaced them).
-DEFERRED_R12: tuple[str, ...] = (
+    "q_text_readability",
+    "q_ml_auc",
+    "q_embed_bucket_stats",
+    "q_text_diversity",
+    "q_graph_clustering_coeff",
+    "q_agg_approx_distinct",
+    "q_text_tfidf",
+    "q_agg_hll_merge",
     "q_fn_bitwise",
     "q_fn_cast",
     "q_fn_cond",
@@ -143,8 +75,46 @@ DEFERRED_R12: tuple[str, ...] = (
     "q_subquery_scalar",
     "q_values_inline",
     "q_win_ignorenulls",
-    "q_win_range_interval",
 )
+# indirect (one-hop helper) changes this round, re-graded via the
+# oldest-first rotation below rather than displacing the stale
+# cohort: the 17 q_stream_live_* keys (streaming stage-dir symlink
+# cleanup touched read_events_stream/read_documents_stream).
+
+#: The r7-r12 hand-maintained DEFERRED_R* promotion queues are
+#: retired (archived in CORRECTNESS_r08..r12.json): everything after
+#: GRADED_FIRST now orders itself oldest-driver-grade-first from the
+#: committed CORRECTNESS_r*.json archives, so staleness is bounded by
+#: construction instead of by queue bookkeeping.
+
+
+def _latest_grades() -> dict[str, int]:
+    """key -> newest round with a driver CORRECTNESS row (from the
+    committed per-round archives at the repo root). Mirrors
+    tools/graded_window.latest_grades (kept dependency-free here:
+    tools/ is not a package)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                keys = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k in keys:
+            latest[k] = max(latest.get(k, 0), rnd)
+    return latest
 
 
 def build_registry() -> QueryRegistry:
@@ -192,33 +162,9 @@ def build_registry() -> QueryRegistry:
     ):
         merged.merge(mod.REG)
 
-    missing = [
-        k
-        for k in (
-            *GRADED_FIRST,
-            *DEFERRED_R7,
-            *DEFERRED_R8,
-            *DEFERRED_R9,
-            *DEFERRED_R10,
-            *DEFERRED_R11,
-            *DEFERRED_R12,
-        )
-        if k not in merged.queries
-    ]
+    missing = [k for k in GRADED_FIRST if k not in merged.queries]
     if missing:
-        raise ValueError(
-            f"GRADED_FIRST/DEFERRED keys not registered: {missing}"
-        )
-    overlap = set(GRADED_FIRST) & (
-        set(DEFERRED_R7)
-        | set(DEFERRED_R8)
-        | set(DEFERRED_R9)
-        | set(DEFERRED_R10)
-        | set(DEFERRED_R11)
-        | set(DEFERRED_R12)
-    )
-    if overlap:
-        raise ValueError(f"keys in both GRADED_FIRST and DEFERRED: {overlap}")
+        raise ValueError(f"GRADED_FIRST keys not registered: {missing}")
     from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
 
     no_oracle = set(merged.queries) - set(merged.oracles)
@@ -228,26 +174,16 @@ def build_registry() -> QueryRegistry:
             f"undocumented={sorted(no_oracle - set(ROWS_ONLY_BY_DESIGN))} "
             f"stale={sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle)}"
         )
-    ordered = QueryRegistry()
-    pinned = (
-        set(GRADED_FIRST)
-        | set(DEFERRED_R7)
-        | set(DEFERRED_R8)
-        | set(DEFERRED_R9)
-        | set(DEFERRED_R10)
-        | set(DEFERRED_R11)
-        | set(DEFERRED_R12)
+    # tail: ungraded keys first (they carry the most risk), then
+    # oldest driver grade first — bounded staleness by construction
+    grades = _latest_grades()
+    pinned = set(GRADED_FIRST)
+    tail = sorted(
+        (k for k in merged.queries if k not in pinned),
+        key=lambda k: (grades.get(k, -1), k),
     )
-    for key in (
-        *GRADED_FIRST,
-        *DEFERRED_R7,
-        *DEFERRED_R8,
-        *DEFERRED_R9,
-        *DEFERRED_R10,
-        *DEFERRED_R11,
-        *DEFERRED_R12,
-        *(k for k in merged.queries if k not in pinned),
-    ):
+    ordered = QueryRegistry()
+    for key in (*GRADED_FIRST, *tail):
         ordered.queries[key] = merged.queries[key]
         if key in merged.oracles:
             ordered.oracles[key] = merged.oracles[key]

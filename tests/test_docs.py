@@ -44,6 +44,39 @@ def test_graded_first_keys_are_unique():
     assert len(GRADED_FIRST) == len(set(GRADED_FIRST))
 
 
+def test_graded_first_matches_generator():
+    """VERDICT r11 item 6: the graded window is GENERATED, not
+    hand-maintained — tools/graded_window.py derives it from (a) keys
+    with no driver CORRECTNESS row, (b) keys whose function/oracle
+    text changed since the round base, (c) the stalest-graded tail.
+    This pin makes 'edited a query, forgot the window' a test failure
+    instead of a straggler next round (the r10 4-key incident)."""
+    import importlib.util
+    import subprocess
+
+    import pytest
+
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO, capture_output=True, check=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        pytest.skip("not a git checkout — window generator needs git")
+
+    spec = importlib.util.spec_from_file_location(
+        "graded_window", REPO / "tools" / "graded_window.py"
+    )
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+    want = gw.compute_window()
+    assert tuple(GRADED_FIRST) == want, (
+        "GRADED_FIRST is stale — regenerate with "
+        "`python tools/graded_window.py` and paste the tuple into "
+        "ngram_analytics_spark/queries/__init__.py"
+    )
+
+
 def test_no_double_division_truncate_cast():
     """Source-convention lint (VERDICT r6 "Next round" item 3): the
     repo's truncate-vs-round discipline requires integer division to
