@@ -224,3 +224,73 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def minhash_index_write(
+    sig: DataFrame, path: str, sig_keys: list[str]
+) -> None:
+    """Persist a MinHash corpus INDEX as two parquet tables — the
+    state a continuously-fed pipeline keeps between crawl batches so
+    near-dup checks never rescan the corpus:
+
+    - ``{path}/groups``  — (gid, *sig_keys): one row per DISTINCT
+      signature; gid = min member doc_id (clone clusters of any size
+      cost ONE group row, the q_dedup_minhash_exact collapse).
+    - ``{path}/members`` — (gid, doc_id, *payload): every indexed doc
+      with its group and any payload columns ``sig`` carried (e.g.
+      the (sds, sdx, n_sh) shingle-set fingerprint).
+
+    Band rows are NOT materialized: they are a 4-rows-per-group
+    projection of ``groups`` that the probe derives at read time, so
+    the index stays signature-sized. Index size is O(distinct docs),
+    32-byte-ish rows — at 100 TB corpus scale the index is ~10^-4 of
+    the data and both writes shuffle on the signature key only.
+    """
+    grp = sig.groupBy(*sig_keys).agg(F.min("doc_id").alias("gid"))
+    grp.write.mode("overwrite").parquet(f"{path}/groups")
+    # members join the PERSISTED groups (one exchange on the
+    # signature key; re-read keeps the lineage off the raw corpus)
+    g = sig.sparkSession.read.parquet(f"{path}/groups")
+    payload = [c for c in sig.columns if c not in sig_keys]
+    sig.join(g, sig_keys).select("gid", *payload).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/members")
+
+
+def minhash_index_upsert(
+    sig_new: DataFrame, path: str, sig_keys: list[str]
+) -> None:
+    """MERGE a new batch's signatures into a persisted index:
+    signatures matching an existing group ADOPT its gid (members
+    append only), novel signatures open a new group with gid = the
+    batch's min doc_id — so an index maintained by upserts is
+    row-for-row identical to one rebuilt from scratch over the union
+    (gid stability: an existing group's min id can only be <= any
+    later batch id; tests/test_llm_pipeline pins the invariance).
+
+    Appends are copy-free (new parquet files only); the to-append
+    frames are eagerly checkpointed first so their lineage cannot
+    observe the directories they are about to extend.
+    """
+    spark = sig_new.sparkSession
+    old_g = spark.read.parquet(f"{path}/groups")
+    new_g = sig_new.groupBy(*sig_keys).agg(F.min("doc_id").alias("ngid"))
+    resolved = (
+        new_g.join(old_g, sig_keys, "left")
+        .select(
+            *sig_keys,
+            F.coalesce("gid", "ngid").alias("gid"),
+            F.col("gid").isNull().alias("_novel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    payload = [c for c in sig_new.columns if c not in sig_keys]
+    members_new = (
+        sig_new.join(resolved, sig_keys)
+        .select("gid", *payload)
+        .localCheckpoint(eager=True)
+    )
+    resolved.filter("_novel").select(*sig_keys, "gid").write.mode(
+        "append"
+    ).parquet(f"{path}/groups")
+    members_new.write.mode("append").parquet(f"{path}/members")

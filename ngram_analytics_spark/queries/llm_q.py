@@ -2203,6 +2203,281 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eq.unionByName(uneq)
 
 
+# ------------------------------------- incremental (batch-vs-corpus) near-dup
+
+def _mh_sig_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}, sds, sdx, n_sh) over a (doc_id, st)
+    shingle-set frame — the q_dedup_minhash_exact signature stage
+    (md5-seeded min-hashes + the order-independent (sum, xor, count)
+    shingle-set fingerprint, computed in ONE map-side-combined
+    aggregation), factored so the incremental index builds and probes
+    with the exact spelling the certified full-corpus operator uses."""
+    sh = d.select("doc_id", F.explode_outer("st").alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("0:"), F.col("sh"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        sh.withColumn("v", v)
+        .groupBy("doc_id")
+        .agg(
+            *[_mh_spark(i) for i in range(_MH_K)],
+            F.sum("v").alias("sds"),
+            F.expr("bit_xor(v)").alias("sdx"),
+            F.count("*").alias("n_sh"),
+        )
+    )
+
+
+def _mh_band_rows(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, bj, bk) LSH band rows of a signature frame: 4 bands of 2
+    rows, band key = decimal-string concat (the q_dedup_minhash_exact
+    banding, factored for the incremental probe)."""
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("bj"),
+            F.concat_ws("_", f"m{2 * j}", f"m{2 * j + 1}").alias("bk"),
+        )
+        for j in range(_MH_BANDS)
+    ]
+    return df.select(
+        id_col, F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.bj", "b.bk")
+
+
+def _mh_index_probe(
+    spark: SparkSession, newd: DataFrame, store: DataFrame, idx: str
+) -> DataFrame:
+    """Probe a persisted MinHash index with a new batch: returns one
+    row per candidate pair (nid, cid, is_dup). ``newd`` is the batch's
+    (doc_id, st) shingle-set frame; ``store`` the same frame for the
+    indexed docs (consulted ONLY for the candidate-bounded exact
+    recheck — fingerprint-equal pairs never touch it); ``idx`` the
+    minhash_index_write directory. Candidate generation joins the
+    batch's 4 band rows per doc against the index's band projection
+    under the _MH_BAND_CAP distinct-signature hot-key skip."""
+    groups = spark.read.parquet(f"{idx}/groups")
+    members = spark.read.parquet(f"{idx}/members")
+    cb = _mh_band_rows(groups, "gid")
+    ok = (
+        cb.groupBy("bj", "bk")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= _MH_BAND_CAP)
+        .select("bj", "bk")
+    )
+    nsig = _mh_sig_frame(newd)
+    nb = _mh_band_rows(nsig, "doc_id").withColumnRenamed("doc_id", "nid")
+    cand = (
+        nb.join(ok, ["bj", "bk"])
+        .join(cb, ["bj", "bk"])
+        .select("nid", "gid")
+        .distinct()
+    )
+    pairs = cand.join(
+        members.select(
+            "gid",
+            F.col("doc_id").alias("cid"),
+            F.col("sds").alias("sds_b"),
+            F.col("sdx").alias("sdx_b"),
+            F.col("n_sh").alias("n_sh_b"),
+        ),
+        "gid",
+    ).join(
+        nsig.select(
+            F.col("doc_id").alias("nid"),
+            F.col("sds").alias("sds_a"),
+            F.col("sdx").alias("sdx_a"),
+            F.col("n_sh").alias("n_sh_a"),
+        ),
+        "nid",
+    )
+    eq_pred = (
+        (F.col("sds_a") == F.col("sds_b"))
+        & (F.col("sdx_a") == F.col("sdx_b"))
+        & (F.col("n_sh_a") == F.col("n_sh_b"))
+    )
+    eq = pairs.filter(eq_pred).select(
+        "nid", "cid", F.lit(True).alias("is_dup")
+    )
+    sa = newd.select(F.col("doc_id").alias("nid"), F.col("st").alias("st_a"))
+    sb = store.select(F.col("doc_id").alias("cid"), F.col("st").alias("st_b"))
+    common = F.size(F.array_intersect("st_a", "st_b"))
+    ratio = common.cast("double") / (
+        F.size("st_a") + F.size("st_b") - common
+    )
+    uneq = (
+        pairs.filter(~eq_pred)
+        .select("nid", "cid")
+        .join(sa, "nid")
+        .join(sb, "cid")
+        .select("nid", "cid", (ratio >= F.lit(_MH_MIN_J)).alias("is_dup"))
+    )
+    return eq.unionByName(uneq)
+
+
+def _mh_band_case_sql(id_expr: str, src: str) -> str:
+    """DuckDB spelling of one signature row's 4 band rows."""
+    return (
+        f"SELECT {id_expr}, j.bj,"
+        " CASE j.bj"
+        " WHEN 0 THEN CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR)"
+        " WHEN 1 THEN CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)"
+        " WHEN 2 THEN CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)"
+        " ELSE CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)"
+        " END AS bk"
+        f" FROM {src} CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bj) j"
+    )
+
+
+@REG.register(
+    "q_dedup_incremental_fuzzy",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   list_distinct({ngrams_sql(TOKENS, _MH_N)}) AS st
+            FROM documents
+        ), sh_t AS (
+            SELECT doc_id, unnest(st) AS sh FROM s
+        ), sig AS (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_MH_K))}
+            FROM sh_t GROUP BY doc_id
+        ), csig AS (
+            SELECT * FROM sig WHERE doc_id % 7 != 0
+        ), nsig AS (
+            SELECT * FROM sig WHERE doc_id % 7 = 0
+        ), grp AS (
+            SELECT min(doc_id) AS gid,
+                   m0, m1, m2, m3, m4, m5, m6, m7
+            FROM csig GROUP BY m0, m1, m2, m3, m4, m5, m6, m7
+        ), mem AS (
+            SELECT g.gid, c.doc_id AS m
+            FROM grp g JOIN csig c USING (m0, m1, m2, m3, m4, m5, m6, m7)
+        ), cb AS (
+            {_mh_band_case_sql("gid", "grp")}
+        ), ok AS (
+            SELECT bj, bk FROM cb GROUP BY bj, bk
+            HAVING count(*) <= {_MH_BAND_CAP}
+        ), nb AS (
+            {_mh_band_case_sql("doc_id AS nid", "nsig")}
+        ), cand AS (
+            SELECT DISTINCT n.nid, c.gid
+            FROM nb n
+            JOIN ok o ON n.bj = o.bj AND n.bk = o.bk
+            JOIN cb c ON c.bj = n.bj AND c.bk = n.bk
+        ), pairs AS (
+            SELECT cand.nid, mem.m AS cid FROM cand JOIN mem USING (gid)
+        ), dup AS (
+            SELECT DISTINCT p.nid
+            FROM pairs p
+            JOIN s a ON a.doc_id = p.nid
+            JOIN s b ON b.doc_id = p.cid
+            WHERE {_J_RATIO} >= {_MH_MIN_J}
+        ), pc AS (
+            SELECT nid, CAST(count(*) AS BIGINT) AS pcnt
+            FROM pairs GROUP BY nid
+        )
+        SELECT base.lang,
+               CAST(count(*) AS BIGINT) AS n_new,
+               CAST(coalesce(sum(pc.pcnt), 0) AS BIGINT) AS n_cand,
+               CAST(count(dup.nid) AS BIGINT) AS n_dup_near,
+               CAST(count(*) - count(dup.nid) AS BIGINT) AS n_kept
+        FROM (
+            SELECT doc_id AS nid, lang FROM documents WHERE doc_id % 7 = 0
+        ) base
+        LEFT JOIN pc ON base.nid = pc.nid
+        LEFT JOIN dup ON base.nid = dup.nid
+        GROUP BY base.lang
+        ORDER BY base.lang
+    """,
+)
+def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against a PERSISTED LSH band index — the
+    production shape of MassiveText/CCNet-style continuous ingestion
+    (VERDICT r11 item 2) and the fuzzy twin of q_dedup_incremental's
+    exact-hash gate: each new crawl batch (doc_id % 7 == 0, the
+    q_cdc_diff split) is checked for trigram-Jaccard >= {j} near-dups
+    of the EXISTING corpus without re-signaturing corpus rows — the
+    corpus exists at probe time only as its written index
+    (operators/dedup.minhash_index_write: groups = distinct
+    signatures with gid, members = doc ids + shingle-set
+    fingerprints; band rows derive from groups at read). Batches
+    append via minhash_index_upsert; tests pin upsert == rebuild
+    invariance (the q_stream_foreach_upsert convention).
+
+    Plan, probe side (the per-batch cost): batch signatures are ONE
+    map-side-combined aggregation over the BATCH only; banding joins
+    the batch's 4 band rows per doc against the index's band
+    projection under the _MH_BAND_CAP hot-key skip (count of DISTINCT
+    SIGNATURES per key — clone floods collapse to one group row, so
+    the cap never starves a clone cluster, and candidate fanout per
+    new doc is <= 4 * cap groups); fingerprint-EQUAL pairs
+    short-circuit to Jaccard 1 with zero joins (the r10 fact-skew
+    fix); only fingerprint-unequal pairs pay the exact recheck, a
+    candidate-bounded doc_id join (at 100 TB: point lookups into the
+    doc store by id, never a corpus scan — the shuffle keys are
+    doc_id / band key / gid throughout). Per-language (n_new, n_cand,
+    n_dup_near, n_kept) certify classification AND candidate volume.
+
+    Determinism: the q_dedup_minhash_exact discipline end-to-end —
+    md5 signatures, decimal-string band keys, exact set-size Jaccard
+    compared pre-rounding; counts are exact integers. The oracle is
+    the recursion-free BATCH TWIN over the union'd corpus (the
+    q_dedup_incremental spelling): index persistence cannot change
+    the candidate set, which is exactly what the hash gate proves."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ngram_analytics_spark.operators import spread
+    from ngram_analytics_spark.operators.dedup import minhash_index_write
+
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .withColumn("st", F.array_distinct(ngram_col("toks", _MH_N)))
+    )
+    newd = d.filter(F.col("doc_id") % 7 == 0)
+    corp = d.filter(F.col("doc_id") % 7 != 0)
+    keys = [f"m{i}" for i in range(_MH_K)]
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"nas-mhidx-{tag}")
+    minhash_index_write(_mh_sig_frame(corp.select("doc_id", "st")), idx, keys)
+
+    pairs = _mh_index_probe(
+        spark, newd.select("doc_id", "st"), corp.select("doc_id", "st"), idx
+    )
+    dup = pairs.filter("is_dup").select("nid").distinct()
+    pc = pairs.groupBy("nid").agg(F.count("*").alias("_pc"))
+    base = newd.select(F.col("doc_id").alias("nid"), "lang")
+    return (
+        base.join(pc, "nid", "left")
+        .join(dup.withColumn("_dup", F.lit(1)), "nid", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.coalesce(F.sum("_pc"), F.lit(0))
+            .cast("long")
+            .alias("n_cand"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_near"),
+            F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+q_dedup_incremental_fuzzy.__doc__ = q_dedup_incremental_fuzzy.__doc__.format(
+    j=_MH_MIN_J
+)
+
+
 # ------------------------------------------------- certified SimHash
 
 #: 16-bit SimHash: per-token 16-bit hash (first 4 md5 hex chars), each
