@@ -368,6 +368,7 @@ def main() -> int:
     extended: dict[str, float] = {}
     espread: dict[str, float] = {}
     eretried: list[str] = []
+    stream_split: dict[str, dict] = {}
     if not warm and not args:
         ext = [n for n in EXTENDED if n in qs]
 
@@ -377,12 +378,27 @@ def main() -> int:
         # kernels at construction, so write-only timing under-reports
         # them (q_graph_kcore read 0.11 s vs 2.4 s real — the
         # BASELINE.md graph-family honesty note).
+        # streaming startup/processing split (VERDICT r11 item 5):
+        # run_to_memory appends a split record per stream it drives;
+        # snapshotting the list around each timed call attributes the
+        # new records to that query, so the detail sidecar can show
+        # whether a q_stream_live_* delta is fixed micro-batch startup
+        # or real per-row processing.
+        from ngram_analytics_spark import streaming as _streaming
+
+        esplits: dict[str, list[tuple[float, list[dict]]]] = {}
+
         def etimed(n: str) -> float:
+            mark = len(_streaming.STREAM_RUNS)
             t0 = time.perf_counter()
             qs[n](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            return time.perf_counter() - t0
+            t = time.perf_counter() - t0
+            new = _streaming.STREAM_RUNS[mark:]
+            if new:
+                esplits.setdefault(n, []).append((t, list(new)))
+            return t
 
         eruns: dict[str, list[float]] = {n: [] for n in ext}
         for _ in range(2):
@@ -408,6 +424,20 @@ def main() -> int:
         espread = {
             n: round(max(r) / min(r), 2) for n, r in eruns.items()
         }
+        # publish the split of each streaming key's BEST (min-wall)
+        # run — the run the extended timing itself reports
+        for n, rec in esplits.items():
+            _, streams = min(rec, key=lambda x: x[0])
+            stream_split[n] = {
+                "startup_s": round(
+                    sum(s["startup_s"] for s in streams), 3
+                ),
+                "process_s": round(
+                    sum(s["process_s"] for s in streams), 3
+                ),
+                "n_batches": sum(s["n_batches"] for s in streams),
+                "n_streams": len(streams),
+            }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -432,6 +462,7 @@ def main() -> int:
         "extended_total": round(sum(extended.values()), 3),
         "extended_retried": eretried,
         "extended_spread": espread,
+        "stream_split": stream_split,
         "sf": sf_val,
     }
     # De-drifted extended total (VERDICT r9 "What's wrong" §4 minor):

@@ -269,3 +269,21 @@ def test_leaderboard_state_invariant_to_batch_splits(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_run_to_memory_records_timing_split(spark):
+    """VERDICT r11 item 5: every run_to_memory drive must append ONE
+    STREAM_RUNS record whose startup + process partition the measured
+    wall (bench.py attributes these to the q_stream_live_* keys so the
+    fixed micro-batch startup stops masking processing regressions)."""
+    mark = len(S.STREAM_RUNS)
+    stream = S.tumbling_counts(S.read_events_stream(spark, SF_SMOKE))
+    S.run_to_memory(stream, "t_split_pin", output_mode="complete")
+    new = S.STREAM_RUNS[mark:]
+    assert len(new) == 1
+    r = new[0]
+    assert r["name"] == "t_split_pin"
+    assert r["n_batches"] >= 1
+    assert r["process_s"] > 0
+    assert r["startup_s"] >= 0
+    assert abs((r["startup_s"] + r["process_s"]) - r["wall_s"]) < 0.002
