@@ -89,3 +89,34 @@ def test_tfidf_empty_returns_schema_stable_frame(spark, empty_sf):
         "doc_id", "n_terms", "tfidf_norm",
     ]
     assert df.count() == 0
+
+
+def _rows_only_keys():
+    from ngram_analytics_spark.registry import ROWS_ONLY_BY_DESIGN
+
+    return sorted(ROWS_ONLY_BY_DESIGN)
+
+
+@pytest.mark.parametrize("name", _rows_only_keys())
+def test_rows_only_keys_empty_contract(spark, empty_sf, smoke_sf, name):
+    """VERDICT r11 item 8: the differential probe exercises rows-only
+    (no-oracle) keys on an empty corpus only as a crash check; this
+    closes the remaining degenerate path by pinning their pytest-side
+    contract there too — the SCHEMA is identical to the real-corpus
+    schema (a consumer can union empty and non-empty slices), and the
+    result is DETERMINISTIC across two executions (the sketch/hash
+    family's core declared contract, which must not degrade on the
+    0-row slice)."""
+    reg = build_registry()
+    df_empty = reg.queries[name](spark, empty_sf)
+    df_real = reg.queries[name](spark, smoke_sf)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in df_empty.schema.fields
+    ] == [
+        (f.name, f.dataType.simpleString()) for f in df_real.schema.fields
+    ], f"{name}: empty-slice schema drifted from the real-corpus schema"
+    first = sorted(map(tuple, df_empty.collect()))
+    second = sorted(
+        map(tuple, reg.queries[name](spark, empty_sf).collect())
+    )
+    assert first == second, f"{name}: nondeterministic on empty input"
