@@ -26,6 +26,7 @@ from ngram_analytics_spark.registry import QueryRegistry
 # of engine churn since their last hard driver grade.
 GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_incremental_fuzzy",
+    "q_ab_mann_whitney",
     "q_ml_auc_pr",
     "q_ml_kendall_tau",
     "q_ts_mann_kendall",
@@ -74,7 +75,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_subquery_in",
     "q_subquery_lateral",
     "q_subquery_scalar",
-    "q_values_inline",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -1602,3 +1602,147 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_mix_epochs.__doc__ = q_mix_epochs.__doc__.format(
     bx=_EP_BUDGET_X, cap=_EP_CAP
 )
+
+
+# ---------------------------------------------- Mann-Whitney U A/B test
+
+#: value-domain bucket width for the per-user activity metric (counts
+#: land in a few hundred distinct values; windows stay bucket-bounded)
+_MW_BUCKET = 32.0
+
+#: exact z-statistic spelling shared by both engines: the NUMERATOR
+#: (2*U1 - n0*n1 = two_r1 - n1*(n1+1) - n1*n0) arrives as ONE exact
+#: 128-bit integer cast to double, the tie-corrected variance is the
+#: identical double expression, and fully-tied / single-variant
+#: slices read NULL via nullif (the r12 degenerate-slice discipline).
+_MW_Z = (
+    "floor(cast(num as double) * 1000000.0"
+    " / (2.0 * sqrt(nullif("
+    "cast(n1 as double) * (nn - n1) / 12.0"
+    " * ((nn + 1) - cast(tie_t as double)"
+    " / nullif(cast(nn as double) * (nn - 1), 0)), 0))))"
+)
+
+
+@REG.register(
+    "q_ab_mann_whitney",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM events GROUP BY user_id
+        ), pt AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(variant) AS BIGINT) AS n1v
+            FROM u GROUP BY m
+        ), c AS (
+            SELECT m, cnt, n1v,
+                   CAST(sum(cnt) OVER (ORDER BY m) AS BIGINT) AS cum
+            FROM pt
+        ), s AS (
+            SELECT CAST(sum(CAST(n1v AS HUGEINT)
+                            * (2 * (cum - cnt) + cnt + 1))
+                        AS HUGEINT) AS two_r1,
+                   CAST(coalesce(sum(n1v), 0) AS BIGINT) AS n1,
+                   CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nn,
+                   CAST(coalesce(sum(CAST(cnt AS HUGEINT) * cnt * cnt
+                                     - cnt), 0) AS HUGEINT) AS tie_t
+            FROM c
+        ), f AS (
+            SELECT nn - n1 AS n0, n1, nn, tie_t,
+                   two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_x2,
+                   two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                       - CAST(n1 AS HUGEINT) * (nn - n1) AS num
+            FROM s
+        )
+        SELECT CAST(n0 AS BIGINT) AS n0,
+               CAST(n1 AS BIGINT) AS n1,
+               CAST(u1_x2 AS BIGINT) AS u1_x2,
+               CAST(tie_t AS BIGINT) AS tie_t,
+               CAST({_MW_Z} AS BIGINT) AS z_ppm
+        FROM f
+    """,
+)
+def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) A/B test on per-user
+    activity: variant = user_id % 2 (the q_ab_ztest split), metric =
+    events per user, U from exact tie-corrected average ranks and the
+    normal approximation with the textbook tie-corrected variance —
+    the NONPARAMETRIC companion the experiment family was missing:
+    q_ab_ztest compares conversion RATES and q_ab_cuped adjusts MEANS,
+    but activity metrics are heavy-tailed (one whale user moves a
+    t-test arbitrarily), and the rank test's influence is bounded.
+
+    The scale shape is q_ml_auc's: U never needs per-row ranks, only
+    per-VALUE cumulative mass — the corpus compresses to the activity
+    value domain (ONE map-side-combined groupBy after the per-user
+    rollup), the cumulative count runs through
+    operators/valuedomain.py's bucketed machinery, and 2*R1 rides the
+    HALF-RANK identity sum(n1_v * (2*cum_before + cnt + 1)) — every
+    term an exact integer.
+
+    Determinism & headroom: rank sums grow as n^2 and the tie term as
+    n^3 (int64 wraps at n ~ 3e9 / 2e6 users respectively), so both
+    accumulators ride DECIMAL(38,0)/HUGEINT from day one; z is ONE
+    sqrt of identical exact-integer-derived doubles and ONE floor.
+    Degenerate slices (all users tied, one variant empty, n <= 1)
+    read z_ppm NULL via nullif on both engines — never 0/0."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("m"))
+        .select((F.col("user_id") % 2).alias("variant"), "m")
+    )
+    pt = (
+        u.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("variant").cast("long").alias("n1v"),
+        )
+        .select(F.lit(0).alias("g"), "m", "cnt", "n1v")
+    )
+    c = grouped_value_cumsum(pt, "g", "m", "cnt", _MW_BUCKET)
+    s = c.agg(
+        F.sum(
+            F.col("n1v").cast("decimal(38,0)")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("two_r1"),
+        F.coalesce(F.sum("n1v"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("nn"),
+        F.coalesce(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt")
+            ),
+            F.lit(0),
+        ).alias("tie_t"),
+    )
+    f = s.select(
+        (F.col("nn") - F.col("n1")).alias("n0"),
+        "n1",
+        "nn",
+        "tie_t",
+        (
+            F.col("two_r1")
+            - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        ).alias("u1_x2"),
+        (
+            F.col("two_r1")
+            - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+            - F.col("n1").cast("decimal(38,0)")
+            * (F.col("nn") - F.col("n1"))
+        ).alias("num"),
+    )
+    return f.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("u1_x2").cast("long").alias("u1_x2"),
+        F.col("tie_t").cast("long").alias("tie_t"),
+        F.expr(_MW_Z).cast("long").alias("z_ppm"),
+    )

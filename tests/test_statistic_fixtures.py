@@ -2280,3 +2280,68 @@ def test_mann_kendall_fully_tied_days_read_null(spark, tmp_path):
     r = _q("q_ts_mann_kendall")(spark, sf).collect()[0]
     assert (r.n_days, r.s_stat, r.var_s_x18) == (2, 0, 0)
     assert r.z_ppm is None
+
+
+def test_mann_whitney_closed_form(spark, tmp_path):
+    """Per-user event counts 1/2/3/4 for users 0..3, variant = uid%2:
+    variant-1 metrics {2,4} hold joint ranks {2,4}, so 2*R1 = 12,
+    U1 = 6/2... precisely u1_x2 = 2*U1 = 12 - 2*3 = 6; no ties;
+    var = (2*2/12)*(5) = 5/3 and z = 1/sqrt(5/3) = 0.774596...
+    -> z_ppm = 774596 (one floor)."""
+    rows, eid = [], 0
+    for uid, n_events in enumerate([1, 2, 3, 4]):
+        for _ in range(n_events):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1, 8), uid,
+                 "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ab_mann_whitney")(spark, sf).collect()[0]
+    assert (r.n0, r.n1, r.u1_x2, r.tie_t) == (2, 2, 6, 0)
+    assert r.z_ppm == math.floor(1e6 / math.sqrt(5.0 / 3.0)) == 774_596
+
+
+def test_mann_whitney_fully_tied_reads_null(spark, tmp_path):
+    """Every user has the SAME activity: the tie correction consumes
+    the whole variance (T = n^3 - n), so z is undefined and must read
+    NULL — never 0/0 — while the exact integers still report."""
+    rows, eid = [], 0
+    for uid in range(4):
+        for _ in range(3):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1, 8), uid,
+                 "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ab_mann_whitney")(spark, sf).collect()[0]
+    assert (r.n0, r.n1) == (2, 2)
+    assert r.tie_t == 4 ** 3 - 4
+    assert r.z_ppm is None
+
+
+def test_mann_whitney_single_variant_reads_null(spark, tmp_path):
+    """All users land in variant 0 (even ids): n1 = 0, the variance
+    is 0, z reads NULL."""
+    rows, eid = [], 0
+    for uid in (0, 2, 4):
+        for _ in range(uid + 1):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1, 8), uid,
+                 "click", 1.0, "{}"))
+            eid += 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = _q("q_ab_mann_whitney")(spark, sf).collect()[0]
+    assert (r.n0, r.n1) == (3, 0)
+    assert r.z_ppm is None
