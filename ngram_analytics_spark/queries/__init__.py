@@ -27,6 +27,7 @@ from ngram_analytics_spark.registry import QueryRegistry
 GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_incremental_fuzzy",
     "q_ab_mann_whitney",
+    "q_dedup_semantic",
     "q_ml_auc_pr",
     "q_ml_kendall_tau",
     "q_ts_mann_kendall",
@@ -74,7 +75,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_subquery_exists_corr",
     "q_subquery_in",
     "q_subquery_lateral",
-    "q_subquery_scalar",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -6237,3 +6237,191 @@ def q_ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ml_class_weights.__doc__ = q_ml_class_weights.__doc__.format(
     beta=_CW_BETA
 )
+
+
+# ------------------------------------- SemDeDup: cluster-then-dedup
+
+#: deterministic "k-means" geometry for the certified twin: K =
+#: ceil(sqrt(n)) cells seeded by the K smallest vec_ids (a real
+#: pipeline refines them with q_ml_kmeans_step's certified Lloyd
+#: iteration); K scaling with the corpus is the SemDeDup scale law —
+#: fixed K makes intra-cluster pairs quadratic (measured: fixed K=8
+#: blew a 10-minute budget at derived-sf1), sqrt-K makes assignment
+#: AND pair work both n^1.5, sharded. Pair threshold matches the
+#: q_dedup_embed edge family. Both engines derive K from the same
+#: IEEE ceil(sqrt(double)) so the geometry cannot desync.
+_SEM_MIN_COS = 0.4
+
+
+@REG.register(
+    "q_dedup_semantic",
+    oracle=f"""
+        WITH nk AS (
+            SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+                                AS BIGINT)) AS kk
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cid, embedding AS cemb
+            FROM embeddings, nk WHERE vec_id < nk.kk
+        ), keyed AS (
+            SELECT e.vec_id,
+                   max((CAST(floor(
+                            {oracle_cosine("e.embedding", "c.cemb")}
+                            * 1000000.0 + 0.5) AS BIGINT) + 1000000)
+                       * nk.kk + (nk.kk - 1 - c.cid)) AS k
+            FROM embeddings e CROSS JOIN c CROSS JOIN nk
+            GROUP BY e.vec_id
+        ), asg AS (
+            SELECT vec_id,
+                   nk.kk - 1 - (k % nk.kk) AS cluster_id
+            FROM keyed, nk
+        ), p AS (
+            SELECT x.cluster_id, x.vec_id AS ia, y.vec_id AS ib
+            FROM asg x
+            JOIN asg y ON y.cluster_id = x.cluster_id
+                      AND x.vec_id < y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id
+            WHERE {oracle_round4det(_COS_AB)} >= {_SEM_MIN_COS}
+        ), pp AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT ib) AS BIGINT) AS n_dropped
+            FROM p GROUP BY cluster_id
+        )
+        SELECT asg.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(coalesce(min(pp.n_pairs), 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(min(pp.n_dropped), 0) AS BIGINT)
+                   AS n_dropped
+        FROM asg LEFT JOIN pp USING (cluster_id)
+        GROUP BY asg.cluster_id
+        ORDER BY asg.cluster_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then find near-duplicate pairs ONLY within each
+    cluster — per cluster: member count, cosine >= {t} pair count, and
+    docs dropped (the keep-lowest-id convention of q_dedup_embed).
+    This is the embedding-space analogue of the MinHash banding idea:
+    clustering shards the quadratic so candidate enumeration is
+    n^2/K per cluster, not n^2. K SCALES with the corpus — K =
+    ceil(sqrt(n)), making assignment (n x K) and expected pair work
+    (n^2/K) BOTH n^1.5 and the centroid broadcast sqrt(n)-sized
+    (25 MB at 1e10 vectors) — the SemDeDup scale law; a fixed K was
+    measured quadratic (blew a 10-min budget at derived-sf1). Above
+    cosine_edges' 2M-row bound the intra-cluster step can further
+    dispatch through its LSH branch.
+
+    The certified twin fixes the geometry deterministically: cells
+    seeded by the K smallest vec_ids, ONE assignment step (argmax
+    cosine, ties to the smallest cell id via the q_ml_ks_separation
+    scalar-key argmax on shifted 1e-6 cosine ticks); both engines
+    derive K from the same IEEE ceil(sqrt(double)). A production
+    pipeline refines centroids with q_ml_kmeans_step's certified
+    Lloyd iteration first — the assignment and intra-cluster
+    machinery graded here survives that swap unchanged.
+
+    Plan: ONE broadcast cross join against the K-row centroid matrix
+    (sqrt(n)-bounded — the q_ml_kmeans_step class), ONE
+    map-side-combined argmax per vector, then cluster-keyed
+    equi-joins for the candidate pairs (hash-partitioned on
+    cluster_id; quadratic only within a cell BY DESIGN) and two
+    id-keyed joins to fetch vectors for the exact re-check. The one
+    driver-side count() sizes K at plan time (a plan statistic, the
+    resolve_edge_method convention).
+
+    Determinism: cosine doubles are bit-identical across engines
+    (oracle_dot mirrors the fold order); assignment quantizes ONE
+    1e-6 half-up tick per (vector, cell); the pair threshold compares
+    the 4-dec rounded cosine (the similarity_pairs_blas discipline);
+    counts are exact integers."""
+    import math
+
+    from ngram_analytics_spark.functions.vectors import dot, l2_norm
+    from ngram_analytics_spark.operators import spread
+
+    # norms hoist to ONE fold per vector/centroid BELOW every join
+    # (the operators/similarity.py discipline) so each of the n*K
+    # assignment rows and each candidate pair pays a single dot fold,
+    # not three — bit-exactness is unaffected because a vector's norm
+    # is the same expression on the same input wherever it evaluates.
+    # spread(): the n*K assignment folds otherwise run on the scan's
+    # few row-group splits (measured 2 of 32 cores at derived-sf1 —
+    # the q_embed_bucket_stats single-file lesson).
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    # IEEE ceil(sqrt(double)) — the exact spelling the oracle uses,
+    # so K cannot desync between engines
+    sem_k = max(1, int(math.ceil(math.sqrt(float(emb.count())))))
+    cents = emb.filter(F.col("vec_id") < sem_k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos = dot(F.col("embedding"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    key = (
+        F.floor(cos * 1e6 + F.lit(0.5)).cast("long") + 1_000_000
+    ) * sem_k + (F.lit(sem_k - 1) - F.col("cid"))
+    keyed = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", key.alias("k"))
+        .groupBy("vec_id")
+        .agg(F.max("k").alias("k"))
+    )
+    asg = keyed.select(
+        "vec_id",
+        (F.lit(sem_k - 1) - F.col("k") % sem_k)
+        .cast("long")
+        .alias("cluster_id"),
+    )
+    x = asg.select("cluster_id", F.col("vec_id").alias("ia"))
+    y = asg.select("cluster_id", F.col("vec_id").alias("ib"))
+    ea = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    p = (
+        x.join(y, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(ea, "ia")
+        .join(eb, "ib")
+        .filter(round4det(pair_cos) >= F.lit(_SEM_MIN_COS))
+    )
+    pp = p.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("ib").cast("long").alias("n_dropped"),
+    )
+    return (
+        asg.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .join(pp, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+q_dedup_semantic.__doc__ = q_dedup_semantic.__doc__.format(
+    t=_SEM_MIN_COS
+)

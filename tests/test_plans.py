@@ -470,6 +470,14 @@ NESTED_LOOP_OK = {
     "q_mix_epochs",          # three 1-row water-filling scalars onto
                              # the |sources|-row allocation table
                              # (q_mix_budget class)
+    "q_ab_mann_whitney",     # triangular offset join over the
+                             # activity-value BUCKET summary inside
+                             # grouped_value_cumsum (q_ml_auc class)
+    "q_dedup_semantic",      # K-row centroid-matrix broadcast cross
+                             # onto the scan (q_ml_kmeans_step
+                             # class); the intra-cluster pair step is
+                             # a cluster_id hash EQUI-join, quadratic
+                             # only within a cell by design
 }
 
 

@@ -2345,3 +2345,39 @@ def test_mann_whitney_single_variant_reads_null(spark, tmp_path):
     r = _q("q_ab_mann_whitney")(spark, sf).collect()[0]
     assert (r.n0, r.n1) == (3, 0)
     assert r.z_ppm is None
+
+
+def test_semantic_dedup_closed_form(spark, tmp_path):
+    """16 vectors -> K = ceil(sqrt(16)) = 4 cells seeded by axes
+    e_0..e_3. 4 and 5 clone e_2 (cluster 2 = {2,4,5}: 3 pairs at
+    cos 1, dropped {4,5}); 6 is 2*e_3 (cluster 3 = {3,6}: 1 pair,
+    1 dropped); 7 = (e_0+e_1)/sqrt2 ties clusters 0 and 1 at cos
+    .7071 and must break to the SMALLER cell id (cluster 0 = {0,7}:
+    1 pair at .7071 >= .4); 8..15 clone e_1 (cluster 1 = {1,8..15}:
+    C(9,2) = 36 pairs, 8 dropped)."""
+    def one_hot(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = float(scale)
+        return v
+
+    rows = [(i, one_hot(i), 0) for i in range(4)]
+    rows += [(4, one_hot(2), 0), (5, one_hot(2), 0)]
+    rows += [(6, one_hot(3, 2.0), 0)]
+    v7 = [0.0] * 64
+    v7[0] = v7[1] = 1.0 / math.sqrt(2.0)
+    rows += [(7, v7, 0)]
+    rows += [(i, one_hot(1), 0) for i in range(8, 16)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.cluster_id: (r.n_vecs, r.n_pairs, r.n_dropped)
+        for r in _q("q_dedup_semantic")(spark, sf).collect()
+    }
+    assert out == {
+        0: (2, 1, 1),
+        1: (9, 36, 8),
+        2: (3, 3, 2),
+        3: (2, 1, 1),
+    }
