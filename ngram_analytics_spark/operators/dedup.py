@@ -266,7 +266,12 @@ def minhash_index_upsert(
     batch's min doc_id — so an index maintained by upserts is
     row-for-row identical to one rebuilt from scratch over the union
     (gid stability: an existing group's min id can only be <= any
-    later batch id; tests/test_llm_pipeline pins the invariance).
+    later batch id; tests pin the invariance).
+
+    IDEMPOTENT under retries: already-indexed doc_ids are anti-joined
+    out of the member append (one index-sized join), so an
+    at-least-once scheduler re-delivering a batch cannot duplicate
+    rows — re-upserting the same batch is a no-op.
 
     Appends are copy-free (new parquet files only); the to-append
     frames are eagerly checkpointed first so their lineage cannot
@@ -274,6 +279,7 @@ def minhash_index_upsert(
     """
     spark = sig_new.sparkSession
     old_g = spark.read.parquet(f"{path}/groups")
+    old_ids = spark.read.parquet(f"{path}/members").select("doc_id")
     new_g = sig_new.groupBy(*sig_keys).agg(F.min("doc_id").alias("ngid"))
     resolved = (
         new_g.join(old_g, sig_keys, "left")
@@ -286,7 +292,8 @@ def minhash_index_upsert(
     )
     payload = [c for c in sig_new.columns if c not in sig_keys]
     members_new = (
-        sig_new.join(resolved, sig_keys)
+        sig_new.join(old_ids, "doc_id", "left_anti")
+        .join(resolved, sig_keys)
         .select("gid", *payload)
         .localCheckpoint(eager=True)
     )

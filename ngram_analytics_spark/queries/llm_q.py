@@ -2258,7 +2258,13 @@ def _mh_index_probe(
     recheck — fingerprint-equal pairs never touch it); ``idx`` the
     minhash_index_write directory. Candidate generation joins the
     batch's 4 band rows per doc against the index's band projection
-    under the _MH_BAND_CAP distinct-signature hot-key skip."""
+    under the _MH_BAND_CAP distinct-signature hot-key skip.
+
+    CONTRACT: ``store`` must cover every doc_id in the index — the
+    recheck joins it INNER, so a missing document silently drops its
+    candidate pairs instead of failing; callers that maintain the
+    index incrementally must grow the doc store with each upsert
+    (the invariance test's discipline)."""
     groups = spark.read.parquet(f"{idx}/groups")
     members = spark.read.parquet(f"{idx}/members")
     cb = _mh_band_rows(groups, "gid")
@@ -6314,7 +6320,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch through its LSH branch.
 
     The certified twin fixes the geometry deterministically: cells
-    seeded by the K smallest vec_ids, ONE assignment step (argmax
+    seeded by ids below K (dense-id convention of the corpus — on a
+    sparse-id corpus seed by RANK instead, else the cell count
+    silently shrinks and the n^1.5 bound degrades), ONE assignment
+    step (argmax
     cosine, ties to the smallest cell id via the q_ml_ks_separation
     scalar-key argmax on shifted 1e-6 cosine ticks); both engines
     derive K from the same IEEE ceil(sqrt(double)). A production

@@ -236,6 +236,11 @@ def run_to_memory(
             "n_batches": n_batches,
         }
     )
+    # bounded diagnostics: a long-lived session driving thousands of
+    # streams must not accumulate records forever (bench snapshots
+    # list offsets within one run, far below this cap)
+    if len(STREAM_RUNS) > 4096:
+        del STREAM_RUNS[:-2048]
 
 
 def stream_stream_join(

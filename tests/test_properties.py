@@ -806,6 +806,9 @@ def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
     assert {(r.nid, r.cid) for r in p1 if r.is_dup} == {(100, 2)}
 
     minhash_index_upsert(_mh_sig_frame(frame(b1)), inc, keys)
+    # idempotence under at-least-once delivery: re-upserting the SAME
+    # batch must be a no-op (already-indexed doc_ids anti-join out)
+    minhash_index_upsert(_mh_sig_frame(frame(b1)), inc, keys)
     store2 = frame(corpus + b1)  # doc store grows with each batch
     p2 = _mh_index_probe(spark, frame(b2), store2, inc).collect()
     # doc 200 is caught ONLY because batch 1 was upserted

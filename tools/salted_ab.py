@@ -98,6 +98,10 @@ def main() -> int:
             ),
         )
 
+    prior_skew = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true"
+    )
+
     def timed(builder, sf_dir: str, skew_on: bool) -> float:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
@@ -115,7 +119,9 @@ def main() -> int:
             return best
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", prior_skew
+            )
 
     def plain_joined(sf_dir: str):
         li = load(spark, sf_dir, "lineitem")
@@ -136,6 +142,9 @@ def main() -> int:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         # coalescing would merge the probe's view of the exchange
+        prior_coalesce = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "false"
         )
@@ -147,9 +156,12 @@ def main() -> int:
             )
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
             spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+                "spark.sql.adaptive.skewJoin.enabled", prior_skew
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                prior_coalesce,
             )
         total = sum(r["count"] for r in parts)
         return max(r["count"] for r in parts) / total
