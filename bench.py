@@ -282,6 +282,9 @@ EXTENDED = [
     "q_stream_live_filter_yield",  # live ingest-yield grid
     "q_ml_class_weights",     # training class weights
     "q_mix_epochs",           # capped epoch water-filling
+    "q_dedup_incremental_fuzzy",  # persisted-LSH-index batch near-dup
+    "q_ab_mann_whitney",      # nonparametric A/B rank-sum test
+    "q_dedup_semantic",       # SemDeDup cluster-sharded embedding dedup
 ]
 
 
