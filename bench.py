@@ -285,6 +285,7 @@ EXTENDED = [
     "q_dedup_incremental_fuzzy",  # persisted-LSH-index batch near-dup
     "q_ab_mann_whitney",      # nonparametric A/B rank-sum test
     "q_dedup_semantic",       # SemDeDup cluster-sharded embedding dedup
+    "q_ml_cost_threshold",    # cost-sensitive operating point
 ]
 
 

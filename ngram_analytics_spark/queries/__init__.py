@@ -28,6 +28,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_incremental_fuzzy",
     "q_ab_mann_whitney",
     "q_dedup_semantic",
+    "q_ml_cost_threshold",
     "q_ml_auc_pr",
     "q_ml_kendall_tau",
     "q_ts_mann_kendall",
@@ -74,7 +75,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_sql_pipe",
     "q_subquery_exists_corr",
     "q_subquery_in",
-    "q_subquery_lateral",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -6434,3 +6434,194 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_semantic.__doc__ = q_dedup_semantic.__doc__.format(
     t=_SEM_MIN_COS
 )
+
+
+# ------------------------------------ cost-sensitive optimal threshold
+
+#: deployment cost scenarios (false-positive cost, false-negative
+#: cost): symmetric, recall-critical (missing a bad doc is 5x/10x
+#: worse), precision-critical (a false block is 5x worse)
+_CT_GRID = ((1, 1), (1, 5), (5, 1), (1, 10))
+
+#: "reject everything" sentinel threshold — one tick above the +-1e6
+#: quantized score domain, so it can never collide with an observed
+#: operating point
+_CT_ALL_NEG_TICK = 1_000_001
+
+
+@REG.register(
+    "q_ml_cost_threshold",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(abs(CAST(embedding[1] AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                   * (CASE WHEN CAST(embedding[1] AS DOUBLE) < 0 THEN -1
+                           WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1
+                           ELSE 0 END) AS t,
+                   CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END
+                       AS pos
+            FROM embeddings
+        ), pt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM r GROUP BY t
+        ), c AS (
+            SELECT t, cnt, npos,
+                   CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_cnt,
+                   CAST(sum(npos) OVER (ORDER BY t) AS BIGINT)
+                       AS cum_npos,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS tot_cnt,
+                   CAST(sum(npos) OVER () AS BIGINT) AS tot_npos
+            FROM pt
+        ), op AS (
+            SELECT t,
+                   tot_npos - cum_npos + npos AS tp,
+                   (tot_cnt - cum_cnt + cnt)
+                       - (tot_npos - cum_npos + npos) AS fp,
+                   cum_npos - npos AS fn,
+                   tot_npos
+            FROM c
+        ), grid(c_fp, c_fn) AS (
+            VALUES {", ".join(f"({a}, {b})" for a, b in _CT_GRID)}
+        ), scored AS (
+            SELECT g.c_fp, g.c_fn, op.t, op.tp, op.fp, op.fn,
+                   op.tot_npos,
+                   g.c_fp * op.fp + g.c_fn * op.fn AS cost
+            FROM grid g CROSS JOIN op
+        ), best AS (
+            SELECT c_fp, c_fn,
+                   CAST(min(cost) AS BIGINT) AS best_cost,
+                   CAST(min_by(t, cost * 3000000 + (t + 1000000))
+                        AS BIGINT) AS best_t,
+                   CAST(min_by(tp, cost * 3000000 + (t + 1000000))
+                        AS BIGINT) AS best_tp,
+                   CAST(min_by(fp, cost * 3000000 + (t + 1000000))
+                        AS BIGINT) AS best_fp,
+                   CAST(min_by(fn, cost * 3000000 + (t + 1000000))
+                        AS BIGINT) AS best_fn,
+                   CAST(max(tot_npos) AS BIGINT) AS n_pos
+            FROM scored GROUP BY c_fp, c_fn
+        )
+        SELECT CAST(c_fp AS BIGINT) AS c_fp,
+               CAST(c_fn AS BIGINT) AS c_fn,
+               CASE WHEN c_fn * n_pos < best_cost
+                    THEN CAST({_CT_ALL_NEG_TICK} AS BIGINT)
+                    ELSE best_t END AS threshold_tick,
+               CASE WHEN c_fn * n_pos < best_cost
+                    THEN CAST(c_fn * n_pos AS BIGINT)
+                    ELSE best_cost END AS min_cost,
+               CASE WHEN c_fn * n_pos < best_cost THEN 0
+                    ELSE best_tp END AS tp,
+               CASE WHEN c_fn * n_pos < best_cost THEN 0
+                    ELSE best_fp END AS fp,
+               CASE WHEN c_fn * n_pos < best_cost THEN n_pos
+                    ELSE best_fn END AS fn
+        FROM best
+        ORDER BY c_fp, c_fn
+    """,
+)
+def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-SENSITIVE optimal score threshold: for each deployment
+    cost scenario (c_fp, c_fn) in {grid}, the operating point
+    minimizing total cost = c_fp*FP + c_fn*FN — the ECONOMIC read
+    that completes the threshold family (q_ml_roc_points enumerates,
+    q_ml_pr_at_recall meets a recall floor, q_ml_ks_separation /
+    q_ml_stump optimize statistics; a deployed quality gate optimizes
+    dollars). The degenerate "reject everything" arm (cost =
+    c_fn * n_pos, threshold = the {sent} sentinel tick) competes with
+    every observed threshold and wins only STRICTLY — a gate whose
+    best operating point is rejection is a finding, not a crash.
+
+    Determinism: the q_ml_auc tick compress; TP/FP/FN and every cost
+    are EXACT integers, so the argmin needs no float compare — ties
+    break to the smallest tick via the lexicographic scalar key
+    cost*3e6 + (t + 1e6) (int64-safe to cost ~ 3e12, i.e. ~3e11 rows
+    at max grid weight 10 — headroom documented, widen the key to
+    DECIMAL(38,0) past that).
+
+    Plan: ONE map-side-combined tick compress -> grouped_value_cumsum
+    on the tick domain -> |ticks| x 4-row broadcast cost grid
+    (bounded, never data-sized — the q_ml_roc_points class) -> 4-row
+    aggregate. No per-row ranks, no global sort."""
+    from ngram_analytics_spark.operators.valuedomain import (
+        grouped_value_cumsum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    t = (F.floor(F.abs(x) * 1e6 + F.lit(0.5)) * F.signum(x)).cast("long")
+    pt = (
+        e.select(
+            t.alias("t"),
+            F.when(F.col("label") >= _AUC_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .select(F.lit(0).alias("g"), "t", "cnt", "npos")
+    )
+    c = grouped_value_cumsum(pt, "g", "t", ["cnt", "npos"], _AUC_BUCKET)
+    op = c.select(
+        "t",
+        (F.col("tot_npos") - F.col("cum_npos") + F.col("npos")).alias(
+            "tp"
+        ),
+        (
+            (F.col("tot_cnt") - F.col("cum_cnt") + F.col("cnt"))
+            - (F.col("tot_npos") - F.col("cum_npos") + F.col("npos"))
+        ).alias("fp"),
+        (F.col("cum_npos") - F.col("npos")).alias("fn"),
+        "tot_npos",
+    )
+    grid = spark.createDataFrame(
+        list(_CT_GRID), "c_fp long, c_fn long"
+    )
+    key = "cost * 3000000 + (t + 1000000)"
+    best = (
+        op.crossJoin(F.broadcast(grid))
+        .withColumn(
+            "cost", F.col("c_fp") * F.col("fp") + F.col("c_fn") * F.col("fn")
+        )
+        .groupBy("c_fp", "c_fn")
+        .agg(
+            F.min("cost").cast("long").alias("best_cost"),
+            F.expr(f"min_by(t, {key})").cast("long").alias("best_t"),
+            F.expr(f"min_by(tp, {key})").cast("long").alias("best_tp"),
+            F.expr(f"min_by(fp, {key})").cast("long").alias("best_fp"),
+            F.expr(f"min_by(fn, {key})").cast("long").alias("best_fn"),
+            F.max("tot_npos").cast("long").alias("n_pos"),
+        )
+    )
+    allneg = F.col("c_fn") * F.col("n_pos")
+    reject = allneg < F.col("best_cost")
+    return best.select(
+        "c_fp",
+        "c_fn",
+        F.when(reject, F.lit(_CT_ALL_NEG_TICK))
+        .otherwise(F.col("best_t"))
+        .cast("long")
+        .alias("threshold_tick"),
+        F.when(reject, allneg)
+        .otherwise(F.col("best_cost"))
+        .cast("long")
+        .alias("min_cost"),
+        F.when(reject, F.lit(0)).otherwise(F.col("best_tp"))
+        .cast("long")
+        .alias("tp"),
+        F.when(reject, F.lit(0)).otherwise(F.col("best_fp"))
+        .cast("long")
+        .alias("fp"),
+        F.when(reject, F.col("n_pos")).otherwise(F.col("best_fn"))
+        .cast("long")
+        .alias("fn"),
+    ).orderBy("c_fp", "c_fn")
+
+
+q_ml_cost_threshold.__doc__ = q_ml_cost_threshold.__doc__.format(
+    grid=_CT_GRID, sent=_CT_ALL_NEG_TICK
+)

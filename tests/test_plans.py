@@ -478,6 +478,10 @@ NESTED_LOOP_OK = {
                              # class); the intra-cluster pair step is
                              # a cluster_id hash EQUI-join, quadratic
                              # only within a cell by design
+    "q_ml_cost_threshold",   # 4-row cost-grid broadcast cross onto
+                             # the tick-DOMAIN operating table +
+                             # grouped_value_cumsum offset join
+                             # (q_ml_roc_points / q_ml_auc classes)
 }
 
 

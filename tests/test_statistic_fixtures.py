@@ -2381,3 +2381,50 @@ def test_semantic_dedup_closed_form(spark, tmp_path):
         2: (3, 3, 2),
         3: (2, 1, 1),
     }
+
+
+def test_cost_threshold_closed_form(spark, tmp_path):
+    """Scores .1/.2/.3/.4, labels 0/9/0/9 (pos iff >= 5). Operating
+    points (tp, fp, fn) by threshold tick: 1e5 -> (2,2,0),
+    2e5 -> (2,1,0), 3e5 -> (1,1,1), 4e5 -> (1,0,1). (1,1) costs
+    2/1/2/1: tie at cost 1 breaks to the SMALLER tick 200000; (5,1)
+    costs 10/5/6/1: 400000 wins; rejection (cost c_fn*2) never
+    strictly beats the best."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.1), 0), (1, mk(0.2), 9),
+            (2, mk(0.3), 0), (3, mk(0.4), 9)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r.c_fp, r.c_fn): (r.threshold_tick, r.min_cost, r.tp, r.fp, r.fn)
+        for r in _q("q_ml_cost_threshold")(spark, sf).collect()
+    }
+    assert out == {
+        (1, 1): (200_000, 1, 2, 1, 0),
+        (1, 5): (200_000, 1, 2, 1, 0),
+        (5, 1): (400_000, 1, 1, 0, 1),
+        (1, 10): (200_000, 1, 2, 1, 0),
+    }
+
+
+def test_cost_threshold_rejection_wins(spark, tmp_path):
+    """One low-scoring positive under three high-scoring negatives:
+    at (c_fp, c_fn) = (5, 1) every operating threshold costs >= 6
+    while rejecting everything costs c_fn * n_pos = 1 — the sentinel
+    threshold 1000001 must win with (tp, fp, fn) = (0, 0, 1)."""
+    mk = lambda x: [float(x)] + [0.0] * 63  # noqa: E731
+    rows = [(0, mk(0.1), 9), (1, mk(0.2), 0),
+            (2, mk(0.3), 0), (3, mk(0.4), 0)]
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r.c_fp, r.c_fn): (r.threshold_tick, r.min_cost, r.tp, r.fp, r.fn)
+        for r in _q("q_ml_cost_threshold")(spark, sf).collect()
+    }
+    assert out[(5, 1)] == (1_000_001, 1, 0, 0, 1)
+    # recall-critical scenarios still pick an operating threshold
+    assert out[(1, 10)][0] == 100_000
