@@ -6331,14 +6331,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iteration first — the assignment and intra-cluster
     machinery graded here survives that swap unchanged.
 
-    Plan: ONE broadcast cross join against the K-row centroid matrix
-    (sqrt(n)-bounded — the q_ml_kmeans_step class), ONE
-    map-side-combined argmax per vector, then cluster-keyed
-    equi-joins for the candidate pairs (hash-partitioned on
-    cluster_id; quadratic only within a cell BY DESIGN) and two
-    id-keyed joins to fetch vectors for the exact re-check. The one
-    driver-side count() sizes K at plan time (a plan statistic, the
-    resolve_edge_method convention).
+    Plan: identical vectors COLLAPSE to one group first (the
+    q_dedup_minhash_exact discipline — a clone flood costs one
+    representative; fact-skew probe: 2.1x -> re-planned), then ONE
+    broadcast cross join of group representatives against the K-row
+    centroid matrix (sqrt(n)-bounded — the q_ml_kmeans_step class),
+    ONE map-side-combined argmax per group, cluster-keyed equi-joins
+    pairing GROUPS (one cosine fold per group pair, quadratic only
+    within a cell BY DESIGN), intra-group pairs from the membership
+    lambda with zero folds, and qualifying group pairs expand
+    combinatorially — output-bounded, every expanded row is emitted.
+    The one driver-side count() sizes K at plan time (a plan
+    statistic, the resolve_edge_method convention).
 
     Determinism: cosine doubles are bit-identical across engines
     (oracle_dot mirrors the fold order); assignment quantizes ONE
@@ -6371,6 +6375,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cemb"),
         F.col("nrm").alias("cnrm"),
     )
+    # clone collapse (the q_dedup_minhash_exact discipline, applied
+    # r12 after the fact-skew probe read 2.1x on a 40%-clone corpus):
+    # identical vectors form ONE group — assignment and cross-pair
+    # folds run per GROUP (clone floods cost one representative),
+    # and a clone cluster's quadratic intra pairs come from the
+    # membership lambda with ZERO folds (cosine of identical vectors
+    # is exactly 1 >= the threshold; nrm > 0 guards the undefined
+    # zero-vector corner, outside the corpus contract). Per-group
+    # assignment equals per-vector assignment by construction —
+    # identical vectors get identical cosine ticks.
+    grp = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.min("nrm").alias("nrm"),
+    )
     cos = dot(F.col("embedding"), F.col("cemb")) / (
         F.col("nrm") * F.col("cnrm")
     )
@@ -6378,46 +6397,74 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cos * 1e6 + F.lit(0.5)).cast("long") + 1_000_000
     ) * sem_k + (F.lit(sem_k - 1) - F.col("cid"))
     keyed = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", key.alias("k"))
-        .groupBy("vec_id")
+        grp.crossJoin(F.broadcast(cents))
+        .select("gid", key.alias("k"))
+        .groupBy("gid")
         .agg(F.max("k").alias("k"))
     )
     asg = keyed.select(
-        "vec_id",
+        "gid",
         (F.lit(sem_k - 1) - F.col("k") % sem_k)
         .cast("long")
         .alias("cluster_id"),
     )
-    x = asg.select("cluster_id", F.col("vec_id").alias("ia"))
-    y = asg.select("cluster_id", F.col("vec_id").alias("ib"))
-    ea = emb.select(
-        F.col("vec_id").alias("ia"),
+    intra = (
+        grp.join(asg, "gid")
+        .filter((F.size("members") >= 2) & (F.col("nrm") > 0))
+        .select(
+            "cluster_id",
+            F.explode(_pairs_lambda(F.col("members"))).alias("p"),
+        )
+        .select("cluster_id", F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
+    )
+    x = grp.join(asg, "gid").select(
+        "cluster_id",
+        F.col("gid").alias("ga"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
+        F.col("members").alias("mem_a"),
     )
-    eb = emb.select(
-        F.col("vec_id").alias("ib"),
+    y = grp.join(asg, "gid").select(
+        "cluster_id",
+        F.col("gid").alias("gb"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
+        F.col("members").alias("mem_b"),
     )
     pair_cos = dot(F.col("va"), F.col("vb")) / (
         F.col("na") * F.col("nb")
     )
-    p = (
+    # ONE fold per qualifying GROUP pair; expansion to doc pairs is
+    # output-bounded (every expanded pair is emitted)
+    cross = (
         x.join(y, "cluster_id")
-        .filter(F.col("ia") < F.col("ib"))
-        .join(ea, "ia")
-        .join(eb, "ib")
+        .filter(F.col("ga") < F.col("gb"))
         .filter(round4det(pair_cos) >= F.lit(_SEM_MIN_COS))
+        .select(
+            "cluster_id",
+            F.explode("mem_a").alias("ia0"),
+            F.col("mem_b").alias("mem_b"),
+        )
+        .select(
+            "cluster_id",
+            "ia0",
+            F.explode("mem_b").alias("ib0"),
+        )
+        .select(
+            "cluster_id",
+            F.least("ia0", "ib0").alias("ia"),
+            F.greatest("ia0", "ib0").alias("ib"),
+        )
     )
+    p = intra.unionByName(cross)
     pp = p.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.countDistinct("ib").cast("long").alias("n_dropped"),
     )
     return (
-        asg.groupBy("cluster_id")
-        .agg(F.count("*").cast("long").alias("n_vecs"))
+        grp.join(asg, "gid")
+        .groupBy("cluster_id")
+        .agg(F.sum(F.size("members")).cast("long").alias("n_vecs"))
         .join(pp, "cluster_id", "left")
         .select(
             "cluster_id",
