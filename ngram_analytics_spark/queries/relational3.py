@@ -37,12 +37,18 @@ REG = QueryRegistry()
     "q_subquery_scalar",
     oracle=f"""
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (SELECT {oracle_davg("o_totalprice")}
-                                  FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT {oracle_davg("o_totalprice")}
+                                    FROM orders)
     """,
 )
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery: orders above 2x the global average.
+    """Uncorrelated scalar subquery: orders above 1.5x the global average.
+
+    The 1.5 multiplier (exact in binary) keeps the result NON-EMPTY at
+    every test SF — the original 2x threshold exceeded max(o_totalprice)
+    in the driver data, so the differential certified on 0 rows from r03
+    to r12 (VERDICT r12 "What's wrong" item 2); the harness now lints
+    against that (tests/test_correctness_archives.py).
 
     Plan shape: the 1-row aggregate is broadcast under the filter — at
     100 TB the fact table is scanned once and never shuffled."""
@@ -50,7 +56,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = o.agg(davg("o_totalprice", "avg_tp"))
     return (
         o.join(F.broadcast(thr))
-        .filter(F.col("o_totalprice") > 2 * F.col("avg_tp"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_tp"))
         .select("o_orderkey", "o_totalprice")
     )
 

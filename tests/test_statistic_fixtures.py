@@ -2383,6 +2383,89 @@ def test_semantic_dedup_closed_form(spark, tmp_path):
     }
 
 
+def _sem_sparse_fixture(spark, tmp_path, extra=()):
+    """The 16-vector closed-form corpus with SPARSE ids
+    (vec_id = 5000 + 1000*i): under the retired id-VALUE seeding
+    (vec_id < K) this corpus would seed ZERO cells; rank seeding
+    must still build K = ceil(sqrt(16)) = 4 cells from the 4
+    smallest ids (VERDICT r12 item 3 / round-13 item 4)."""
+    def one_hot(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = float(scale)
+        return v
+
+    rows = [(5000 + 1000 * i, one_hot(i), 0) for i in range(4)]
+    rows += [(9000, one_hot(2), 0), (10000, one_hot(2), 0)]
+    rows += [(11000, one_hot(3, 2.0), 0)]
+    v7 = [0.0] * 64
+    v7[0] = v7[1] = 1.0 / math.sqrt(2.0)
+    rows += [(12000, v7, 0)]
+    rows += [(5000 + 1000 * i, one_hot(1), 0) for i in range(8, 16)]
+    rows += list(extra)
+    return _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+#: expected (n_vecs, n_pairs, n_dropped) per rank-keyed cell for the
+#: sparse-id corpus — same geometry as the dense closed form
+_SEM_SPARSE_EXPECT = {
+    0: (2, 1, 1),
+    1: (9, 36, 8),
+    2: (3, 3, 2),
+    3: (2, 1, 1),
+}
+
+
+def test_semantic_dedup_sparse_ids_keep_full_cell_count(
+    spark, tmp_path
+):
+    """Rank seeding on a sparse/offset-id corpus: the cell count must
+    equal ceil(sqrt(n)) = 4 and the cluster geometry must match the
+    dense-id closed form — id-value seeding would have built 0 cells
+    here and degraded the n^1.5 bound toward quadratic."""
+    sf = _sem_sparse_fixture(spark, tmp_path)
+    out = {
+        r.cluster_id: (r.n_vecs, r.n_pairs, r.n_dropped)
+        for r in _q("q_dedup_semantic")(spark, sf).collect()
+    }
+    assert out == _SEM_SPARSE_EXPECT
+    assert len(out) == math.ceil(math.sqrt(16))
+
+
+def test_semantic_dedup_collapse_paths_identical(spark, tmp_path):
+    """The conditional clone collapse (round-13 item 5) is a PLAN
+    choice, never a value choice: forcing collapse on and off over
+    the same clone-heavy corpus must produce identical rows — clone
+    pairs qualify through the membership lambda in one path and
+    through the cross-pair cosine (rounds to 1.0) in the other."""
+    sf = _sem_sparse_fixture(spark, tmp_path)
+    fn = _q("q_dedup_semantic")
+    a = {tuple(r) for r in fn(spark, sf, _collapse=True).collect()}
+    b = {tuple(r) for r in fn(spark, sf, _collapse=False).collect()}
+    assert a == b
+    assert {r[0]: r[1:] for r in a} == _SEM_SPARSE_EXPECT
+
+
+def test_semantic_dedup_zero_norm_excluded_symmetrically(
+    spark, tmp_path
+):
+    """A zero-norm embedding has no defined cosine: it must be
+    excluded BEFORE K is sized (ADVICE r12 item 4 — previously Spark
+    counted it via NaN-greatest compare while the oracle crashed on
+    CAST(floor(NaN) AS BIGINT)). With one zero vector added, n stays
+    16 post-filter and the closed form is unchanged."""
+    sf = _sem_sparse_fixture(
+        spark, tmp_path, extra=[(4000, [0.0] * 64, 0)]
+    )
+    out = {
+        r.cluster_id: (r.n_vecs, r.n_pairs, r.n_dropped)
+        for r in _q("q_dedup_semantic")(spark, sf).collect()
+    }
+    assert out == _SEM_SPARSE_EXPECT
+
+
 def test_cost_threshold_closed_form(spark, tmp_path):
     """Scores .1/.2/.3/.4, labels 0/9/0/9 (pos iff >= 5). Operating
     points (tp, fp, fn) by threshold tick: 1e5 -> (2,2,0),
