@@ -263,10 +263,22 @@ def minhash_index_upsert(
     """MERGE a new batch's signatures into a persisted index:
     signatures matching an existing group ADOPT its gid (members
     append only), novel signatures open a new group with gid = the
-    batch's min doc_id — so an index maintained by upserts is
-    row-for-row identical to one rebuilt from scratch over the union
-    (gid stability: an existing group's min id can only be <= any
-    later batch id; tests pin the invariance).
+    batch's min doc_id.
+
+    gid CONTRACT (ADVICE r12): the signature -> member-set mapping is
+    ALWAYS identical to a from-scratch rebuild over the union — and
+    near-dup probe results depend only on that mapping, never on gid
+    labels — but the gid LABEL is first-writer-stable, not global-min:
+    it equals the rebuild's gid = min(member ids) only when no later
+    batch undercuts an existing group's gid (e.g. monotone-increasing
+    crawl ids, the production shape). A batch doc with a SMALLER id
+    than its matching group's gid keeps the group's ORIGINAL gid,
+    where a rebuild would relabel — stability is deliberate (a
+    relabel would rewrite history for every downstream consumer of
+    the canonical id). Tests pin BOTH regimes: row-identity to
+    rebuild under monotone ids, and partition-identity + stable
+    labels + unchanged probe verdicts under interleaved ids
+    (tests/test_properties.py).
 
     IDEMPOTENT under retries: already-indexed doc_ids are anti-joined
     out of the member append (one index-sized join), so an

@@ -82,9 +82,11 @@ GRADED_FIRST: tuple[str, ...] = (
 # cleanup touched read_events_stream/read_documents_stream).
 
 #: The r7-r12 hand-maintained DEFERRED_R* promotion queues are
-#: retired (archived in CORRECTNESS_r08..r12.json): everything after
-#: GRADED_FIRST now orders itself oldest-driver-grade-first from the
-#: committed CORRECTNESS_r*.json archives, so staleness is bounded by
+#: retired: everything after GRADED_FIRST now orders itself
+#: oldest-driver-grade-first from the CORRECTNESS_r*.json archives at
+#: the repo root (committed each round close; the newest may briefly
+#: be untracked in the post-grade state — tools/graded_window.py and
+#: the doc lint tolerate that), so staleness is bounded by
 #: construction instead of by queue bookkeeping.
 
 

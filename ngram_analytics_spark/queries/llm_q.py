@@ -2449,8 +2449,14 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = d.filter(F.col("doc_id") % 7 != 0)
     keys = [f"m{i}" for i in range(_MH_K)]
 
+    # keyed by corpus AND pid: two concurrent sessions on the same
+    # corpus (parallel pytest workers, driver + bench) must not race
+    # overwrite-vs-read on a shared index dir (ADVICE r12); within one
+    # process reruns overwrite the same path, so nothing accumulates
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"nas-mhidx-{tag}")
+    idx = os.path.join(
+        tempfile.gettempdir(), f"nas-mhidx-{tag}-{os.getpid()}"
+    )
     minhash_index_write(_mh_sig_frame(corp.select("doc_id", "st")), idx, keys)
 
     pairs = _mh_index_probe(

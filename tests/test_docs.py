@@ -69,6 +69,13 @@ def test_graded_first_matches_generator():
     )
     gw = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gw)
+    if gw.newest_archive_untracked():
+        pytest.skip(
+            "post-grade state: the newest CORRECTNESS_r*.json is not "
+            "committed yet, so the committed GRADED_FIRST predates it "
+            "by construction — regenerate at round open (VERDICT r12 "
+            "item 1)"
+        )
     want = gw.compute_window()
     assert tuple(GRADED_FIRST) == want, (
         "GRADED_FIRST is stale — regenerate with "

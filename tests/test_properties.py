@@ -825,3 +825,86 @@ def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
             map(tuple, spark.read.parquet(f"{reb}/{table}").collect())
         )
         assert a == b, f"{table} diverged between upsert and rebuild"
+
+
+def test_minhash_index_upsert_non_monotone_ids(spark, tmp_path):
+    """The gid contract under INTERLEAVED batch ids (ADVICE r12): a
+    batch doc with a SMALLER id than its matching group's gid adopts
+    the group's ORIGINAL gid (first-writer stability), where a
+    rebuild would relabel the group to the new global min. What must
+    hold regardless of id order: the signature -> member-set
+    PARTITION is identical to the rebuild's, and probe verdicts are
+    unchanged (they depend on membership, never on gid labels)."""
+    from ngram_analytics_spark.operators.dedup import (
+        minhash_index_upsert,
+        minhash_index_write,
+    )
+    from ngram_analytics_spark.operators.ngram import ngram_col
+    from ngram_analytics_spark.queries.llm_q import (
+        _MH_K,
+        _mh_index_probe,
+        _mh_sig_frame,
+    )
+    from pyspark.sql import functions as F
+
+    def mk(tid: int) -> str:
+        return " ".join(f"t{tid}w{i}" for i in range(24))
+
+    def frame(rows):
+        return (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .select(
+                "doc_id",
+                F.array_distinct(ngram_col("toks", 3)).alias("st"),
+            )
+        )
+
+    # corpus ids 50/60; batch UNDERCUTS both matching groups (5 clones
+    # doc 50's text, 7 clones doc 60's) and adds one novel doc at 3
+    corpus = [(50, mk(1)), (60, mk(2))]
+    batch = [(5, mk(1)), (7, mk(2)), (3, mk(9))]
+    keys = [f"m{i}" for i in range(_MH_K)]
+
+    inc = str(tmp_path / "idx_inc")
+    minhash_index_write(_mh_sig_frame(frame(corpus)), inc, keys)
+    minhash_index_upsert(_mh_sig_frame(frame(batch)), inc, keys)
+
+    reb = str(tmp_path / "idx_rebuild")
+    minhash_index_write(_mh_sig_frame(frame(corpus + batch)), reb, keys)
+
+    def partition(path):
+        g = spark.read.parquet(f"{path}/groups")
+        m = spark.read.parquet(f"{path}/members")
+        rows = g.join(m, "gid").collect()
+        out = {}
+        for r in rows:
+            sig = tuple(r[k] for k in keys)
+            out.setdefault(sig, set()).add(r.doc_id)
+        return out
+
+    inc_part, reb_part = partition(inc), partition(reb)
+    # membership partition identical — the probe-relevant invariant
+    assert inc_part == reb_part
+    # gid labels: upsert keeps first-writer gids 50/60 where the
+    # rebuild relabels to the new global mins 5/7; the novel group
+    # opens at the batch min 3 in both
+    inc_gids = sorted(
+        r.gid for r in spark.read.parquet(f"{inc}/groups").collect()
+    )
+    reb_gids = sorted(
+        r.gid for r in spark.read.parquet(f"{reb}/groups").collect()
+    )
+    assert inc_gids == [3, 50, 60]
+    assert reb_gids == [3, 5, 7]
+    # probe verdicts are label-independent: a clone of doc 50's text
+    # probed against either index pairs with the SAME member ids
+    probe = frame([(999, mk(1))])
+    store = frame(corpus + batch)
+    for path in (inc, reb):
+        got = {
+            (r.nid, r.cid)
+            for r in _mh_index_probe(spark, probe, store, path).collect()
+            if r.is_dup
+        }
+        assert got == {(999, 5), (999, 50)}

@@ -1,6 +1,14 @@
 """Differential harness CLI: run declared queries on Spark AND their
 DuckDB oracles over the same parquet; report mismatches.
 
+A SQL-oracled key whose Spark AND oracle results are BOTH empty is
+reported VACUOUS and fails the run: two empty relations hash-match by
+construction, so the gate exercised no values (q_subquery_scalar
+certified that way from r03 to r12 — VERDICT r12 item 2 turned the
+judge's one-off scan into this permanent lint). Keys where an empty
+result is the CORRECT answer on real data would go in
+VACUOUS_OK (none today).
+
 Usage:
     python tools/diffcheck.py [sf_dir] [query ...]
 """
@@ -9,6 +17,10 @@ from __future__ import annotations
 
 import sys
 import time
+
+#: oracled keys allowed to certify on an empty result (none — every
+#: registered key returns rows on the driver's sf dirs by contract)
+VACUOUS_OK: frozenset[str] = frozenset()
 
 
 def main() -> int:
@@ -58,6 +70,13 @@ def main() -> int:
             print(f"FAIL  {name}:")
             for p in problems:
                 print(f"    {p}")
+        elif not srows and name not in VACUOUS_OK:
+            failed.append(name)
+            print(
+                f"FAIL  {name}: VACUOUS — both engines returned 0 rows;"
+                " an empty-vs-empty match certifies nothing"
+                f" [{time.time()-t0:.1f}s]"
+            )
         else:
             passed += 1
             print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")

@@ -67,22 +67,59 @@ def latest_grades() -> dict[str, int]:
     return latest
 
 
-def round_base_commit() -> str | None:
-    """The commit that ADDED the newest CORRECTNESS file = the round
-    boundary; diffs against it are 'changed this round'."""
-    grades = latest_grades()
-    if not grades:
-        return None
-    newest = f"CORRECTNESS_r{max(grades.values()):02d}.json"
+def _archive_rounds_desc() -> list[int]:
+    rounds = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", f)
+        if m:
+            rounds.add(int(m.group(1)))
+    return sorted(rounds, reverse=True)
+
+
+def newest_archive_untracked() -> bool:
+    """True in the POST-GRADE state: the newest CORRECTNESS_r*.json
+    exists on disk but is not in HEAD (the driver wrote it after the
+    round's last commit). The committed GRADED_FIRST tuple predates
+    that file by construction, so the doc lint skips instead of
+    flagging the inherent mismatch (VERDICT r12 item 1)."""
+    rounds = _archive_rounds_desc()
+    if not rounds:
+        return False
+    newest = f"CORRECTNESS_r{rounds[0]:02d}.json"
     try:
         out = subprocess.run(
-            ["git", "log", "--diff-filter=A", "--format=%H", "--",
-             newest],
-            cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.split()
-        return out[-1] if out else None
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+            ["git", "ls-files", "--error-unmatch", newest],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        return out.returncode != 0
+    except FileNotFoundError:
+        return False
+
+
+def round_base_commit() -> str | None:
+    """The commit that ADDED the newest COMMITTED CORRECTNESS file =
+    the round boundary; diffs against it are 'changed this round'.
+    A never-committed newest archive (the post-grade state) falls
+    back to the next-newest committed one with a warning instead of
+    silently disabling changed-key detection (ADVICE r12)."""
+    for rnd in _archive_rounds_desc():
+        name = f"CORRECTNESS_r{rnd:02d}.json"
+        try:
+            out = subprocess.run(
+                ["git", "log", "--diff-filter=A", "--format=%H", "--",
+                 name],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.split()
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+        if out:
+            return out[-1]
+        print(
+            f"warning: {name} is not committed — falling back to the"
+            " next-newest committed archive as the round base",
+            file=sys.stderr,
+        )
+    return None
 
 
 def _diff_new_ranges(base: str, path: str) -> list[tuple[int, int]]:
