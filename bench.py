@@ -286,6 +286,8 @@ EXTENDED = [
     "q_ab_mann_whitney",      # nonparametric A/B rank-sum test
     "q_dedup_semantic",       # SemDeDup cluster-sharded embedding dedup
     "q_ml_cost_threshold",    # cost-sensitive operating point
+    "q_dedup_host",           # per-domain exact+near dedup composite
+    "q_mix_doremi",           # MW mixture-reweighting iteration
 ]
 
 

@@ -18,68 +18,69 @@ from ngram_analytics_spark.registry import QueryRegistry
 # doc-lint test_graded_first_matches_generator pins this tuple to the
 # tool's output, so editing a query without regenerating fails the
 # suite).  Composition rule: (a) keys with no driver CORRECTNESS row
-# yet, (b) keys whose own function/oracle text changed since the
-# round base (real contract risk), (c) the stalest-graded tail — for
-# r12 that is the VERDICT r11 item-1 cohort: the r01 pair
-# (q_agg_approx_distinct / q_text_tfidf) and the r03
-# q_fn_*/q_subquery_*/q_set_ops/q_source_* block, eight-plus rounds
-# of engine churn since their last hard driver grade.
+# yet (r13: the new q_dedup_host / q_mix_doremi), (b) keys whose own
+# function/oracle text changed since the round base (r13: the
+# de-vacuated q_subquery_scalar, the rank-seeded q_dedup_semantic,
+# the pid-keyed q_dedup_incremental_fuzzy, and q_dedup_minhash_exact
+# via the shared-CTE oracle refactor), (c) the stalest-graded tail —
+# the remaining r03 cohort leads, retiring it per VERDICT r12 item 3.
 GRADED_FIRST: tuple[str, ...] = (
+    "q_dedup_host",
+    "q_mix_doremi",
     "q_dedup_incremental_fuzzy",
-    "q_ab_mann_whitney",
     "q_dedup_semantic",
-    "q_ml_cost_threshold",
-    "q_ml_auc_pr",
-    "q_ml_kendall_tau",
-    "q_ts_mann_kendall",
-    "q_ml_pr_at_recall",
-    "q_text_readability",
-    "q_ml_auc",
-    "q_embed_bucket_stats",
-    "q_text_diversity",
-    "q_graph_clustering_coeff",
-    "q_agg_approx_distinct",
-    "q_text_tfidf",
-    "q_agg_hll_merge",
-    "q_fn_bitwise",
-    "q_fn_cast",
-    "q_fn_cond",
-    "q_fn_date2",
-    "q_fn_explode_pos",
-    "q_fn_hash",
-    "q_fn_higher_order",
-    "q_fn_interval",
-    "q_fn_map",
-    "q_fn_map_json",
-    "q_fn_regexp2",
-    "q_fn_string2",
-    "q_fn_struct",
-    "q_fn_trig",
-    "q_fn_try",
-    "q_fn_url",
-    "q_fn_variant",
-    "q_funnel",
-    "q_graph_pagerank",
-    "q_merge_upsert",
-    "q_multimodal_audio",
-    "q_quant_int8",
-    "q_retention",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_set_ops_all",
-    "q_sort_nulls",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_source_pyds",
-    "q_sql_pipe",
-    "q_subquery_exists_corr",
-    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_dedup_minhash_exact",
+    "q_subquery_lateral",
+    "q_values_inline",
+    "q_win_ignorenulls",
+    "q_win_range_interval",
+    "q_agg_bitwise",
+    "q_cdc_diff",
+    "q_dedup_canonical",
+    "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_fn_binary",
+    "q_fn_crypto",
+    "q_fn_format",
+    "q_fn_levenshtein",
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_incr_agg",
+    "q_inverted_index",
+    "q_join_asof_fwd",
+    "q_join_asof_nearest",
+    "q_join_shuffle_hash",
+    "q_ml_kmeans_step",
+    "q_profile_table",
+    "q_sample_reservoir",
+    "q_scd2",
+    "q_session_paths",
+    "q_sim_pairs",
+    "q_sketch_countmin",
+    "q_stream_foreach_upsert",
+    "q_stream_live_dedup",
+    "q_stream_live_join",
+    "q_stream_live_pairjoin",
+    "q_text_chunk",
+    "q_text_pii",
+    "q_text_tfidf_exact",
+    "q_topk_salted",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_ts_pop",
+    "q_user_transitions",
+    "q_zorder_layout",
+    "q_anomaly_mad",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale
-# cohort: the 17 q_stream_live_* keys (streaming stage-dir symlink
-# cleanup touched read_events_stream/read_documents_stream).
+# cohort: the minhash family keys sharing _mh_sig_frame /
+# _MH_CAND_CTES (their own contract text is unchanged; pytest pins
+# the shared machinery).
 
 #: The r7-r12 hand-maintained DEFERRED_R* promotion queues are
 #: retired: everything after GRADED_FIRST now orders itself

@@ -2016,11 +2016,12 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
 #: row and its pairs are emitted from the group membership directly.
 _MH_BAND_CAP = 64
 
-
-@REG.register(
-    "q_dedup_minhash_exact",
-    oracle=f"""
-        WITH s AS (
+#: shared WITH-body of the certified MinHash candidate chain (shingle
+#: sets -> signatures -> signature groups -> capped banded group pairs
+#: -> doc-pair candidates), reused VERBATIM by q_dedup_minhash_exact
+#: and the host-level composite q_dedup_host so the two oracles cannot
+#: drift apart.
+_MH_CAND_CTES = f"""s AS (
             SELECT doc_id, list_distinct({ngrams_sql(TOKENS, _MH_N)}) AS st
             FROM documents
         ), sh_t AS (
@@ -2065,7 +2066,13 @@ _MH_BAND_CAP = 64
             SELECT x.m AS id_a, y.m AS id_b,
                    CAST({_MH_BANDS} AS BIGINT) AS n_bands
             FROM mem x JOIN mem y ON x.gid = y.gid AND x.m < y.m
-        )
+        )"""
+
+
+@REG.register(
+    "q_dedup_minhash_exact",
+    oracle=f"""
+        WITH {_MH_CAND_CTES}
         SELECT c.id_a, c.id_b, c.n_bands,
                {_J_COMMON} AS n_common,
                {oracle_round4det(_J_RATIO)} AS jaccard
@@ -2201,6 +2208,133 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eq.unionByName(uneq)
+
+
+@REG.register(
+    "q_dedup_host",
+    oracle=f"""
+        WITH {_MH_CAND_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN s a ON a.doc_id = c.id_a
+            JOIN s b ON b.doc_id = c.id_b
+            WHERE {_J_RATIO} >= {_MH_MIN_J}
+        ), h AS (
+            SELECT doc_id, source || '.example.org' AS host,
+                   md5(text) AS th
+            FROM documents
+        ), near AS (
+            SELECT ha.host, p.id_a, p.id_b
+            FROM pairs p
+            JOIN h ha ON ha.doc_id = p.id_a
+            JOIN h hb ON hb.doc_id = p.id_b
+            WHERE ha.host = hb.host AND ha.th <> hb.th
+        ), nearagg AS (
+            SELECT host, CAST(count(*) AS BIGINT) AS n_near_pairs,
+                   CAST(count(DISTINCT id_b) AS BIGINT)
+                       AS n_near_dropped
+            FROM near GROUP BY host
+        )
+        SELECT h.host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - count(DISTINCT th) AS BIGINT)
+                   AS n_exact_dup,
+               CAST(coalesce(min(na.n_near_pairs), 0) AS BIGINT)
+                   AS n_near_pairs,
+               CAST(coalesce(min(na.n_near_dropped), 0) AS BIGINT)
+                   AS n_near_dropped
+        FROM h LEFT JOIN nearagg na USING (host)
+        GROUP BY h.host
+        ORDER BY h.host
+    """,
+)
+def q_dedup_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level dedup composite — the common-crawl curation step
+    (VERDICT r12 item 8): per DOMAIN, exact-duplicate mass (identical
+    text md5) and near-duplicate pressure (certified MinHash pairs at
+    trigram Jaccard >= {j} between DIFFERENT texts of the same host).
+    URLs are constructed deterministically from (source, doc_id) (the
+    q_fn_url convention — the corpus carries no url column) and the
+    host extracted with parse_url(HOST) on Spark vs the regex-free
+    string build on the oracle, certifying the parse itself.
+
+    Composes certified machinery end-to-end: the near-dup pair set IS
+    q_dedup_minhash_exact's output (same banded candidate discipline,
+    same _MH_BAND_CAP hot-band skip, shared oracle CTE chain
+    _MH_CAND_CTES so the two contracts cannot drift), and the
+    exact-dup count is q_dedup_exact's md5 grouping folded into the
+    per-host aggregate.
+
+    Plan: host + text-hash are ONE projection of the scan; near pairs
+    (output-bounded) join host by doc_id — point lookups at 100 TB,
+    the q_dedup_incremental_fuzzy recheck shape; per-host aggregates
+    are map-side combined on the host key. A domain flood (one host
+    owning 40% of the corpus) concentrates no join: the pair set is
+    already banding-bounded and the host joins stay doc_id-keyed.
+
+    Determinism: md5 over UTF-8 text (the q_dedup_exact contract),
+    exact integer counts, pair set certified by its own key."""
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id"),
+    )
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.md5("text").alias("th"),
+    )
+    pairs = q_dedup_minhash_exact(spark, sf_dir).select("id_a", "id_b")
+    ha = h.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("host").alias("host_a"),
+        F.col("th").alias("th_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("host").alias("host_b"),
+        F.col("th").alias("th_b"),
+    )
+    near = (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            (F.col("host_a") == F.col("host_b"))
+            & (F.col("th_a") != F.col("th_b"))
+        )
+        .select(F.col("host_a").alias("host"), "id_a", "id_b")
+    )
+    nearagg = near.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_near_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_near_dropped"),
+    )
+    return (
+        h.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*") - F.countDistinct("th"))
+            .cast("long")
+            .alias("n_exact_dup"),
+        )
+        .join(nearagg, "host", "left")
+        .select(
+            "host",
+            "n_docs",
+            "n_exact_dup",
+            F.coalesce("n_near_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_near_pairs"),
+            F.coalesce("n_near_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_near_dropped"),
+        )
+        .orderBy("host")
+    )
+
+
+q_dedup_host.__doc__ = q_dedup_host.__doc__.format(j=_MH_MIN_J)
 
 
 # ------------------------------------- incremental (batch-vs-corpus) near-dup
@@ -6367,7 +6501,8 @@ def q_dedup_semantic(
     vectors pass through as singleton groups with NO shuffle — both
     paths produce identical output (a clone pair's cosine rounds to
     1.0 >= the threshold through the cross path), only the plan
-    changes; measured 3.58 s -> ~1.9 s on the uniform sf0.1 corpus.
+    changes; with the once-materialized assignment relation below,
+    the uniform sf0.1 wall fell 3.58 -> 2.44 s (fact-skew still 1.0).
 
     Determinism: cosine doubles are bit-identical across engines
     (oracle_dot mirrors the fold order); assignment quantizes ONE
@@ -6388,18 +6523,23 @@ def q_dedup_semantic(
     # spread(): the n*K assignment folds otherwise run on the scan's
     # few row-group splits (measured 2 of 32 cores at derived-sf1 —
     # the q_embed_bucket_stats single-file lesson).
-    emb_base = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
-    emb = spread(emb_base)
     # ONE plan-statistic job: n sizes K (IEEE ceil(sqrt(double)) —
     # the exact spelling the oracle uses, so K cannot desync) and
     # the approx distinct-embedding count drives the collapse toggle.
     # Runs on the UN-spread scan (count/distinct are partitioning-
     # invariant; skipping the repartition shuffle saves a stage) and
     # HLLs a per-row xxhash64 instead of the raw 64-float array.
+    # NOTE (r13, measured): dim-UNROLLED kernels (dot/l2_norm dim=)
+    # were tried here and REGRESSED 17.5 -> 49.6 s at derived-sf1 —
+    # the 64-term element_at chains blow past the codegen method
+    # budget inside this query's join-heavy operators and fall back
+    # to per-term interpreted eval; the aggregate fold stays.
+    emb_base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    emb = spread(emb_base)
     stats = emb_base.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(F.xxhash64("embedding"), 0.02).alias("nd"),
@@ -6480,7 +6620,9 @@ def q_dedup_semantic(
     # pairs, both cross-pair sides, the per-cluster member count) —
     # materialize the n x K assignment ONCE instead of re-executing
     # it per branch (eager localCheckpoint, the graph_q/connected-
-    # components discipline; measured 3.0 -> 1.9 s at sf0.1)
+    # components discipline; with the conditional collapse and the
+    # un-spread stats job this took the uniform sf0.1 wall from
+    # 3.58 s to 2.44 s, fact-skew ratio still 1.0)
     g2 = (
         grp.join(asg, "gid")
         .select("cluster_id", "gid", "embedding", "nrm", "members")

@@ -1604,6 +1604,141 @@ q_mix_epochs.__doc__ = q_mix_epochs.__doc__.format(
 )
 
 
+# ------------------------------------- DoReMi-style mixture reweighting
+
+#: unrolled multiplicative-weights rounds (the q_mix_epochs /
+#: q_graph_kcore bounded-unroll discipline)
+_DOREMI_T = 4
+
+
+def _doremi_oracle() -> str:
+    """Unrolled SQL twin of q_mix_doremi's weight loop: r{{t}} applies
+    the MW step in exact int64 ticks, s{{t}} sums, b{{t}} renormalizes
+    half-up. `//` on DuckDB integers truncates toward zero, matching
+    Spark's `div` (the raw update term can be negative)."""
+    ctes = [
+        """t AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(len(string_split(text, ' '))), 0)
+                        AS BIGINT) AS n_tok
+            FROM documents GROUP BY source
+        ), k AS (
+            SELECT CAST(count(*) AS BIGINT) AS nk,
+                   CAST(sum(n_tok) AS BIGINT) AS tot
+            FROM t
+        ), b0 AS (
+            SELECT t.source, t.n_docs, t.n_tok,
+                   CASE WHEN k.tot > 0
+                        THEN (2 * t.n_tok * 1000000 + k.tot)
+                             // (2 * k.tot)
+                        ELSE 0 END AS tgt,
+                   (2 * 1000000 + k.nk) // (2 * k.nk) AS a
+            FROM t CROSS JOIN k
+        )"""
+    ]
+    for i in range(1, _DOREMI_T + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT b{i - 1}.*,
+                   a + (a * (tgt - a)) // 2000000 AS raw
+            FROM b{i - 1}
+        ), s{i} AS (
+            SELECT CAST(sum(raw) AS BIGINT) AS s FROM r{i}
+        ), b{i} AS (
+            SELECT source, n_docs, n_tok, tgt,
+                   (2 * raw * 1000000 + s{i}.s) // (2 * s{i}.s) AS a
+            FROM r{i} CROSS JOIN s{i}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT source, n_docs, n_tok,
+               CAST(tgt AS BIGINT) AS target_ppm,
+               CAST(a AS BIGINT) AS alpha_ppm
+        FROM b{_DOREMI_T}
+        ORDER BY source"""
+    )
+
+
+@REG.register("q_mix_doremi", oracle=_doremi_oracle())
+def q_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    linearized multiplicative-weights form): starting from a UNIFORM
+    domain mixture, {t} MW rounds pull each source's weight toward
+    its excess-signal target — here the domain's corpus token share,
+    the data-engine stand-in for DoReMi's proxy-vs-reference excess
+    loss (swap the tgt column for measured per-domain loss gaps and
+    the loop is production DoReMi) — completing the mix-planning
+    family (q_mix_budget allocates, q_mix_epochs caps repeats, this
+    key ITERATES the weights; VERDICT r12 item 8).
+
+    Per round, in ppm ticks: raw = a + a*(tgt - a)/2e6 (the eta = 1/2
+    linearized exp update), then renormalize half-up to ticks summing
+    ~1e6. Reports each source's token target and the round-{t} weight.
+
+    Determinism: ZERO floating point anywhere — token counts are
+    exact int64s, the target share and every MW round are exact
+    int64 multiply/`div` (truncation toward zero on BOTH engines:
+    DuckDB `//` == Spark `div`, pinned in the oracle builder
+    docstring; the update term goes negative for over-weighted
+    domains, where floor and trunc differ). Headroom: 2e6 * n_tok
+    wraps int64 past ~4.6e12 corpus tokens — widen to DECIMAL(38,0)
+    at the 100 TB deploy (the q_mix_epochs note).
+
+    Plan: ONE corpus pass to the per-source rollup ({t} + 1 rows per
+    domain thereafter); each round is a 1-row broadcast scalar over
+    the |sources|-row table — no corpus rescan, no shuffle growth
+    with T."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    k = t.agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("n_tok").cast("long").alias("tot"),
+    )
+    cur = t.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.when(
+            F.col("tot") > 0,
+            F.expr("(2 * n_tok * 1000000 + tot) div (2 * tot)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("tgt"),
+        F.expr("(2 * 1000000 + nk) div (2 * nk)").alias("a"),
+    )
+    for _ in range(_DOREMI_T):
+        r = cur.withColumn(
+            "raw", F.expr("a + (a * (tgt - a)) div 2000000")
+        )
+        s = r.agg(F.sum("raw").cast("long").alias("s"))
+        cur = r.crossJoin(F.broadcast(s)).select(
+            "source",
+            "n_docs",
+            "n_tok",
+            "tgt",
+            F.expr("(2 * raw * 1000000 + s) div (2 * s)").alias("a"),
+        )
+    return cur.select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.col("tgt").cast("long").alias("target_ppm"),
+        F.col("a").cast("long").alias("alpha_ppm"),
+    ).orderBy("source")
+
+
+q_mix_doremi.__doc__ = q_mix_doremi.__doc__.format(t=_DOREMI_T)
+
+
 # ---------------------------------------------- Mann-Whitney U A/B test
 
 #: value-domain bucket width for the per-user activity metric (counts

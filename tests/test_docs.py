@@ -84,6 +84,31 @@ def test_graded_first_matches_generator():
     )
 
 
+def test_graded_window_attribution_follows_aliases(tmp_path):
+    """VERDICT r12 item 7: a helper re-exported under another name
+    (``from m import foo as bar`` / ``bar = foo``) must attribute a
+    change to ``foo`` through to query text that references ``bar``,
+    transitively — plain text matching on ``foo`` alone misses it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graded_window", REPO / "tools" / "graded_window.py"
+    )
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+
+    mod = tmp_path / "reexport.py"
+    mod.write_text(
+        "from ngram_analytics_spark.operators.dedup import foo as bar\n"
+        "baz = bar\n"
+        "unrelated = other_name\n"
+    )
+    got = gw.expand_aliases({"foo"}, [str(mod)])
+    assert got == {"foo", "bar", "baz"}  # chained, fixpoint-closed
+    # a name with no alias edges passes through untouched
+    assert gw.expand_aliases({"nope"}, [str(mod)]) == {"nope"}
+
+
 def test_no_double_division_truncate_cast():
     """Source-convention lint (VERDICT r6 "Next round" item 3): the
     repo's truncate-vs-round discipline requires integer division to

@@ -470,6 +470,11 @@ NESTED_LOOP_OK = {
     "q_mix_epochs",          # three 1-row water-filling scalars onto
                              # the |sources|-row allocation table
                              # (q_mix_budget class)
+    "q_mix_doremi",          # 4 MW rounds x one 1-row sum scalar
+                             # broadcast onto the |sources|-row
+                             # weight table (q_mix_epochs class —
+                             # bounded by the domain count, never
+                             # data-sized)
     "q_ab_mann_whitney",     # triangular offset join over the
                              # activity-value BUCKET summary inside
                              # grouped_value_cumsum (q_ml_auc class)

@@ -2511,3 +2511,101 @@ def test_cost_threshold_rejection_wins(spark, tmp_path):
     assert out[(5, 1)] == (1_000_001, 1, 0, 0, 1)
     # recall-critical scenarios still pick an operating threshold
     assert out[(1, 10)][0] == 100_000
+
+
+def test_dedup_host_closed_form(spark, tmp_path):
+    """Two hosts from source alpha/beta. alpha holds a clone pair
+    (d0, d1 identical), a near-dup d2 (2 of 24 tokens mutated,
+    trigram Jaccard 18/26 ~ 0.69 >= 0.5 — the test_properties mk()
+    construction the band index provably catches), and an unrelated
+    d3; beta holds d4 = a byte-clone of alpha's text (the CROSS-host
+    pair that must NOT count) and an unrelated d5. Expected: alpha
+    n_docs=4 n_exact_dup=1 (4 docs, 3 distinct texts) n_near_pairs=2
+    ((d0,d2),(d1,d2) — the (d0,d1) clone pair is exact, not near)
+    n_near_dropped=1 ({d2}); beta all-zero except n_docs=2."""
+
+    def mk(tid: int, mutate: int = 0) -> str:
+        toks = [f"t{tid}w{i}" for i in range(24)]
+        for i in range(mutate):
+            toks[i] = f"mut{tid}x{i}"
+        return " ".join(toks)
+
+    rows = [
+        (0, mk(1), "en", "alpha", 10),
+        (1, mk(1), "en", "alpha", 10),
+        (2, mk(1, mutate=2), "en", "alpha", 10),
+        (3, mk(50), "en", "alpha", 10),
+        (4, mk(1), "en", "beta", 10),
+        (5, mk(60), "en", "beta", 10),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r.host: (r.n_docs, r.n_exact_dup, r.n_near_pairs, r.n_near_dropped)
+        for r in _q("q_dedup_host")(spark, sf).collect()
+    }
+    assert out == {
+        "alpha.example.org": (4, 1, 2, 1),
+        "beta.example.org": (2, 0, 0, 0),
+    }
+
+
+def _doremi_reference(n_toks: dict[str, int], t: int = 4):
+    """Pure-int64 reference of q_mix_doremi's MW loop — the same
+    formulas the query and oracle spell, executable by hand."""
+    tot = sum(n_toks.values())
+    k = len(n_toks)
+    tgt = {
+        s: ((2 * v * 1_000_000 + tot) // (2 * tot) if tot > 0 else 0)
+        for s, v in n_toks.items()
+    }
+    trunc = lambda a, b: abs(a) // abs(b) * (1 if (a >= 0) == (b > 0) else -1)  # noqa: E731
+    a = {s: (2 * 1_000_000 + k) // (2 * k) for s in n_toks}
+    for _ in range(t):
+        raw = {
+            s: a[s] + trunc(a[s] * (tgt[s] - a[s]), 2_000_000)
+            for s in n_toks
+        }
+        ssum = sum(raw.values())
+        a = {
+            s: (2 * raw[s] * 1_000_000 + ssum) // (2 * ssum)
+            for s in n_toks
+        }
+    return tgt, a
+
+
+def test_mix_doremi_closed_form(spark, tmp_path):
+    """Source A: one 6-token doc; source B: two 1-token docs. Targets
+    are exact (6/8 -> 750000 ppm, 2/8 -> 250000); round 1 by hand:
+    raw_A = 500000 + 500000*250000 div 2e6 = 562500, raw_B = 437500
+    (the NEGATIVE update term truncates toward zero on both engines),
+    sum exactly 1e6 so round 1 renormalizes to itself; rounds 2-4
+    from the pure-int64 reference loop. Weights move monotonically
+    from uniform toward the token-share target."""
+    rows = [
+        (0, "a b c d e f", "en", "A", 11),
+        (1, "g", "en", "B", 1),
+        (2, "h", "en", "B", 1),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r.source: (r.n_docs, r.n_tok, r.target_ppm, r.alpha_ppm)
+        for r in _q("q_mix_doremi")(spark, sf).collect()
+    }
+    tgt, alpha = _doremi_reference({"A": 6, "B": 2})
+    assert (tgt["A"], tgt["B"]) == (750_000, 250_000)
+    # hand-check one round: 562500/437500 after round 1, then strictly
+    # toward the target every later round
+    assert 562_500 < alpha["A"] < 750_000
+    assert 250_000 < alpha["B"] < 437_500
+    assert out == {
+        "A": (1, 6, 750_000, alpha["A"]),
+        "B": (2, 1 + 1, 250_000, alpha["B"]),
+    }

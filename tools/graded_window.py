@@ -35,7 +35,9 @@ rotation (VERDICT r11 item 1) no longer depends on anyone remembering.
 Limitations (documented, deliberate): attribution is ONE hop — a
 change to a helper's helper is only caught if the outer helper's text
 also changed; non-assignment module-level edits (imports, comments)
-attribute to nothing.
+attribute to nothing. Aliased re-exports (``from m import foo as
+bar``, ``bar = foo``) ARE followed to a fixpoint (r13,
+:func:`expand_aliases`).
 """
 
 from __future__ import annotations
@@ -180,11 +182,48 @@ def _top_level_spans(path: str):
     return spans
 
 
+def expand_aliases(touched: set[str], files) -> set[str]:
+    """Close a changed-name set over import/assign ALIASES (VERDICT
+    r12 item 7): a helper imported as ``from m import foo as bar`` or
+    re-bound as ``bar = foo`` is referenced in query text by the NAME
+    ``bar``, which plain text matching on ``foo`` misses. Iterates to
+    a fixpoint so chained re-exports (foo -> bar -> baz) attribute
+    too. Plain same-name re-exports (``from m import foo``) need no
+    expansion — the text match already finds ``foo``."""
+    edges: dict[str, set[str]] = {}  # source name -> alias names
+    for path in files:
+        try:
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+        except (OSError, SyntaxError):
+            continue
+        for node in tree.body:
+            if isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    if a.asname and a.asname != a.name:
+                        edges.setdefault(a.name, set()).add(a.asname)
+            elif isinstance(node, ast.Assign):
+                if isinstance(node.value, ast.Name):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name) and t.id != node.value.id:
+                            edges.setdefault(node.value.id, set()).add(t.id)
+    out = set(touched)
+    frontier = set(touched)
+    while frontier:
+        nxt = set()
+        for name in frontier:
+            nxt |= edges.get(name, set()) - out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
 def changed_keys(
     registry_keys, base: str | None = None
 ) -> tuple[set[str], set[str]]:
     """(direct, indirect): keys whose own function text changed since
-    ``base`` vs keys only referencing a changed top-level name."""
+    ``base`` vs keys only referencing a changed top-level name (or an
+    alias of one — see :func:`expand_aliases`)."""
     base = base or round_base_commit()
     if base is None:
         return set(), set()
@@ -220,6 +259,7 @@ def changed_keys(
                 touched_names.add(name)
 
     if touched_names:
+        touched_names = expand_aliases(touched_names, pkg_files)
         # one-hop attribution: query functions referencing a changed
         # top-level name (helper/operator/constant) changed too
         ident = re.compile(
