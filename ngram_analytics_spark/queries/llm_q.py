@@ -2339,6 +2339,11 @@ q_dedup_host.__doc__ = q_dedup_host.__doc__.format(j=_MH_MIN_J)
 
 # ------------------------------------- incremental (batch-vs-corpus) near-dup
 
+#: per-pid index dirs with an atexit cleanup already registered
+#: (guards double registration across reruns in one process)
+_MH_IDX_CLEANUP: set[str] = set()
+
+
 def _mh_sig_frame(d: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}, sds, sdx, n_sh) over a (doc_id, st)
     shingle-set frame — the q_dedup_minhash_exact signature stage
@@ -2586,11 +2591,19 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by corpus AND pid: two concurrent sessions on the same
     # corpus (parallel pytest workers, driver + bench) must not race
     # overwrite-vs-read on a shared index dir (ADVICE r12); within one
-    # process reruns overwrite the same path, so nothing accumulates
+    # process reruns overwrite the same path, and the dir is removed
+    # at process exit (atexit, registered once per path) so long-lived
+    # hosts do not accumulate one leaked index per pid
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     idx = os.path.join(
         tempfile.gettempdir(), f"nas-mhidx-{tag}-{os.getpid()}"
     )
+    if idx not in _MH_IDX_CLEANUP:
+        import atexit
+        import shutil
+
+        _MH_IDX_CLEANUP.add(idx)
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
     minhash_index_write(_mh_sig_frame(corp.select("doc_id", "st")), idx, keys)
 
     pairs = _mh_index_probe(
@@ -6549,8 +6562,14 @@ def q_dedup_semantic(
     # centroids: the K rank-smallest vec_ids (bounded TakeOrdered),
     # cell id = rank among the seeds via a K x K triangular join —
     # bounded nested loop: K = ceil(sqrt(n)) rows per side, so the
-    # worst-case pair count is exactly n, same bound as assignment
-    seeds = emb.orderBy("vec_id").limit(sem_k)
+    # worst-case pair count is exactly n, same bound as assignment.
+    # seeds materialize eagerly (K = sqrt(n) rows, tiny): the top-K
+    # otherwise re-executes in each of its THREE plan occurrences
+    # (seeds + both ranks sides — TakeOrdered is not an exchange, so
+    # reuse never dedupes it)
+    seeds = emb.orderBy("vec_id").limit(sem_k).localCheckpoint(
+        eager=True
+    )
     ranks = (
         seeds.select("vec_id")
         .join(
@@ -6610,23 +6629,30 @@ def q_dedup_semantic(
         .groupBy("gid")
         .agg(F.max("k").alias("k"))
     )
-    asg = keyed.select(
-        "gid",
-        (F.lit(sem_k - 1) - F.col("k") % sem_k)
-        .cast("long")
-        .alias("cluster_id"),
-    )
-    # the assigned-group relation feeds FOUR plan branches (intra
-    # pairs, both cross-pair sides, the per-cluster member count) —
-    # materialize the n x K assignment ONCE instead of re-executing
-    # it per branch (eager localCheckpoint, the graph_q/connected-
-    # components discipline; with the conditional collapse and the
-    # un-spread stats job this took the uniform sf0.1 wall from
-    # 3.58 s to 2.44 s, fact-skew ratio still 1.0)
-    g2 = (
-        grp.join(asg, "gid")
-        .select("cluster_id", "gid", "embedding", "nrm", "members")
+    # the assignment feeds FOUR plan branches (intra pairs, both
+    # cross-pair sides, the per-cluster member count) — materialize
+    # the n x K argmax ONCE instead of re-executing it per branch
+    # (eager localCheckpoint, the graph_q/connected-components
+    # discipline; with the conditional collapse and the un-spread
+    # stats job this took the uniform sf0.1 wall from 3.58 s to
+    # ~2.4 s, fact-skew ratio still 1.0). Only the NARROW (gid,
+    # cluster_id) labels checkpoint — 16 bytes/group, not the wide
+    # embedding+members relation — so a long session grading
+    # hundreds of keys accumulates kilobytes of pinned storage, not
+    # the corpus (the in-batch 17.5 s vs idle 7.2 s sf1 reading
+    # traced to wide-checkpoint storage pressure); grp itself is
+    # exchange-reused across the four joins.
+    asg = (
+        keyed.select(
+            "gid",
+            (F.lit(sem_k - 1) - F.col("k") % sem_k)
+            .cast("long")
+            .alias("cluster_id"),
+        )
         .localCheckpoint(eager=True)
+    )
+    g2 = grp.join(asg, "gid").select(
+        "cluster_id", "gid", "embedding", "nrm", "members"
     )
     intra = (
         g2.filter(F.size("members") >= 2)

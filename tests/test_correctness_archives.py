@@ -21,9 +21,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: that shipped the de-vacuated q_subquery_scalar and this lint)
 LINT_FROM_ROUND = 13
 
-#: oracled keys allowed to certify on 0 rows (mirrors
-#: tools/diffcheck.VACUOUS_OK — none today)
-VACUOUS_OK: frozenset[str] = frozenset()
+def _diffcheck_vacuous_ok() -> frozenset:
+    """The single source of truth for the empty-result allowlist is
+    tools/diffcheck.VACUOUS_OK — import it (tools/ is not a package;
+    the test_docs graded_window convention) so the run-time lint and
+    this archive lint cannot drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "diffcheck", os.path.join(REPO, "tools", "diffcheck.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.VACUOUS_OK
+
+
+VACUOUS_OK: frozenset = _diffcheck_vacuous_ok()
 
 
 def _archives() -> dict[int, dict]:
@@ -62,11 +75,12 @@ def test_no_vacuous_certification_from_r13():
 
 def test_archives_record_no_failures():
     """The driver only ships green rounds; an r13+ archive row with a
-    real error (err other than the rows-only "no_oracle" marker) or a
-    failed row-count match means the round-close process broke —
-    surface it here instead of in the judge's reading. Pre-r13 rows
-    keep their history (e.g. the r01 q_agg_collect harness error,
-    fixed that same round)."""
+    real error (err other than the rows-only "no_oracle" marker) or
+    ANY failed match dimension — rows, schema, or value hash (the
+    round-4 failure mode was hash_match=false with rows green) —
+    means the round-close process broke; surface it here instead of
+    in the judge's reading. Pre-r13 rows keep their history (e.g.
+    the r01 q_agg_collect harness error, fixed that same round)."""
     bad = []
     for rnd, rows in _archives().items():
         if rnd < LINT_FROM_ROUND:
@@ -77,6 +91,8 @@ def test_archives_record_no_failures():
             err = rec.get("err")
             if err and err != "no_oracle":
                 bad.append((rnd, key, err))
-            elif not err and rec.get("rows_match") is False:
-                bad.append((rnd, key, "rows_match=false"))
+            elif not err:
+                for dim in ("rows_match", "schema_match", "hash_match"):
+                    if rec.get(dim) is False:
+                        bad.append((rnd, key, f"{dim}=false"))
     assert not bad, f"archived failures: {bad}"
