@@ -288,6 +288,7 @@ EXTENDED = [
     "q_ml_cost_threshold",    # cost-sensitive operating point
     "q_dedup_host",           # per-domain exact+near dedup composite
     "q_mix_doremi",           # MW mixture-reweighting iteration
+    "q_quality_gopher",       # published Gopher rule census
 ]
 
 

@@ -18,7 +18,8 @@ from ngram_analytics_spark.registry import QueryRegistry
 # doc-lint test_graded_first_matches_generator pins this tuple to the
 # tool's output, so editing a query without regenerating fails the
 # suite).  Composition rule: (a) keys with no driver CORRECTNESS row
-# yet (r13: the new q_dedup_host / q_mix_doremi), (b) keys whose own
+# yet (r13: the new q_dedup_host / q_mix_doremi / q_quality_gopher),
+# (b) keys whose own
 # function/oracle text changed since the round base (r13: the
 # de-vacuated q_subquery_scalar, the rank-seeded q_dedup_semantic,
 # the pid-keyed q_dedup_incremental_fuzzy, and q_dedup_minhash_exact
@@ -27,6 +28,7 @@ from ngram_analytics_spark.registry import QueryRegistry
 GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_host",
     "q_mix_doremi",
+    "q_quality_gopher",
     "q_dedup_incremental_fuzzy",
     "q_dedup_semantic",
     "q_subquery_scalar",
@@ -74,7 +76,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ts_pop",
     "q_user_transitions",
     "q_zorder_layout",
-    "q_anomaly_mad",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -1804,3 +1804,171 @@ def q_privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("released_mean_tick"),
     ).orderBy("o_orderpriority")
+
+
+# ------------------------------------------ Gopher quality-rule census
+
+#: the published Gopher rule constants (Rae et al. 2021, Appendix A):
+#: word count in [50, 100000], mean word length in [3, 10], symbol
+#: ('#'/'…') to word ratio <= 0.1, <= 10% bullet-started and <= 30%
+#: ellipsis-ended lines, >= 80% words containing an ASCII letter,
+#: >= 2 distinct required stopwords present
+_GOPHER_WC_LO, _GOPHER_WC_HI = 50, 100_000
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@REG.register(
+    "q_quality_gopher",
+    oracle=f"""
+        WITH g AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS nw,
+                   list_sum(list_transform(string_split(text, ' '),
+                            w -> len(w))) AS sumlen,
+                   len(text) - len(replace(text, '#', ''))
+                   + len(text) - len(replace(text, '…', '')) AS nsym,
+                   len(string_split(text, chr(10))) AS nl,
+                   len(list_filter(string_split(text, chr(10)),
+                       x -> starts_with(x, '-') OR starts_with(x, '•')
+                            OR starts_with(x, '*'))) AS nbullet,
+                   len(list_filter(string_split(text, chr(10)),
+                       x -> suffix(x, '...') OR suffix(x, '…')))
+                       AS nell,
+                   len(list_filter(string_split(text, ' '),
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+                   len(list_intersect(
+                       list_distinct(string_split(text, ' ')),
+                       ['the', 'be', 'to', 'of', 'and', 'that',
+                        'have', 'with'])) AS nsw
+            FROM documents
+        ), r AS (
+            SELECT source,
+                   CASE WHEN nw BETWEEN {_GOPHER_WC_LO}
+                                    AND {_GOPHER_WC_HI}
+                        THEN 0 ELSE 1 END AS f_wordcount,
+                   CASE WHEN sumlen >= 3 * nw AND sumlen <= 10 * nw
+                        THEN 0 ELSE 1 END AS f_wordlen,
+                   CASE WHEN 10 * nsym <= nw THEN 0 ELSE 1 END
+                       AS f_symbol,
+                   CASE WHEN 10 * nbullet <= nl THEN 0 ELSE 1 END
+                       AS f_bullet,
+                   CASE WHEN 10 * nell <= 3 * nl THEN 0 ELSE 1 END
+                       AS f_ellipsis,
+                   CASE WHEN 5 * nalpha >= 4 * nw THEN 0 ELSE 1 END
+                       AS f_alpha,
+                   CASE WHEN nsw >= 2 THEN 0 ELSE 1 END AS f_stopword
+            FROM g
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_wordcount) AS BIGINT) AS n_fail_wordcount,
+               CAST(sum(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+               CAST(sum(f_symbol) AS BIGINT) AS n_fail_symbol,
+               CAST(sum(f_bullet) AS BIGINT) AS n_fail_bullet,
+               CAST(sum(f_ellipsis) AS BIGINT) AS n_fail_ellipsis,
+               CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+               CAST(sum(f_stopword) AS BIGINT) AS n_fail_stopword,
+               CAST(count(*) FILTER (WHERE f_wordcount + f_wordlen
+                    + f_symbol + f_bullet + f_ellipsis + f_alpha
+                    + f_stopword = 0) AS BIGINT) AS n_pass
+        FROM r GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED Gopher quality-filter rules (Rae et al. 2021,
+    Appendix A) as a per-source rule census: for each of the seven
+    rules — word count in [{lo}, {hi}], mean word length in [3, 10],
+    symbol('#'/'…')-to-word ratio <= 0.1, <= 10% bullet-started
+    lines, <= 30% ellipsis-ended lines, >= 80% words with an ASCII
+    letter, >= 2 distinct required stopwords — the count of docs
+    FAILING it, plus the all-rules pass count. Complements the
+    engine-native gates: q_text_filter_pipeline yields, q_filter_reasons
+    explains, this key reproduces the literature-standard screen a
+    pretraining pipeline is benchmarked against.
+
+    Determinism: ZERO floating point — every ratio rule is an exact
+    integer cross-multiplication (mean-word-length in [3, 10] <=>
+    3*nw <= sumlen <= 10*nw; symbol ratio <= 0.1 <=> 10*nsym <= nw;
+    bullet <= 10% <=> 10*nbullet <= nl; ellipsis <= 30% <=>
+    10*nell <= 3*nl; alpha >= 80% <=> 5*nalpha >= 4*nw), the
+    strongest cross-engine class (the q_mix_doremi precedent).
+    Tokens = whitespace split, lengths = code points, the alphabetic
+    test = explicit-ASCII regex (the unicode contract); '…' is one
+    code point on both engines.
+
+    Plan: ONE scan (spread() — per-row array kernels off the
+    single-file scan task, the q_filter_reasons discipline), all
+    rules scan-stage expressions, ONE map-side-combined groupBy to
+    |sources| rows."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    lines = F.split("text", "\n")
+    nw = F.size(toks)
+    sumlen = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    nsym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "#", ""))
+        + F.length("text")
+        - F.length(F.regexp_replace("text", "…", ""))
+    )
+    nl = F.size(lines)
+    nbullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-")
+            | x.startswith("•")
+            | x.startswith("*"),
+        )
+    )
+    nell = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    nalpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    nsw = F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+    def fail(cond):
+        return F.when(cond, 0).otherwise(1)
+
+    g = d.select(
+        "source",
+        fail(nw.between(_GOPHER_WC_LO, _GOPHER_WC_HI)).alias("f_wordcount"),
+        fail((sumlen >= 3 * nw) & (sumlen <= 10 * nw)).alias("f_wordlen"),
+        fail(10 * nsym <= nw).alias("f_symbol"),
+        fail(10 * nbullet <= nl).alias("f_bullet"),
+        fail(10 * nell <= 3 * nl).alias("f_ellipsis"),
+        fail(5 * nalpha >= 4 * nw).alias("f_alpha"),
+        fail(nsw >= 2).alias("f_stopword"),
+    )
+    allf = sum(
+        (F.col(c) for c in (
+            "f_wordcount", "f_wordlen", "f_symbol", "f_bullet",
+            "f_ellipsis", "f_alpha", "f_stopword",
+        )),
+        F.lit(0),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[
+                F.sum(c).cast("long").alias(f"n_fail_{c[2:]}")
+                for c in (
+                    "f_wordcount", "f_wordlen", "f_symbol", "f_bullet",
+                    "f_ellipsis", "f_alpha", "f_stopword",
+                )
+            ],
+            F.count(F.when(allf == 0, 1)).cast("long").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+q_quality_gopher.__doc__ = q_quality_gopher.__doc__.format(
+    lo=_GOPHER_WC_LO, hi=_GOPHER_WC_HI
+)

@@ -2609,3 +2609,42 @@ def test_mix_doremi_closed_form(spark, tmp_path):
         "A": (1, 6, 750_000, alpha["A"]),
         "B": (2, 1 + 1, 250_000, alpha["B"]),
     }
+
+
+def test_quality_gopher_closed_form(spark, tmp_path):
+    """Eight docs, each isolating ONE Gopher rule failure (the others
+    pass): d0 passes all seven; d1 10 words (< 50); d2 58x 'a' (mean
+    word length 63/60 < 3); d3 seven '#' tokens (10*7 > 60 words);
+    d4 one of two lines bullet-started (10*1 > 2); d5 one of two
+    lines ellipsis-ended (10*1 > 3*2); d6 20 numeric words
+    (5*40 < 4*60); d7 no required stopwords. Expected per-source row:
+    every n_fail_* = 1, n_pass = 1."""
+    w = ["word"]
+    docs = [
+        " ".join(["the", "of"] + w * 58),                       # pass
+        " ".join(["the", "of"] + w * 8),                        # wordcount
+        " ".join(["the", "of"] + ["a"] * 58),                   # wordlen
+        " ".join(["the", "of"] + w * 51 + ["#"] * 7),           # symbol
+        " ".join(["the", "of"] + w * 28) + " \n- "
+        + " ".join(w * 29),                                     # bullet
+        " ".join(["the", "of"] + w * 28) + " \n"
+        + " ".join(w * 29) + " word...",                        # ellipsis
+        " ".join(["the", "of"] + w * 38 + ["123"] * 20),        # alpha
+        " ".join(w * 60),                                       # stopword
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = _q("q_quality_gopher")(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_docs == 8
+    assert (
+        r.n_fail_wordcount, r.n_fail_wordlen, r.n_fail_symbol,
+        r.n_fail_bullet, r.n_fail_ellipsis, r.n_fail_alpha,
+        r.n_fail_stopword,
+    ) == (1, 1, 1, 1, 1, 1, 1)
+    assert r.n_pass == 1
