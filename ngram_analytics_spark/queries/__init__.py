@@ -18,64 +18,60 @@ from ngram_analytics_spark.registry import QueryRegistry
 # doc-lint test_graded_first_matches_generator pins this tuple to the
 # tool's output, so editing a query without regenerating fails the
 # suite).  Composition rule: (a) keys with no driver CORRECTNESS row
-# yet (r13: the new q_dedup_host / q_mix_doremi / q_quality_gopher),
-# (b) keys whose own
-# function/oracle text changed since the round base (r13: the
-# de-vacuated q_subquery_scalar, the rank-seeded q_dedup_semantic,
-# the pid-keyed q_dedup_incremental_fuzzy, and q_dedup_minhash_exact
-# via the shared-CTE oracle refactor), (c) the stalest-graded tail —
-# the remaining r03 cohort leads, retiring it per VERDICT r12 item 3.
+# yet (r14: none — 403/403 graded), (b) keys whose own function/oracle
+# text changed since the round base, (c) the stalest-graded tail — the
+# r05 cohort leads per VERDICT r13 item 5.
 GRADED_FIRST: tuple[str, ...] = (
-    "q_dedup_host",
-    "q_mix_doremi",
-    "q_quality_gopher",
-    "q_dedup_incremental_fuzzy",
-    "q_dedup_semantic",
-    "q_subquery_scalar",
-    "q_dedup_minhash_exact",
-    "q_subquery_lateral",
-    "q_values_inline",
-    "q_win_ignorenulls",
-    "q_win_range_interval",
-    "q_agg_bitwise",
-    "q_cdc_diff",
-    "q_dedup_canonical",
-    "q_dedup_cluster",
-    "q_dedup_embed",
-    "q_fn_binary",
-    "q_fn_crypto",
-    "q_fn_format",
-    "q_fn_levenshtein",
-    "q_graph_degree",
-    "q_graph_triangles",
-    "q_incr_agg",
-    "q_inverted_index",
-    "q_join_asof_fwd",
-    "q_join_asof_nearest",
-    "q_join_shuffle_hash",
-    "q_ml_kmeans_step",
-    "q_profile_table",
-    "q_sample_reservoir",
-    "q_scd2",
-    "q_session_paths",
-    "q_sim_pairs",
-    "q_sketch_countmin",
-    "q_stream_foreach_upsert",
-    "q_stream_live_dedup",
-    "q_stream_live_join",
-    "q_stream_live_pairjoin",
-    "q_text_chunk",
-    "q_text_pii",
-    "q_text_tfidf_exact",
-    "q_topk_salted",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q7",
-    "q_ts_pop",
-    "q_user_transitions",
-    "q_zorder_layout",
+    "q_anomaly_mad",
+    "q_attribution",
+    "q_basket_lift",
+    "q_cte",
+    "q_dedup_incremental",
+    "q_dedup_paragraph",
+    "q_dq_checks",
+    "q_fn_collation",
+    "q_fn_sql_udf",
+    "q_fn_xpath",
+    "q_graph_label_prop",
+    "q_join_asof_tolerance",
+    "q_mix_budget",
+    "q_ml_gd_loop",
+    "q_ml_sgd_step",
+    "q_paginate_keyset",
+    "q_rfm_segment",
+    "q_sample_weighted",
+    "q_shard_assign",
+    "q_skew_profile",
+    "q_source_xml",
+    "q_stream_live_lww",
+    "q_stream_live_reach",
+    "q_stream_live_session_dynamic",
+    "q_stream_session_dynamic",
+    "q_text_bm25",
+    "q_text_entropy",
+    "q_text_keywords",
+    "q_tpch_q12",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_ts_cusum",
+    "q_ts_holt",
+    "q_ts_islands",
+    "q_ts_rolling_ndv",
+    "q_ts_seasonal",
+    "q_ts_twap",
+    "q_udf_cogroup",
+    "q_udtf_poly",
+    "q_vocab_coverage",
+    "q_vocab_spectrum",
+    "q_agg_bitmap",
+    "q_agg_filter_clause",
+    "q_agg_moments",
+    "q_agg_weighted_median",
+    "q_corpus_gini",
+    "q_dedup_simhash_exact",
+    "q_fn_aes",
+    "q_fn_explode_outer",
+    "q_fn_json2",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale
