@@ -42,7 +42,13 @@ def ngram_col(tokens: Column | str, n: int) -> Column:
 
     ``len(result) == max(0, size(tokens) - n + 1)`` (MLlib semantics:
     short rows yield an empty array, never NULL).
-    """
+
+    Per-element spelling is variadic ``concat_ws(" ", element_at(c, i),
+    ..., element_at(c, i+n-1))`` — identical output to the previous
+    ``concat_ws(" ", slice(c, i, n))`` (concat_ws flattens/skips the
+    same way) but without allocating a fresh n-element array per
+    emitted gram inside the interpreted lambda; measured 2.5x on the
+    sf0.1x10 bigram-count kernel (r14, guide §1 per-task work)."""
     if n < 1:
         raise ValueError(f"ngram size must be >= 1, got {n}")
     c = F.col(tokens) if isinstance(tokens, str) else tokens
@@ -50,7 +56,9 @@ def ngram_col(tokens: Column | str, n: int) -> Column:
         F.size(c) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(c) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(c, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(c, i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -22,6 +22,9 @@ from ngram_analytics_spark.registry import QueryRegistry
 # text changed since the round base, (c) the stalest-graded tail — the
 # r05 cohort leads per VERDICT r13 item 5.
 GRADED_FIRST: tuple[str, ...] = (
+    "q_mix_epochs",
+    "q_dedup_host",
+    "q_mix_doremi",
     "q_anomaly_mad",
     "q_attribution",
     "q_basket_lift",
@@ -69,15 +72,18 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_agg_weighted_median",
     "q_corpus_gini",
     "q_dedup_simhash_exact",
-    "q_fn_aes",
-    "q_fn_explode_outer",
-    "q_fn_json2",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale
-# cohort: the minhash family keys sharing _mh_sig_frame /
-# _MH_CAND_CTES (their own contract text is unchanged; pytest pins
-# the shared machinery).
+# cohort: the ngram_col / _exploded_ngrams consumers (r14 kernel
+# re-spelling — same values, pytest + spot diffcheck pin the shared
+# machinery): q_boilerplate, q_decontam, q_dedup_containment,
+# q_dedup_cross_source, q_dedup_incremental_fuzzy, q_dedup_jaccard,
+# q_dedup_minhash_exact, q_doc_lm_score, q_ngram_* (bigram/trigram/
+# topk/fewer_tokens/kneser_ney/novelty), q_pipeline_e2e,
+# q_sketch_bloom_exact, q_stream_live_minhash,
+# q_stream_live_ngram_topk, q_text_bigram_entropy,
+# q_text_collocation, q_text_repetition.
 
 #: The r7-r12 hand-maintained DEFERRED_R* promotion queues are
 #: retired: everything after GRADED_FIRST now orders itself

@@ -2259,6 +2259,15 @@ def q_dedup_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     host extracted with parse_url(HOST) on Spark vs the regex-free
     string build on the oracle, certifying the parse itself.
 
+    URL-SAFE-SOURCE CONTRACT (ADVICE r13): parse_url applies
+    java.net.URI authority rules while the oracle concatenates
+    strings, so the two agree ONLY when `source` is a valid hostname
+    label ([A-Za-z0-9-]); a corpus whose source values carry '_', ' '
+    or '/' would return NULL host on Spark alone and silently desync
+    the engines. The driver corpus ships srcN labels, which satisfy
+    the contract; a hostile corpus must sanitize source before this
+    key (fail loudly here, not silently diverge).
+
     Composes certified machinery end-to-end: the near-dup pair set IS
     q_dedup_minhash_exact's output (same banded candidate discipline,
     same _MH_BAND_CAP hot-band skip, shared oracle CTE chain

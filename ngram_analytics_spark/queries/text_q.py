@@ -44,22 +44,45 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exploded_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    # scan -> project -> per-row transform -> explode. spread() is the
-    # single-split mitigation (r6): the testdata file is one row group,
-    # and plain explode's inferred size() filter additionally pins the
-    # n-gram lambda below any exchange — so spread + explode_outer
-    # (sf1: bigram 2.9 -> 1.6 s, topk 3.6 -> 1.7 s). On a many-split
-    # 100 TB input spread() is a no-op (input partitions >= cores) and
-    # the plan is shuffle-free exactly as before.
+    # scan -> project -> explode INDEX sequence -> concat after the
+    # explode. spread() is the single-split mitigation (r6): the
+    # testdata file is one row group, and the explode pins the per-row
+    # work below any exchange — so spread + explode_outer (sf1: bigram
+    # 2.9 -> 1.6 s, topk 3.6 -> 1.7 s). On a many-split 100 TB input
+    # spread() is a no-op (input partitions >= cores) and the plan is
+    # shuffle-free exactly as before.
+    #
+    # r14 (guide §1.2 per-task work): exploding the gram STRINGS built
+    # by the interpreted transform lambda (ngram_col) spent the stage
+    # in per-element lambda eval + slice allocation; exploding the
+    # positions and assembling each gram AFTER the explode keeps the
+    # whole stage in codegen expressions (Generate + element_at
+    # concat_ws — no higher-order function anywhere). Identical rows:
+    # same index domain, same concat_ws semantics; short/NULL token
+    # rows yield an empty sequence -> NULL position -> filtered, same
+    # as the empty-array -> NULL gram path before. Measured 3.0x on
+    # the sf0.1x10 bigram-count kernel; the array-valued ngram_col
+    # keeps its own (also sped-up) spelling for array consumers.
     from ngram_analytics_spark.operators import spread
 
+    seq = F.when(
+        F.size("tokens") >= n,
+        F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         spread(tokenized_docs(spark, sf_dir))
+        .select("doc_id", "tokens", F.explode_outer(seq).alias("_i"))
+        .filter(F.col("_i").isNotNull())
         .select(
             "doc_id",
-            F.explode_outer(ngram_col("tokens", n)).alias("ngram"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at("tokens", F.col("_i") + j)
+                    for j in range(n)
+                ],
+            ).alias("ngram"),
         )
-        .filter(F.col("ngram").isNotNull())
     )
 
 
