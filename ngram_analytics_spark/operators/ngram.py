@@ -63,6 +63,53 @@ def ngram_col(tokens: Column | str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ngram_explode(
+    df: DataFrame,
+    tokens_col: str,
+    n: int,
+    out_col: str = "ngram",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Exploded (one row per gram) n-grams of ``tokens_col`` — the
+    row-stream twin of :func:`ngram_col` for consumers that explode
+    anyway (counts, doc-frequency, LM scoring).
+
+    Explodes the INDEX sequence and assembles each gram AFTER the
+    explode, so the whole stage stays in codegen expressions
+    (Generate of ints + element_at/concat_ws Project) instead of the
+    interpreted per-element transform lambda — measured 3.0x on the
+    sf0.1x10 bigram-count kernel (r14, guide §1.2/§4.1). Identical
+    rows to ``explode_outer(ngram_col(...)) + isNotNull filter``:
+    same index domain, same concat_ws semantics; short/NULL token
+    rows explode to a NULL position and are filtered.
+
+    ``keep`` lists the columns carried through (default: every column
+    except ``tokens_col``).
+    """
+    if n < 1:
+        raise ValueError(f"ngram size must be >= 1, got {n}")
+    if keep is None:
+        keep = [c for c in df.columns if c != tokens_col]
+    seq = F.when(
+        F.size(tokens_col) >= n,
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(*keep, tokens_col, F.explode_outer(seq).alias("__i"))
+        .filter(F.col("__i").isNotNull())
+        .select(
+            *keep,
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(tokens_col, F.col("__i") + j)
+                    for j in range(n)
+                ],
+            ).alias(out_col),
+        )
+    )
+
+
 def ngrams_sql(tokens_expr: str, n: int) -> str:
     """DuckDB-SQL equivalent of :func:`ngram_col` (oracle side).
 

@@ -94,13 +94,13 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    # explode_outer + null filter (r6): plain explode's inferred
-    # size()>0 predicate pushes the bigram lambda below the spread()
-    # exchange onto the single scan task — 2.3 -> 0.6 s at sf0.1
-    # (the q_dedup_minhash_exact discovery).
-    bg = t.select(
-        "doc_id", F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
-    ).filter(F.col("bg").isNotNull())
+    # ngram_explode (r14): index-explode + post-explode gram assembly
+    # keeps the bigram stage in codegen (no interpreted transform
+    # lambda) — the r6 explode_outer/null-filter pushdown shape is
+    # preserved inside the helper. Identical rows.
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
+    bg = ngram_explode(t, "toks", 2, out_col="bg", keep=["doc_id"])
     bc = bg.groupBy("bg").agg(F.count("*").alias("c_bi"))
     uc = (
         t.select(F.explode("toks").alias("w"))
@@ -161,19 +161,21 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate). The span-frequency table is corpus-bounded, never
     broadcast, never driver-side.
     """
-    # explode_outer + null filter (r6 discipline): both consumers of dg
-    # re-run the span lambda, and plain explode's inferred filter pins
-    # it below the spread() exchange
+    # ngram_explode (r14): index-explode + post-explode span assembly
+    # keeps the 5-token span stage in codegen (both consumers of dg
+    # re-run it, so the lambda removal pays twice).
     # tokenizer hoisted to its own projection (longdoc probe r9:
     # 8.5x at equal token mass with split() inside the slice lambda)
-    g = (
-        spread(load(spark, sf_dir, "documents"))
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode_outer(ngram_col("toks", _SPAN_N)).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
+    g = ngram_explode(
+        spread(load(spark, sf_dir, "documents")).select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ),
+        "toks",
+        _SPAN_N,
+        out_col="g",
+        keep=["doc_id"],
     )
     dg = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
     df = dg.groupBy("g").agg(F.count("*").alias("df"))
@@ -843,12 +845,12 @@ def q_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     the discount/interpolation arithmetic performs identical IEEE ops
     on identical inputs in both engines; top-{k} ties break on the
     bigram string."""
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
     t = spread(load(spark, sf_dir, "documents")).select(
         F.split("text", " ").alias("toks")
     )
-    bg = t.select(
-        F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
-    ).filter(F.col("bg").isNotNull())
+    bg = ngram_explode(t, "toks", 2, out_col="bg", keep=[])
     bc = (
         bg.groupBy("bg")
         .agg(F.count("*").alias("c_bi"))
@@ -1367,12 +1369,12 @@ def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, the q_doc_lm_score shape); the marginal re-aggregates the
     TYPE table; join keys on (lang, w1). Nothing after the first
     rollup scales with corpus size — only with vocabulary."""
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
     t = spread(load(spark, sf_dir, "documents")).select(
         "lang", F.split("text", " ").alias("toks")
     )
-    bg = t.select(
-        "lang", F.explode_outer(ngram_col(F.col("toks"), 2)).alias("bg")
-    ).filter(F.col("bg").isNotNull())
+    bg = ngram_explode(t, "toks", 2, out_col="bg", keep=["lang"])
     bc = bg.groupBy("lang", "bg").agg(
         F.count("*").cast("long").alias("c_bi")
     )

@@ -279,10 +279,19 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample — filtered before the recursion on BOTH engines (the
     pandas loop would propagate NaN forever; the oracle's arg_max
     would silently skip it — probed divergent, now aligned)."""
+    # explicit repartition(defaultParallelism, user_id): AQE sizes the
+    # shuffle by BYTES and coalesced this ~1 MB exchange to ONE
+    # partition, serializing all ~1.5 k per-user pandas calls on one
+    # core (the q_udf_cogroup finding, r14, guide §2.5/§4). Pinning
+    # the count floors Python-stage parallelism at the core count;
+    # interleaved A/B at sf0.1: 4.10 -> 1.02 s, identical rows.
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("user_id", "ts", "event_id", "value")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
     )
     a, b = float(_EWMA_A), float(_EWMA_B)
 

@@ -24,7 +24,11 @@ from ngram_analytics_spark.functions.deterministic import (
     oracle_round4det,
     round4det,
 )
-from ngram_analytics_spark.operators.ngram import ngram_col, ngrams_sql
+from ngram_analytics_spark.operators.ngram import (
+    ngram_col,
+    ngram_explode,
+    ngrams_sql,
+)
 from ngram_analytics_spark.registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -84,14 +88,12 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-gram lambda per consumer on ONE task (2.1 -> 0.9 s at sf0.1)
     # tokenizer hoisted to its own projection (longdoc probe r9):
     # split() as the lambda's array argument re-evaluates per element
-    sh = (
-        spread(d)
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode_outer(ngram_col("toks", _DECON_N)).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
+    sh = ngram_explode(
+        spread(d).select("doc_id", F.split("text", " ").alias("toks")),
+        "toks",
+        _DECON_N,
+        out_col="g",
+        keep=["doc_id"],
     )
     is_eval = F.col("doc_id") % _DECON_MOD == 0
     eval_sh = sh.filter(is_eval).select("g").distinct()
@@ -153,10 +155,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer hoisted to its own projection (longdoc probe r9:
     # 54.7x at equal token mass with split() inside the lambda)
     per = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(ngram_col("toks", 2)).alias("g"),
+        ngram_explode(
+            d.select("doc_id", F.split("text", " ").alias("toks")),
+            "toks",
+            2,
+            out_col="g",
+            keep=["doc_id"],
         )
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
@@ -789,14 +793,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread + explode_outer (r6 discipline — same fix as q_decontam):
     # two consumers each ran the 4-gram lambda on the single scan task
     # tokenizer hoisted (longdoc probe r9 — same fix as q_decontam)
-    sh = (
-        spread(d)
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode_outer(ngram_col("toks", _DECON_N)).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
+    sh = ngram_explode(
+        spread(d).select("doc_id", F.split("text", " ").alias("toks")),
+        "toks",
+        _DECON_N,
+        out_col="g",
+        keep=["doc_id"],
     )
     eval_sh = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
     contaminated = (

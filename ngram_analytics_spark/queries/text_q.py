@@ -54,35 +54,19 @@ def _exploded_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     #
     # r14 (guide §1.2 per-task work): exploding the gram STRINGS built
     # by the interpreted transform lambda (ngram_col) spent the stage
-    # in per-element lambda eval + slice allocation; exploding the
-    # positions and assembling each gram AFTER the explode keeps the
-    # whole stage in codegen expressions (Generate + element_at
-    # concat_ws — no higher-order function anywhere). Identical rows:
-    # same index domain, same concat_ws semantics; short/NULL token
-    # rows yield an empty sequence -> NULL position -> filtered, same
-    # as the empty-array -> NULL gram path before. Measured 3.0x on
-    # the sf0.1x10 bigram-count kernel; the array-valued ngram_col
-    # keeps its own (also sped-up) spelling for array consumers.
+    # in per-element lambda eval + slice allocation; ngram_explode
+    # (operators/ngram.py) explodes the positions and assembles each
+    # gram AFTER the explode, keeping the whole stage in codegen.
+    # Identical rows; measured 3.0x on the sf0.1x10 bigram-count
+    # kernel. The array-valued ngram_col keeps its own (also sped-up)
+    # spelling for array consumers.
     from ngram_analytics_spark.operators import spread
+    from ngram_analytics_spark.operators.ngram import ngram_explode
 
-    seq = F.when(
-        F.size("tokens") >= n,
-        F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        spread(tokenized_docs(spark, sf_dir))
-        .select("doc_id", "tokens", F.explode_outer(seq).alias("_i"))
-        .filter(F.col("_i").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at("tokens", F.col("_i") + j)
-                    for j in range(n)
-                ],
-            ).alias("ngram"),
-        )
+    return ngram_explode(
+        spread(tokenized_docs(spark, sf_dir)).select("doc_id", "tokens"),
+        "tokens",
+        n,
     )
 
 
@@ -565,9 +549,13 @@ def q_text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, broadcast-crossJoined in, mirroring the oracle's `totals`
     CTE) — no driver-side .count() action at plan-build time, so the
     whole query is one Spark job and the totals can never go stale."""
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
     toks = tokenized_docs(spark, sf_dir)
     uni = toks.select(F.explode("tokens").alias("w"))
-    bi = toks.select(F.explode(ngram_col("tokens", 2)).alias("bigram"))
+    bi = ngram_explode(
+        toks.select("tokens"), "tokens", 2, out_col="bigram", keep=[]
+    )
     uni_counts = uni.groupBy("w").agg(F.count("*").alias("c_w"))
     bi_counts = bi.groupBy("bigram").agg(F.count("*").alias("c_ab"))
     totals = uni_counts.agg(F.sum("c_w").alias("_n_uni")).crossJoin(

@@ -2177,11 +2177,16 @@ def q_stream_live_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateless repartition spreads the per-row lattice across cores
     # (the q_stream_live_minhash adjudication; spread() can't probe a
     # streaming frame's rdd)
+    from ngram_analytics_spark.operators.ngram import ngram_explode
+
     g = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.split("text", " ").alias("toks"))
-        .select(F.explode_outer(ngram_col("toks", 2)).alias("ngram"))
-        .filter(F.col("ngram").isNotNull())
+        ngram_explode(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.split("text", " ").alias("toks")),
+            "toks",
+            2,
+            keep=[],
+        )
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

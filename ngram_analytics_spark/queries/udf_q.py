@@ -309,18 +309,34 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the Arrow path itself is what the oracle certifies. Scale
     shape: ONE co-partitioned shuffle of both filtered slices on
     user_id; per-key pandas batches are user-sized, never
-    corpus-sized."""
+    corpus-sized.
+
+    The co-partitioning is an EXPLICIT repartition(defaultParallelism,
+    user_id) on both sides (r14, guide §2.5/§4): AQE sizes shuffle
+    partitions by BYTES, and the per-key pandas stage's cost is
+    per-KEY Python dispatch, so the ~400 KB shuffle coalesced to ONE
+    partition and all ~1.5 k per-user calls ran serially on one core
+    (stageprof: a single 4.2 s task). Pinning the partition count
+    floors Python-stage parallelism at the core count on any cluster
+    size — interleaved A/B at sf0.1: 4.67 -> 0.98 s, identical rows."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
+    n_par = spark.sparkContext.defaultParallelism
     # NULL contract (tools/null_probe.py): NULL click values carry no
     # ticks — filtered on BOTH engines (NaN otherwise poisons the
     # numpy tick cast inside the cogroup batch).
-    clicks = ev.filter(
-        (F.col("event_type") == "click") & F.col("value").isNotNull()
-    ).select("user_id", "value")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id"
+    clicks = (
+        ev.filter(
+            (F.col("event_type") == "click") & F.col("value").isNotNull()
+        )
+        .select("user_id", "value")
+        .repartition(n_par, "user_id")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .repartition(n_par, "user_id")
     )
 
     def merge(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
