@@ -51,8 +51,8 @@ def grouped_value_cumsum(
 
     With a LIST of weight names (e.g. two samples' counts for a KS
     statistic), each weight ``w`` yields ``cum_<w>`` / ``tot_<w>`` in
-    the same single pass — one bucket summary, one triangular offset
-    join, one window.
+    the same single pass — one bucket summary, one group-keyed
+    offset/total join, one window.
 
     Window partitions are (group, floor(value/bucket_width)) — bounded
     by the value domain within one bucket, never by fact-row count.
@@ -64,29 +64,47 @@ def grouped_value_cumsum(
     per_bucket = vb.groupBy(group, "_b").agg(
         *[F.sum(w).alias(f"_mass_{w}") for w in ws]
     )
+    # Per-bucket offsets AND group totals from ONE conditional
+    # aggregation over the group-keyed self-join of the tiny (group,
+    # bucket) summary (r14): the old shape referenced per_bucket
+    # THREE times (triangular x side, y side, separate totals rollup)
+    # and joined totals back separately — each reference re-ran the
+    # caller's compress subtree (q_winsorize: 5 parquet scans of the
+    # fact table in one plan, stageprof-verified). Folding the
+    # strictly-below condition into a `when` inside the aggregate
+    # computes offset and total in the same pass: two references, one
+    # broadcast join downstream. (A prefix-sum window over per_bucket
+    # was measured equivalent but constant-GROUP consumers fold the
+    # partition spec away and trip the unpartitioned-window plan
+    # lint, so the join spelling stays.) Inner join is safe: every x
+    # row matches at least itself on the group key. Exact int64 adds
+    # in any order — values bit-identical to the old spelling.
     x, y = per_bucket.alias("x"), per_bucket.alias("y")
     offsets = (
         x.join(
-            F.broadcast(y),
-            (F.col(f"y.{group}") == F.col(f"x.{group}"))
-            & (F.col("y._b") < F.col("x._b")),
-            "left",
+            F.broadcast(y), F.col(f"y.{group}") == F.col(f"x.{group}")
         )
         .groupBy(F.col(f"x.{group}").alias(group), F.col("x._b").alias("_b"))
         .agg(
             *[
-                F.coalesce(F.sum(f"y._mass_{w}"), F.lit(0)).alias(
-                    f"_off_{w}"
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("y._b") < F.col("x._b"),
+                            F.col(f"y._mass_{w}"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"_off_{w}")
+                for w in ws
+            ],
+            *[
+                F.sum(f"y._mass_{w}").alias(
+                    "tot" if single else f"tot_{w}"
                 )
                 for w in ws
-            ]
+            ],
         )
-    )
-    totals = per_bucket.groupBy(group).agg(
-        *[
-            F.sum(f"_mass_{w}").alias("tot" if single else f"tot_{w}")
-            for w in ws
-        ]
     )
     w_run = (
         W.partitionBy(group, "_b")
@@ -96,9 +114,7 @@ def grouped_value_cumsum(
     out = vb
     for w in ws:
         out = out.withColumn(f"_run_{w}", F.sum(w).over(w_run))
-    out = out.join(F.broadcast(offsets), [group, "_b"]).join(
-        F.broadcast(totals), group
-    )
+    out = out.join(F.broadcast(offsets), [group, "_b"])
     for w in ws:
         out = out.withColumn(
             "cum" if single else f"cum_{w}",
