@@ -25,6 +25,17 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_mix_epochs",
     "q_dedup_host",
     "q_mix_doremi",
+    "q_udf_cogroup",
+    "q_ngram_kneser_ney",
+    "q_text_collocation",
+    "q_boilerplate",
+    "q_decontam",
+    "q_pipeline_e2e",
+    "q_text_repetition",
+    "q_doc_lm_score",
+    "q_ewma",
+    "q_stream_live_ngram_topk",
+    "q_text_bigram_entropy",
     "q_anomaly_mad",
     "q_attribution",
     "q_basket_lift",
@@ -61,29 +72,12 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_ts_islands",
     "q_ts_rolling_ndv",
     "q_ts_seasonal",
-    "q_ts_twap",
-    "q_udf_cogroup",
-    "q_udtf_poly",
-    "q_vocab_coverage",
-    "q_vocab_spectrum",
-    "q_agg_bitmap",
-    "q_agg_filter_clause",
-    "q_agg_moments",
-    "q_agg_weighted_median",
-    "q_corpus_gini",
-    "q_dedup_simhash_exact",
 )
 # indirect (one-hop helper) changes this round, re-graded via the
 # oldest-first rotation below rather than displacing the stale
-# cohort: the ngram_col / _exploded_ngrams consumers (r14 kernel
-# re-spelling — same values, pytest + spot diffcheck pin the shared
-# machinery): q_boilerplate, q_decontam, q_dedup_containment,
-# q_dedup_cross_source, q_dedup_incremental_fuzzy, q_dedup_jaccard,
-# q_dedup_minhash_exact, q_doc_lm_score, q_ngram_* (bigram/trigram/
-# topk/fewer_tokens/kneser_ney/novelty), q_pipeline_e2e,
-# q_sketch_bloom_exact, q_stream_live_minhash,
-# q_stream_live_ngram_topk, q_text_bigram_entropy,
-# q_text_collocation, q_text_repetition.
+# cohort (r14 kernel/operator re-spellings — same values, pytest +
+# diffcheck pin the shared machinery):
+#   q_ab_mann_whitney, q_agg_weighted_median, q_anomaly_iqr, q_compaction_plan, q_dedup_containment, q_dedup_cross_source, q_dedup_incremental_fuzzy, q_dedup_jaccard, q_dedup_minhash_exact, q_ks_drift, q_ml_auc_pr, q_ml_cost_threshold, q_ml_kendall_tau, q_ml_ks_separation, q_ml_lift_gain, q_ml_pr_at_recall, q_ml_spearman, q_ngram_bigram, q_ngram_fewer_tokens, q_ngram_novelty, q_ngram_topk, q_ngram_trigram, q_pareto_share, q_range_partition_plan, q_sketch_bloom_exact, q_stream_live_minhash, q_winsorize
 
 #: The r7-r12 hand-maintained DEFERRED_R* promotion queues are
 #: retired: everything after GRADED_FIRST now orders itself
