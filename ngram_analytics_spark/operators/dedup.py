@@ -190,23 +190,36 @@ def ngram_jaccard_pairs(
     postings = sets.select(
         F.col(id_col), F.explode("_set").alias("_sh")
     )
-    rare = (
-        postings.groupBy("_sh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("_sh")
-    )
-    rare_postings = postings.join(F.broadcast(rare), "_sh")
+    # Rare-filter and pair generation folded into ONE pass over the
+    # postings (r14): document frequency IS the per-shingle id-list
+    # size (one posting per (doc, shingle) — _set is distinct), and a
+    # rare shingle's pairs expand in-memory from its <= max_df ids, so
+    # the old shape's separate df-count aggregate, broadcast join and
+    # postings self-join (three more references that each re-ran the
+    # shingle build, plus a candidate-sized shuffle) collapse into a
+    # single groupBy. Pair SET identical: {(a, b) : a < b sharing the
+    # shingle} is order-independent, so collect_list order cannot
+    # matter, and the same .distinct() dedups across shingles.
     cands = (
-        rare_postings.alias("a")
-        .join(
-            rare_postings.alias("b"),
-            (F.col("a._sh") == F.col("b._sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        postings.groupBy("_sh")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") <= max_df)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids",
+                        lambda a: F.transform(
+                            F.filter("_ids", lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
         )
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))

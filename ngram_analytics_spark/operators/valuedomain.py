@@ -64,47 +64,54 @@ def grouped_value_cumsum(
     per_bucket = vb.groupBy(group, "_b").agg(
         *[F.sum(w).alias(f"_mass_{w}") for w in ws]
     )
-    # Per-bucket offsets AND group totals from ONE conditional
-    # aggregation over the group-keyed self-join of the tiny (group,
-    # bucket) summary (r14): the old shape referenced per_bucket
-    # THREE times (triangular x side, y side, separate totals rollup)
-    # and joined totals back separately — each reference re-ran the
-    # caller's compress subtree (q_winsorize: 5 parquet scans of the
-    # fact table in one plan, stageprof-verified). Folding the
-    # strictly-below condition into a `when` inside the aggregate
-    # computes offset and total in the same pass: two references, one
-    # broadcast join downstream. (A prefix-sum window over per_bucket
-    # was measured equivalent but constant-GROUP consumers fold the
-    # partition spec away and trip the unpartitioned-window plan
-    # lint, so the join spelling stays.) Inner join is safe: every x
-    # row matches at least itself on the group key. Exact int64 adds
-    # in any order — values bit-identical to the old spelling.
-    x, y = per_bucket.alias("x"), per_bucket.alias("y")
-    offsets = (
-        x.join(
-            F.broadcast(y), F.col(f"y.{group}") == F.col(f"x.{group}")
-        )
-        .groupBy(F.col(f"x.{group}").alias(group), F.col("x._b").alias("_b"))
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("y._b") < F.col("x._b"),
-                            F.col(f"y._mass_{w}"),
-                        )
-                    ),
-                    F.lit(0),
-                ).alias(f"_off_{w}")
-                for w in ws
-            ],
-            *[
-                F.sum(f"y._mass_{w}").alias(
-                    "tot" if single else f"tot_{w}"
-                )
-                for w in ws
-            ],
-        )
+    # Per-bucket offsets AND group totals from ONE reference to the
+    # tiny (group, bucket) summary (r14, second pass): the r14 first
+    # pass folded totals into the triangular self-join (3 references
+    # -> 2), but the two join sides still each re-ran the caller's
+    # compress subtree — ReuseExchange cannot match them because
+    # column pruning gives the x side a narrower aggregate than the
+    # y side (the first-pass q_winsorize plan kept two separate fact
+    # scans under the offsets join). Collapsing each group's bucket summary
+    # to ONE row (sort_array(collect_list(...))) and deriving every
+    # bucket's strictly-below prefix sum and the group total with
+    # higher-order functions over that array leaves per_bucket
+    # referenced ONCE — one fewer full fact-table scan in every
+    # consumer. The array is exactly the relation the old spelling
+    # broadcast as the join build side, so collecting it is strictly
+    # cheaper than the O(B^2) triangular join; the higher-order
+    # lambdas are interpreted but run over #buckets rows per group.
+    # _b is unique within a group, so the struct sort is total and
+    # slice(_bl, 1, i) under posexplode is exactly the strictly-below
+    # set. Exact int64 adds in any order — values bit-identical.
+    mass_struct = F.struct(
+        F.col("_b"), *[F.col(f"_mass_{w}") for w in ws]
+    )
+    per_group = per_bucket.groupBy(group).agg(
+        F.sort_array(F.collect_list(mass_struct)).alias("_bl")
+    )
+    zero = F.lit(0).cast("long")
+    offsets = per_group.select(
+        group,
+        "_bl",
+        F.posexplode("_bl").alias("_i", "_e"),
+        *[
+            F.aggregate(
+                "_bl", zero, lambda a, e: a + e[f"_mass_{w}"]
+            ).alias("tot" if single else f"tot_{w}")
+            for w in ws
+        ],
+    ).select(
+        group,
+        F.col("_e._b").alias("_b"),
+        *[
+            F.aggregate(
+                F.slice("_bl", F.lit(1), F.col("_i")),
+                zero,
+                lambda a, e: a + e[f"_mass_{w}"],
+            ).alias(f"_off_{w}")
+            for w in ws
+        ],
+        *(["tot"] if single else [f"tot_{w}" for w in ws]),
     )
     w_run = (
         W.partitionBy(group, "_b")

@@ -45,6 +45,52 @@ def test_simhash_identical_docs_same_signature(spark):
     assert pairs[(1, 2)] == 0  # identical docs -> hamming 0
 
 
+def test_ngram_jaccard_binding_max_df_matches_python_mirror(spark):
+    """r14 pair generation (one groupBy + in-array pair expansion
+    replacing the df-count aggregate + broadcast + postings self-join)
+    must keep the CANDIDATE semantics bit-identical when max_df
+    actually bites: pairs = docs sharing >= 1 shingle whose document
+    frequency <= max_df, then exact Jaccard on full shingle sets."""
+    from ngram_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    from ngram_analytics_spark.operators.ngram import ngram_col
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn("tokens", F.split("text", " "))
+    )
+    max_df, min_j = 4, 0.05
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "tokens", max_df=max_df, min_jaccard=min_j
+        ).collect()
+    }
+    sets = {
+        r.doc_id: set(r.st)
+        for r in docs.select(
+            "doc_id", F.array_distinct(ngram_col("tokens", 2)).alias("st")
+        ).collect()
+    }
+    df_count: dict = {}
+    for st in sets.values():
+        for sh in st:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    rare = {sh for sh, c in df_count.items() if c <= max_df}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not (sets[a] & sets[b] & rare):
+                continue
+            common = len(sets[a] & sets[b])
+            j = round(common / (len(sets[a]) + len(sets[b]) - common), 4)
+            if j >= min_j:
+                want[(a, b)] = (common, j)
+    assert got == want
+    assert want, "max_df test vacuous: no candidate pairs survived"
+
+
 def test_minhash_lsh_finds_planted_near_dup(spark):
     from ngram_analytics_spark.operators.dedup import minhash_lsh_candidates
 

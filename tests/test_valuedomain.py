@@ -86,6 +86,25 @@ def test_grouped_value_cumsum_multi_weight(spark, rows):
     assert got_w2 == _naive_cum(rows, 3)
 
 
+def test_value_cumsum_references_bucket_summary_once(spark):
+    """r14 second pass: offsets AND totals come from ONE reference to
+    the (group, bucket) summary (sort_array(collect_list) + higher-
+    order prefix sums), not a triangular self-join whose two sides
+    each re-ran the caller's compress subtree.  Pin the consumer-
+    visible effect: q_winsorize's physical plan reads the fact table
+    exactly 3 times (window path, bucket summary, final clip join) —
+    the old self-join shape read it 4 times, the pre-r14 one 5."""
+    from ngram_analytics_spark import plans as P
+    from ngram_analytics_spark.queries import build_registry
+    from tests.conftest import SF_SMOKE
+
+    plan = P.physical_plan(
+        build_registry().queries["q_winsorize"](spark, SF_SMOKE)
+    )
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 3, f"expected 3 fact scans, got {n_scans}:\n{plan}"
+
+
 @settings(
     max_examples=8,
     deadline=None,
