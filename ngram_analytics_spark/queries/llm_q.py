@@ -1959,6 +1959,20 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
             F.lit(_MH_BANDS).cast("long").alias("n_bands"),
         )
     )
+    # Band rows carry the MEMBERS array alongside the gid (r14): the
+    # old shape banded bare gids and then joined grp's exploded
+    # membership back TWICE to expand group pairs to doc pairs —
+    # a third reference to grp whose subtree re-ran the whole
+    # scan+shingle+md5 signature kernel, plus two candidate-keyed
+    # join shuffles. Riding the membership structs through the band
+    # explode (the r10 fingerprint discipline, extended to the
+    # member LIST) leaves grp referenced twice (intra + bands) and
+    # expands cross pairs in-array. Values are untouched: a group
+    # emits one row per (bj, bk), so collect_list == collect_set on
+    # gid; the struct sort leads with the unique gid, so pair order
+    # and the (ga, gb) band count are the old ones; first() on the
+    # carried member arrays is deterministic because every row of a
+    # (ga, gb) group carries the same two arrays.
     band_structs = [
         F.struct(
             F.lit(j).alias("bj"),
@@ -1967,33 +1981,34 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
         for j in range(_MH_BANDS)
     ]
     bands = grp.select(
-        "gid", F.explode(F.array(*band_structs)).alias("b")
-    ).select("gid", "b.bj", "b.bk")
+        "gid", "members", F.explode(F.array(*band_structs)).alias("b")
+    ).select("gid", "members", "b.bj", "b.bk")
     gp = (
         bands.groupBy("bj", "bk")
-        .agg(F.sort_array(F.collect_set("gid")).alias("gs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("gid"), F.col("members")))
+            ).alias("gs")
+        )
         .filter(
             (F.size("gs") >= 2) & (F.size("gs") <= _MH_BAND_CAP)
         )
         .select(F.explode(_pairs_lambda(F.col("gs"))).alias("p"))
         .groupBy(
-            F.col("p.a").alias("ga"), F.col("p.b").alias("gb")
+            F.col("p.a.gid").alias("ga"), F.col("p.b.gid").alias("gb")
         )
-        .agg(F.count("*").cast("long").alias("n_bands"))
+        .agg(
+            F.count("*").cast("long").alias("n_bands"),
+            F.first("p.a.members").alias("_ma"),
+            F.first("p.b.members").alias("_mb"),
+        )
     )
-    mem = grp.select("gid", F.explode("members").alias("m"))
     a_first = F.col("ma.doc_id") < F.col("mb.doc_id")
     first = F.when(a_first, F.col("ma")).otherwise(F.col("mb"))
     second = F.when(a_first, F.col("mb")).otherwise(F.col("ma"))
     cross = (
-        gp.join(
-            mem.select(F.col("gid").alias("ga"), F.col("m").alias("ma")),
-            "ga",
-        )
-        .join(
-            mem.select(F.col("gid").alias("gb"), F.col("m").alias("mb")),
-            "gb",
-        )
+        gp.select("n_bands", F.explode("_ma").alias("ma"), "_mb")
+        .select("n_bands", "ma", F.explode("_mb").alias("mb"))
         .select(
             *_endpoint(first, "_a", "id_a"),
             *_endpoint(second, "_b", "id_b"),
