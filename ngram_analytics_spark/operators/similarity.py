@@ -630,27 +630,40 @@ def rp_candidate_pairs(
         )
         for j in range(n_tables)
     ]
+    # Band rows carry the MEMBERS array alongside the gid (r14, the
+    # _mh_candidate_pairs fix): the old shape banded bare gids and
+    # joined grp's exploded membership back TWICE — a third grp
+    # reference whose subtree re-ran the whole 48-projection
+    # signature kernel (the "LSH grp 3 consumers" recompute a lazy
+    # localCheckpoint could not fix without the r10 block-churn
+    # pathology). Values identical: one band row per (group, band),
+    # so collect_list == collect_set on gid; the struct sort leads
+    # with the unique gid, so the pair set is the old one; distinct
+    # over (ga, gb, members_a, members_b) equals distinct over
+    # (ga, gb) because the arrays are functions of the gids.
     bands = grp.select(
-        "gid", F.explode(F.array(*band_structs)).alias("b")
-    ).select("gid", "b.bj", "b.bk")
+        "gid", "members", F.explode(F.array(*band_structs)).alias("b")
+    ).select("gid", "members", "b.bj", "b.bk")
     gp = (
         bands.groupBy("bj", "bk")
-        .agg(F.sort_array(F.collect_set("gid")).alias("gs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("gid"), F.col("members")))
+            ).alias("gs")
+        )
         .filter((F.size("gs") >= 2) & (F.size("gs") <= bucket_cap))
         .select(F.explode(_combo_pairs(F.col("gs"))).alias("p"))
-        .select(F.col("p.a").alias("ga"), F.col("p.b").alias("gb"))
+        .select(
+            F.col("p.a.gid").alias("ga"),
+            F.col("p.b.gid").alias("gb"),
+            F.col("p.a.members").alias("_ma"),
+            F.col("p.b.members").alias("_mb"),
+        )
         .distinct()
     )
-    mem = grp.select("gid", F.explode("members").alias("m"))
     cross = (
-        gp.join(
-            mem.select(F.col("gid").alias("ga"), F.col("m").alias("ma")),
-            "ga",
-        )
-        .join(
-            mem.select(F.col("gid").alias("gb"), F.col("m").alias("mb")),
-            "gb",
-        )
+        gp.select(F.explode("_ma").alias("ma"), "_mb")
+        .select("ma", F.explode("_mb").alias("mb"))
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
