@@ -18,62 +18,62 @@ from ngram_analytics_spark.registry import QueryRegistry
 # doc-lint test_graded_first_matches_generator pins this tuple to the
 # tool's output, so editing a query without regenerating fails the
 # suite).  Composition rule: (a) keys with no driver CORRECTNESS row
-# yet (r14: none — 403/403 graded), (b) keys whose own function/oracle
+# yet (r15: none — 403/403 graded), (b) keys whose own function/oracle
 # text changed since the round base, (c) the stalest-graded tail — the
-# r05 cohort leads per VERDICT r13 item 5.
+# r06 cohort (oldest remaining grades) leads per VERDICT r14 item 8.
 GRADED_FIRST: tuple[str, ...] = (
-    "q_mix_epochs",
-    "q_dedup_host",
-    "q_mix_doremi",
-    "q_udf_cogroup",
-    "q_ngram_kneser_ney",
-    "q_text_collocation",
-    "q_boilerplate",
-    "q_decontam",
-    "q_pipeline_e2e",
-    "q_text_repetition",
-    "q_doc_lm_score",
-    "q_ewma",
-    "q_stream_live_ngram_topk",
-    "q_text_bigram_entropy",
-    "q_anomaly_mad",
-    "q_attribution",
-    "q_basket_lift",
-    "q_cte",
-    "q_dedup_incremental",
-    "q_dedup_paragraph",
-    "q_dq_checks",
-    "q_fn_collation",
-    "q_fn_sql_udf",
-    "q_fn_xpath",
-    "q_graph_label_prop",
-    "q_join_asof_tolerance",
-    "q_mix_budget",
-    "q_ml_gd_loop",
-    "q_ml_sgd_step",
-    "q_paginate_keyset",
-    "q_rfm_segment",
-    "q_sample_weighted",
-    "q_shard_assign",
-    "q_skew_profile",
-    "q_source_xml",
-    "q_stream_live_lww",
-    "q_stream_live_reach",
-    "q_stream_live_session_dynamic",
-    "q_stream_session_dynamic",
-    "q_text_bm25",
-    "q_text_entropy",
-    "q_text_keywords",
-    "q_tpch_q12",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_ts_cusum",
-    "q_ts_holt",
-    "q_ts_islands",
-    "q_ts_rolling_ndv",
-    "q_ts_seasonal",
+    "q_ts_twap",
+    "q_udtf_poly",
+    "q_vocab_coverage",
+    "q_vocab_spectrum",
+    "q_agg_bitmap",
+    "q_agg_filter_clause",
+    "q_agg_moments",
+    "q_agg_weighted_median",
+    "q_corpus_gini",
+    "q_dedup_simhash_exact",
+    "q_fn_aes",
+    "q_fn_explode_outer",
+    "q_fn_json2",
+    "q_fn_map2",
+    "q_fn_str_to_map",
+    "q_funnel_windowed",
+    "q_graph_jaccard_nbrs",
+    "q_graph_kcore",
+    "q_join_bloom",
+    "q_join_overlap",
+    "q_join_scd2_pit",
+    "q_ks_drift",
+    "q_length_buckets",
+    "q_ml_power_iter",
+    "q_pack_sequences",
+    "q_sample_balanced",
+    "q_sample_temperature",
+    "q_skyline_pareto",
+    "q_source_quality",
+    "q_source_text",
+    "q_sql_group_by_all",
+    "q_stream_live_leaderboard",
+    "q_tpch_q1",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_downsample",
+    "q_ts_theil_sen",
 )
-# indirect (one-hop helper) changes this round, re-graded via the
+# indirect (one-hop helper) changes in r14, re-graded via the
 # oldest-first rotation below rather than displacing the stale
 # cohort (r14 kernel/operator re-spellings — same values, pytest +
 # diffcheck pin the shared machinery):
