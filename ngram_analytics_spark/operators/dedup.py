@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ngram_analytics_spark.operators.ngram import ngram_col
 
@@ -187,9 +188,16 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(ngram_col(tokens_col, shingle_n)).alias("_set"),
     )
+    # explode_outer + null filter, NOT explode (r15, the
+    # q_dedup_minhash_exact r14 discipline): InferFiltersFromGenerate
+    # would push explode's size(_set) > 0 predicate below a caller's
+    # spread() exchange, evaluating the whole shingle lambda on the
+    # single-task scan side. Same rows: explode drops empty/null
+    # arrays, explode_outer emits one NULL row for them which the
+    # filter removes.
     postings = sets.select(
-        F.col(id_col), F.explode("_set").alias("_sh")
-    )
+        F.col(id_col), F.explode_outer("_set").alias("_sh")
+    ).filter(F.col("_sh").isNotNull())
     # Rare-filter and pair generation folded into ONE pass over the
     # postings (r14): document frequency IS the per-shingle id-list
     # size (one posting per (doc, shingle) — _set is distinct), and a
@@ -200,10 +208,23 @@ def ngram_jaccard_pairs(
     # single groupBy. Pair SET identical: {(a, b) : a < b sharing the
     # shingle} is order-independent, so collect_list order cannot
     # matter, and the same .distinct() dedups across shingles.
+    #
+    # The max_df cut happens BEFORE the collect (r15, VERDICT r14
+    # item 1): a count window over the SAME _sh key — count == the
+    # old size(_ids) — drops hot (stop-word-grade) shingles while
+    # their postings sit in WindowExec's SPILLABLE buffer, so a
+    # shingle appearing in half a 100 TB corpus spills to disk and is
+    # discarded instead of buffering its df-sized id list in ONE
+    # aggregation-buffer row (executor OOM / 2 GB array hazard).
+    # Window and groupBy share one _sh exchange; every surviving
+    # group has <= max_df postings by construction, so the collect is
+    # bounded and the old post-collect size filter is redundant.
+    dfc = F.count(F.lit(1)).over(W.partitionBy("_sh"))
     cands = (
-        postings.groupBy("_sh")
+        postings.withColumn("_df", dfc)
+        .filter(F.col("_df") <= max_df)
+        .groupBy("_sh")
         .agg(F.collect_list(id_col).alias("_ids"))
-        .filter(F.size("_ids") <= max_df)
         .select(
             F.explode(
                 F.flatten(
@@ -222,14 +243,43 @@ def ngram_jaccard_pairs(
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
+    # Exact-Jaccard re-check fetches each endpoint's full shingle set
+    # with ONE reference to `sets` (r15, VERDICT r14 item 6): the old
+    # cands.join(sa).join(sb) shape referenced the scan+shingle
+    # kernel twice more (two full corpus passes at 100 TB). Melting
+    # each pair into two (role, id) rows, joining `sets` once, and
+    # re-assembling via min_by/max_by on the role keeps the pair rows
+    # tiny through the join and halves the heavy-side work. min_by /
+    # max_by are deterministic here: exactly two rows per (id_a,
+    # id_b) group with distinct roles 0/1.
+    melted = cands.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("_r"), F.col("id_a").alias("_mid")
+                ),
+                F.struct(
+                    F.lit(1).alias("_r"), F.col("id_b").alias("_mid")
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        "id_a", "id_b", F.col("_e._r").alias("_r"),
+        F.col("_e._mid").alias("_mid"),
+    )
+    fetched = melted.join(
+        sets.select(F.col(id_col).alias("_mid"), "_set"), "_mid"
+    )
+    pairs = fetched.groupBy("id_a", "id_b").agg(
+        F.min_by("_set", "_r").alias("_set_a"),
+        F.max_by("_set", "_r").alias("_set_b"),
+    )
     common = F.size(F.array_intersect("_set_a", "_set_b"))
     union = F.size("_set_a") + F.size("_set_b") - common
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             common.alias("n_common"),

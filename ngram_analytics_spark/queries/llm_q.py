@@ -160,8 +160,16 @@ def q_dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable exact-Jaccard dedup: rare-shingle candidate join + exact
     re-check (operators.dedup.ngram_jaccard_pairs). Deterministic but the
     candidate set depends on the rare-shingle cutoff — oracled in tests
-    against the brute-force kernel instead of SQL."""
-    docs = load(spark, sf_dir, "documents").withColumn(
+    against the brute-force kernel instead of SQL.
+
+    spread() before the kernel (r15): the single-row-group corpus file
+    scans as ONE task, and stageprof showed that one task carrying the
+    whole shingle+postings build (5.5 s of the 6.9 s wall at sf0.1);
+    the pair set is order-free (in-array a<b expansion + distinct), so
+    the round-robin exchange changes no value."""
+    from ngram_analytics_spark.operators import spread
+
+    docs = spread(load(spark, sf_dir, "documents")).withColumn(
         "tokens", F.split("text", " ")
     )
     return ngram_jaccard_pairs(
@@ -1983,15 +1991,23 @@ def _mh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bands = grp.select(
         "gid", "members", F.explode(F.array(*band_structs)).alias("b")
     ).select("gid", "members", "b.bj", "b.bk")
+    # Band-cap cut BEFORE the members-carrying collect (r15, VERDICT
+    # r14 item 2): a count window over the SAME (bj, bk) key — one
+    # row per group per cell, so the count equals the old size(gs) —
+    # drops degenerate cells while their rows sit in WindowExec's
+    # spillable buffer, instead of after collect_list buffered a
+    # cap-violating list of (gid, members) structs in ONE
+    # aggregation-buffer row (the 100 TB hot-band OOM/giant-row
+    # hazard). Window and groupBy share one (bj, bk) exchange.
+    ncell = F.count(F.lit(1)).over(W.partitionBy("bj", "bk"))
     gp = (
-        bands.groupBy("bj", "bk")
+        bands.withColumn("_n", ncell)
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= _MH_BAND_CAP))
+        .groupBy("bj", "bk")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("gid"), F.col("members")))
             ).alias("gs")
-        )
-        .filter(
-            (F.size("gs") >= 2) & (F.size("gs") <= _MH_BAND_CAP)
         )
         .select(F.explode(_pairs_lambda(F.col("gs"))).alias("p"))
         .groupBy(

@@ -908,3 +908,99 @@ def test_minhash_index_upsert_non_monotone_ids(spark, tmp_path):
             if r.is_dup
         }
         assert got == {(999, 5), (999, 50)}
+
+
+def test_jaccard_hot_shingle_cut_and_values(spark):
+    """VERDICT r14 item 1 'done' probe: a stop-word-grade shingle
+    shared by >50% of the corpus adds NO candidate pairs (its
+    postings are cut by the pre-collect df filter), while rare-shingle
+    near-dups still pair exactly; values match a Python brute force
+    over the same rule."""
+    from itertools import combinations
+
+    from ngram_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs all containing the hot bigram "common filler"; docs
+    # 2i/2i+1 (i<5) additionally share a rare doc-pair-specific tail
+    rows = []
+    for i in range(40):
+        base = f"common filler unique{i} tail{i}"
+        if i < 10:
+            base = f"common filler shared{i // 2} dup{i // 2} page{i // 2}"
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tokens", F.split("text", " ")
+    )
+    max_df = 5
+    got = sorted(
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "tokens", max_df=max_df, min_jaccard=0.1
+        ).collect()
+    )
+
+    # brute force in Python: same shingle sets, same rare-df rule
+    def bigrams(text):
+        t = text.split(" ")
+        return {" ".join(t[j : j + 2]) for j in range(len(t) - 1)}
+
+    sets = {i: bigrams(t) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(sh for s in sets.values() for sh in s)
+    exp = []
+    for a, b in combinations(range(40), 2):
+        shared = sets[a] & sets[b]
+        if not any(dfreq[sh] <= max_df for sh in shared):
+            continue
+        common = len(shared)
+        jac = round(common / (len(sets[a]) + len(sets[b]) - common), 4)
+        if jac >= 0.1:
+            exp.append((a, b, common, jac))
+    assert got == sorted(exp)
+    # the hot bigram alone (df = 40 > max_df) never creates a pair:
+    # every emitted pair shares at least one RARE shingle
+    for a, b, _, _ in got:
+        assert any(dfreq[sh] <= max_df for sh in (sets[a] & sets[b]))
+
+
+def test_minhash_clone_flood_with_hot_band(spark):
+    """VERDICT r14 item 2 'done' probe: a 2000-member clone group
+    (one signature group — its C(2000,2) pairs are the semantically
+    required output) coexisting with an over-cap hot band cell
+    (_MH_BAND_CAP + 10 distinct signatures sharing band 0). The hot
+    cell is cut BEFORE the members-carrying collect (count window),
+    so the candidate set is exactly the clone group's intra pairs —
+    no cross-group candidates, no cap-violating buffered cell."""
+    from pyspark.sql import Row as R
+
+    from ngram_analytics_spark.queries.llm_q import (
+        _MH_BAND_CAP,
+        _MH_BANDS,
+        _MH_K,
+        _mh_candidate_pairs,
+    )
+
+    n_clones = 2000
+    clone_sig = {f"m{k}": 77_000 + k for k in range(_MH_K)}
+    rows = [R(doc_id=i, **clone_sig) for i in range(n_clones)]
+    # hot band: band 0 (m0, m1) identical across CAP+10 docs, all
+    # later hashes distinct -> one over-cap cell, no other collisions
+    n_hot = _MH_BAND_CAP + 10
+    rows += [
+        R(
+            doc_id=10_000 + i,
+            **{
+                f"m{k}": (7 if k < 2 else 1_000_000 + i * _MH_K + k)
+                for k in range(_MH_K)
+            },
+        )
+        for i in range(n_hot)
+    ]
+    cand = _mh_candidate_pairs(spark.createDataFrame(rows))
+    n_cand = cand.count()
+    assert n_cand == n_clones * (n_clones - 1) // 2
+    # spot-check: clone pairs carry all bands; no hot-band doc appears
+    sample = cand.filter(F.col("id_a") < 10).collect()
+    assert sample and all(r.n_bands == _MH_BANDS for r in sample)
+    assert cand.filter(F.col("id_a") >= 10_000).count() == 0
