@@ -23,6 +23,7 @@ from ngram_analytics_spark.registry import QueryRegistry
 # r06 cohort (oldest remaining grades) leads per VERDICT r14 item 8.
 GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_fuzzy_jaccard",
+    "q_basket_lift",
     "q_ts_twap",
     "q_udtf_poly",
     "q_vocab_coverage",
@@ -71,7 +72,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_tpch_q9",
     "q_ts_autocorr",
     "q_ts_changepoint",
-    "q_ts_downsample",
 )
 # indirect (one-hop helper) changes in r14, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -1152,73 +1152,90 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics a recommender or assortment planner runs, and the
     ITEM-level sibling of q_text_collocation's token-level PMI.
 
-    Plan (A/B-measured at sf1): the naive spelling — distinct
-    (order, brand) self-joined on the order key — re-ran the
-    5.5M-row basket subtree once per consumer (13.7 s);
-    checkpointing the shared table traded recompute for block churn
-    and was unstable (14-122 s across runs). The stable shape is
-    three INDEPENDENT single-consumer subtrees, each executed
-    exactly once with full pruning: (1) pairs — baskets collapse to
-    one brand SET per order (collect_set; order-insensitive because
-    pairs derive as a<b) and a per-row array-combinations lambda
-    emits <=C(|brands|,2) structs per order, no self-join at all;
-    (2) brand marginals from the pruned join + distinct; (3) the
-    order count from lineitem alone (every line has a part, so no
-    join needed). Marginals broadcast back; ppm divisions are
-    floor-integer (no float threshold)."""
+    Plan (r15, VERDICT r14 item 6 — single-reference discipline): the
+    r14 shape ran three INDEPENDENT subtrees (pair sets, brand
+    marginals, order count), i.e. three lineitem scans, two broadcast
+    part joins and five exchanges; checkpointing the shared basket
+    table had traded recompute for block churn and was unstable
+    (14-122 s across runs). Now ONE basket pass feeds everything:
+    each order's brand set emits pair structs, single-brand structs
+    AND an order marker from one generator (the set is distinct per
+    order, so exploded singles == the old distinct (order, brand)
+    rows and markers count orders exactly), one (kind, a, b)
+    aggregate counts all three populations, and the brand-domain-
+    bounded result (<= |brands|^2/2 + |brands| + 1 rows — the
+    valuedomain collect discipline) collapses to one row where
+    higher-order filters/map lookups attach marginals and the order
+    total without ever re-referencing the basket subtree. ppm
+    divisions keep the exact r14 float spellings (same IEEE op
+    order); interleaved A/B and 2-SF value identity in the round
+    log."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    n = li.select("l_orderkey").distinct().groupBy().agg(
-        F.count("*").alias("n_orders")
-    )
-    bc = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_b"))
-    )
     g = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("bs"))
     )
-    combos = F.expr(
+    pair_structs = F.expr(
         "flatten(transform(bs, x ->"
         " transform(filter(bs, y -> y > x),"
-        " y -> struct(x AS brand_a, y AS brand_b))))"
+        " y -> struct(2 AS kind, x AS a, y AS b))))"
     )
-    pairs = (
-        g.select(F.explode(combos).alias("pr"))
-        .select("pr.brand_a", "pr.brand_b")
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 5)
+    single_structs = F.expr(
+        "transform(bs, x -> struct(1 AS kind, x AS a,"
+        " CAST(NULL AS STRING) AS b))"
     )
-    ca = bc.select(
-        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a_tot")
+    marker = F.expr(
+        "array(struct(0 AS kind, CAST(NULL AS STRING) AS a,"
+        " CAST(NULL AS STRING) AS b))"
     )
-    cb = bc.select(
-        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b_tot")
+    counts = (
+        g.select(
+            F.explode(
+                F.concat(pair_structs, single_structs, marker)
+            ).alias("t")
+        )
+        .groupBy("t.kind", "t.a", "t.b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    one = counts.groupBy().agg(
+        F.collect_list(F.struct("kind", "a", "b", "cnt")).alias("cl")
+    )
+    n_orders = F.element_at(
+        F.expr("filter(cl, e -> e.kind = 0)"), 1
+    )["cnt"]
+    bmap = F.map_from_entries(
+        F.expr(
+            "transform(filter(cl, e -> e.kind = 1),"
+            " e -> struct(e.a, e.cnt))"
+        )
     )
     return (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .join(F.broadcast(n))
+        one.select(
+            F.explode(
+                F.expr("filter(cl, e -> e.kind = 2 AND e.cnt >= 5)")
+            ).alias("pr"),
+            n_orders.alias("_n"),
+            bmap.alias("_bm"),
+        )
         .select(
-            "brand_a",
-            "brand_b",
-            "n_ab",
+            F.col("pr.a").alias("brand_a"),
+            F.col("pr.b").alias("brand_b"),
+            F.col("pr.cnt").alias("n_ab"),
             F.floor(
-                F.col("n_ab") * F.lit(1000000.0) / F.col("n_orders")
+                F.col("pr.cnt") * F.lit(1000000.0) / F.col("_n")
             )
             .cast("long")
             .alias("support_ppm"),
             F.floor(
-                F.col("n_ab").cast("double")
-                * F.col("n_orders")
+                F.col("pr.cnt").cast("double")
+                * F.col("_n")
                 * F.lit(1000000.0)
-                / (F.col("n_a_tot") * F.col("n_b_tot"))
+                / (
+                    F.element_at("_bm", F.col("pr.a"))
+                    * F.element_at("_bm", F.col("pr.b"))
+                )
             )
             .cast("long")
             .alias("lift_ppm"),
