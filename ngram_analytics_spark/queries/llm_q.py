@@ -1889,12 +1889,19 @@ def _mh_spark(i: int) -> "F.Column":
 
     One md5 digest is 128 bits = FOUR independent 32-bit hash values
     (hex chars 1-8 / 9-16 / 17-24 / 25-32), so K=8 functions cost two
-    digests per shingle, not eight — measured 4.26 -> 1.9 s at sf0.1."""
+    digests per shingle, not eight — measured 4.26 -> 1.9 s at sf0.1.
+
+    The hex->int parse happens AFTER the min, once per (doc, i), not
+    per shingle (r15, VERDICT r14 item 5): md5 hex is fixed-width
+    lowercase, so binary string order on the 8-char chunk is exactly
+    numeric order — min(conv(h)) == conv(min(h)), property-tested in
+    tests/test_properties.py. The aggregation state is an 8-byte
+    string instead of a long; the 8 per-row conv parses disappear."""
     seed, chunk = divmod(i, 4)
     h8 = F.substring(
         F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh"))), 1 + 8 * chunk, 8
     )
-    return F.min(F.conv(h8, 16, 10).cast("long")).alias(f"m{i}")
+    return F.conv(F.min(h8), 16, 10).cast("long").alias(f"m{i}")
 
 
 def _mh_sql(i: int) -> str:

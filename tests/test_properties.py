@@ -1004,3 +1004,64 @@ def test_minhash_clone_flood_with_hot_band(spark):
     sample = cand.filter(F.col("id_a") < 10).collect()
     assert sample and all(r.n_bands == _MH_BANDS for r in sample)
     assert cand.filter(F.col("id_a") >= 10_000).count() == 0
+
+
+def test_minhash_hex_min_order_isomorphism(spark):
+    """r15 _mh_spark respelling: the min-hash parses hex AFTER the
+    min (conv(min(h8)) / conv(array_min(...))), which is only valid
+    because fixed-width lowercase-hex order == numeric order. Pin the
+    isomorphism on real md5 chunks AND pin batch == streaming
+    signature values on a corpus slice."""
+    import hashlib
+    import random
+
+    rnd = random.Random(7)
+    vals = ["%08x" % rnd.getrandbits(32) for _ in range(4096)]
+    assert int(min(vals), 16) == min(int(v, 16) for v in vals)
+
+    # batch groupBy-min vs streaming array_min projection must agree
+    from ngram_analytics_spark.operators.ngram import ngram_col
+    from ngram_analytics_spark.queries.llm_q import _MH_K, _MH_N, _mh_spark
+    from ngram_analytics_spark.queries.timeseries_q import (
+        _mh_stream_sig_cols,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 31 + j * 7) % 23}" for j in range(12)))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("st", F.array_distinct(ngram_col("toks", _MH_N)))
+    sh = d.select("doc_id", F.explode("st").alias("sh"))
+    batch = sh.groupBy("doc_id").agg(*[_mh_spark(i) for i in range(_MH_K)])
+    stream = (
+        d.filter(F.size("st") >= 1)
+        .withColumn(
+            "h0",
+            F.transform(F.col("st"), lambda s: F.md5(F.concat(F.lit("0:"), s))),
+        )
+        .withColumn(
+            "h1",
+            F.transform(F.col("st"), lambda s: F.md5(F.concat(F.lit("1:"), s))),
+        )
+        .select("doc_id", *_mh_stream_sig_cols())
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, stream.collect())
+    )
+    # and against Python hashlib ground truth for one doc
+    doc0 = [r.sh for r in sh.filter(F.col("doc_id") == 0).collect()]
+    got0 = sorted(map(tuple, batch.filter(F.col("doc_id") == 0).collect()))[0]
+    for i in range(_MH_K):
+        seed, chunk = divmod(i, 4)
+        exp = min(
+            int(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[
+                    8 * chunk : 8 * chunk + 8
+                ],
+                16,
+            )
+            for s in doc0
+        )
+        assert got0[1 + i] == exp
