@@ -24,6 +24,9 @@ from ngram_analytics_spark.registry import QueryRegistry
 GRADED_FIRST: tuple[str, ...] = (
     "q_dedup_fuzzy_jaccard",
     "q_basket_lift",
+    "q_fn_map2",
+    "q_sample_bootstrap",
+    "q_fn_xpath",
     "q_ts_twap",
     "q_udtf_poly",
     "q_vocab_coverage",
@@ -37,7 +40,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_aes",
     "q_fn_explode_outer",
     "q_fn_json2",
-    "q_fn_map2",
     "q_fn_str_to_map",
     "q_funnel_windowed",
     "q_graph_jaccard_nbrs",
@@ -70,8 +72,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_tpch_q6",
     "q_tpch_q8",
     "q_tpch_q9",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
 )
 # indirect (one-hop helper) changes in r14, re-graded via the
 # oldest-first rotation below rather than displacing the stale

@@ -576,8 +576,14 @@ def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the parse-once `from_xml` struct path measures ~1 s (the
     q_fn_json2 json_tuple lesson, XML edition). The struct therefore
     carries the scalar fields and a single xpath() node-set call
-    remains to exercise that accessor family."""
-    p = load(spark, sf_dir, "part")
+    remains to exercise that accessor family. spread() (r15): the
+    per-row XML build+parse otherwise runs entirely on the single
+    scan task of the one-split local file (2.4 s of the 2.6 s wall
+    at sf0.1, stageprof); no-op on many-split inputs, per-row values
+    unchanged."""
+    from ngram_analytics_spark.operators import spread
+
+    p = spread(load(spark, sf_dir, "part"))
     xml = F.concat(
         F.lit('<part key="'),
         F.col("p_partkey"),

@@ -915,8 +915,13 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side, no shuffle to explode), ONE map-side-combined groupBy
     to |type| x {b} replicate cells, then a |type|-domain rollup.
     At 100 TB the explode multiplies the SCAN, not the shuffle:
-    aggregate state is |type| x {b} integers."""
-    e = load(spark, sf_dir, "events")
+    aggregate state is |type| x {b} integers. spread() (r15) keeps
+    the x{b} md5 work plan-wide when the local file scans as one
+    split (stageprof: a single task carried 1.7 s of the 2.4 s wall
+    at sf0.1) — a no-op on any many-split input."""
+    from ngram_analytics_spark.operators import spread
+
+    e = spread(load(spark, sf_dir, "events"))
     base = e.select(
         "event_type",
         "event_id",
