@@ -168,10 +168,18 @@ def ivf_knn(
             .drop("_centv", "_csim", "_crn")
         )
 
+    # _parallelize the corpus-side assignment (r15): the n_cells-way
+    # cosine scoring runs map-side below the rank window's exchange,
+    # so a single-split scan otherwise carries ALL of it on one task
+    # (stageprof: 1.78 s of q_sim_ann_ivf_exact's 4.75 s wall at
+    # sf0.1) — the same guard brute_force_knn has carried since r10;
+    # no-op on many-split inputs, values rank-deterministic.
     assigned = nearest_cells(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
+        _parallelize(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            )
         ),
         "neighbor_id",
         "_cv",
