@@ -27,8 +27,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q_fn_map2",
     "q_sample_bootstrap",
     "q_fn_xpath",
-    "q_ts_twap",
     "q_udtf_poly",
+    "q_ts_twap",
     "q_vocab_coverage",
     "q_vocab_spectrum",
     "q_agg_bitmap",

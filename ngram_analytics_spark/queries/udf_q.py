@@ -194,7 +194,13 @@ def q_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield (i, *tokens[i : i + n])
 
     spark.udtf.register("poly_ngram_udtf", udtf(PolyNGram))
-    load(spark, sf_dir, "documents").createOrReplaceTempView(
+    # spread() (r15): eval() is per-row Python, and the single-split
+    # local file otherwise runs the whole LATERAL expansion on ONE
+    # task (0.47 s of the 0.70 s wall, stageprof); no-op on
+    # many-split inputs, per-row values unchanged.
+    from ngram_analytics_spark.operators import spread
+
+    spread(load(spark, sf_dir, "documents")).createOrReplaceTempView(
         "documents_poly"
     )
     return spark.sql(
